@@ -1,0 +1,103 @@
+"""Flagship clinical cohort queries over driver testdata + DuckDB oracles.
+
+The Spark side runs the real engine (``pipeline.flagship_query``); the
+oracle is a from-scratch ANSI-SQL restatement of the same semantics
+(SURVEY.md §2) that DuckDB executes over identical parquet — a two-engine
+differential oracle, mechanizing the reference's own pandas-vs-polars
+cross-validation practice (SURVEY.md §5.1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datamodel_clinicaldata_spark.pipeline import flagship_query
+from datamodel_clinicaldata_spark.registry import register
+
+# σ tiebreaker order used by every window (SURVEY.md §2.4 determinism fix).
+_SIGMA = "Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST, Weight ASC NULLS LAST"
+_SIGMA_PAT = f"TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, {_SIGMA}"
+_FULL = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+
+def _flagship_oracle(cohort_col: str) -> str:
+    """ANSI-SQL twin of ``flagship_query`` for a given cohort column."""
+    return f"""
+WITH users AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS UID,
+         c_name AS Name,
+         c_mktsegment AS Gender,
+         CAST(c_custkey % 60 + 15 AS BIGINT) AS Age,
+         CAST(c_nationkey AS BIGINT) AS ClinicID,
+         c_acctbal
+  FROM customer
+), weights AS (
+  SELECT CAST(user_id AS VARCHAR) AS MasterUserID,
+         value AS Weight,
+         ts AS Wts_CreatedDate,
+         CASE WHEN event_type <> 'error' THEN ts END AS Wts_UpdatedDate
+  FROM events
+), treatments AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS MasterUserID,
+         min(o_orderpriority) AS TreatmentTypeID,
+         min(o_orderdate) AS Tmt_StartDate
+  FROM orders
+  GROUP BY 1
+), joined AS (
+  SELECT u.*, w.Weight, w.Wts_CreatedDate, w.Wts_UpdatedDate,
+         t.TreatmentTypeID, t.Tmt_StartDate
+  FROM users u
+  LEFT JOIN weights w ON u.UID = w.MasterUserID
+  LEFT JOIN treatments t ON u.UID = t.MasterUserID
+), bucketed AS (
+  SELECT *,
+         CAST(floor(date_diff('day', Tmt_StartDate, Wts_CreatedDate) / 30.417) AS INTEGER) AS month,
+         CAST(floor(date_diff('day', Tmt_StartDate, Wts_CreatedDate) / 7) AS INTEGER) AS week
+  FROM joined
+), m1 AS (
+  SELECT *,
+         count(Wts_UpdatedDate) OVER w_coh AS WIR,
+         first_value(Weight) OVER w_pat AS PSW,
+         first_value(Weight) OVER w_trt AS TSW,
+         last_value(Weight) OVER w_trt AS TEW,
+         first_value(Weight) OVER w_coh AS first_w
+  FROM bucketed
+  WINDOW
+    w_pat AS (PARTITION BY UID ORDER BY {_SIGMA_PAT} {_FULL}),
+    w_trt AS (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY {_SIGMA} {_FULL}),
+    w_coh AS (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, {cohort_col} ORDER BY {_SIGMA} {_FULL})
+), m2 AS (
+  SELECT *,
+         first_w - lead(first_w) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY {_SIGMA}
+         ) AS wgt_diff
+  FROM m1
+), m3 AS (
+  SELECT *,
+         max(wgt_diff) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, {cohort_col}
+           ORDER BY {_SIGMA} {_FULL}
+         ) AS patient_TBWL
+  FROM m2
+)
+SELECT DISTINCT
+  UID, Name, Gender, Age, ClinicID, c_acctbal,
+  Weight, Wts_CreatedDate, Wts_UpdatedDate,
+  TreatmentTypeID, Tmt_StartDate,
+  month, week, WIR, PSW, TSW,
+  TEW - TSW AS treatment_TBWL,
+  patient_TBWL
+FROM m3
+WHERE Age BETWEEN 15 AND 74
+"""
+
+
+def _make(cohort: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return flagship_query(spark, sf_dir, cohort=cohort)
+
+    return q
+
+
+for _cohort in ("week", "month", "ClinicID"):
+    register(f"clinical_cohort_{_cohort}", _flagship_oracle(_cohort))(_make(_cohort))

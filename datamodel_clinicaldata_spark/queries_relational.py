@@ -1,0 +1,501 @@
+"""Operator-level queries over the TPC-H-ish testdata, each with a DuckDB
+oracle — one registry entry per operator row of SURVEY.md §2, plus the
+wider join/aggregate shapes of the extension surface (§7.6).
+
+Float policy: aggregates over doubles are wrapped in round(x, 4) on BOTH
+sides so IEEE accumulation order can't flip the value hash; pick-one
+aggregates (first/last/min/max) are bitwise-stable and left unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    range_join,
+    semi_join,
+)
+from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (S1, P6, F1-F3)
+# ---------------------------------------------------------------------------
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_quantity BETWEEN 10 AND 40
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P6+F2: parquet scan with filter+projection pushed into the scan
+    (verify with .explain: PushedFilters + 4-column ReadSchema)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_quantity").between(10, 40)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "filters_composable",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_acctbal BETWEEN 0 AND 5000
+      AND c_nationkey = 5
+    """,
+)
+def filters_composable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3 — the reference filters() signature (categorical equality
+    with 'all' passthrough, inclusive BETWEEN, numeric equality) applied via
+    the engine's composable filter operator."""
+    from datamodel_clinicaldata_spark.operators.relational import filters
+
+    c = read_table(spark, sf_dir, "customer")
+    return filters(
+        c,
+        gender="BUILDING",
+        min_age=0,
+        max_age=5000,
+        clinic_id=5,
+        gender_col="c_mktsegment",
+        age_col="c_acctbal",
+        clinic_col="c_nationkey",
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal")
+
+
+@register(
+    "rename_cast_project",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS uid,
+           CAST(ts AS DATE) AS event_date,
+           value AS measurement
+    FROM events
+    """,
+)
+def rename_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (bulk rename) + P3/P4 (casts): rename map + typed casts."""
+    from datamodel_clinicaldata_spark.operators.relational import rename_columns
+
+    e = read_table(spark, sf_dir, "events")
+    e = rename_columns(e, {"value": "measurement"})
+    return e.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("ts").cast("date").alias("event_date"),
+        "measurement",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1, J2 + extension shapes)
+# ---------------------------------------------------------------------------
+@register(
+    "join_left_dim_fact",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice, o.o_orderpriority
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_dim_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join with 1:N fan-out, preserved-side nulls kept."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "join_three_way",
+    """
+    SELECT n.n_name, r.r_name, c.c_custkey, c.c_acctbal
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: chained left joins; both dims broadcast (shuffle-free at scale)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select("n_name", "r_name", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return semi_join(c, o, c["c_custkey"] == o["o_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return anti_join(c, o, c["c_custkey"] == o["o_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "join_range_band",
+    """
+    SELECT e.event_id, o.o_orderkey
+    FROM events e
+    JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+     AND o.o_orderdate <= e.ts
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with an equality conjunct → hash join + band filter."""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders")
+    return range_join(
+        e,
+        o,
+        o["o_custkey"] == e["user_id"],
+        o["o_orderdate"] >= F.lit("1998-01-01").cast("timestamp"),
+        o["o_orderdate"] <= e["ts"],
+    ).select("event_id", "o_orderkey")
+
+
+@register(
+    "join_asof_backward",
+    """
+    SELECT event_id, ts, user_id, o_orderkey, o_orderdate
+    FROM (
+      SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event's timestamp."""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders")
+    return asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+        left_id="event_id",
+    ).select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / distinct (O1, O2)
+# ---------------------------------------------------------------------------
+@register(
+    "multikey_sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_shipdate, l_quantity
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_shipdate, l_orderkey, l_linenumber, l_quantity
+    """,
+)
+def multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: 6-key ascending sort (range-partitioned global sort in Spark)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.orderBy(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    ).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"
+    )
+
+
+@register(
+    "distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (SELECT l_returnflag, l_linestatus, l_returnflag AS l_shipmode FROM lineitem)",
+)
+def distinct_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: full-row dedup via the engine's distinct operator."""
+    from datamodel_clinicaldata_spark.operators.relational import distinct_rows
+
+    li = read_table(spark, sf_dir, "lineitem")
+    proj = li.select(
+        "l_returnflag", "l_linestatus", F.col("l_returnflag").alias("l_shipmode")
+    )
+    return distinct_rows(proj)
+
+
+# ---------------------------------------------------------------------------
+# Windowed metrics on the events stream table (W3-W9 shapes, standalone)
+# ---------------------------------------------------------------------------
+_EV_SIGMA = "ts ASC NULLS LAST, event_id ASC NULLS LAST"
+_FULL = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+
+@register(
+    "window_first_last_value",
+    f"""
+    SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           count(*)           OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_EV_SIGMA} {_FULL})
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W5/W6 shape: ordered first/last over an unbounded frame —
+    row-preserving transform then collapsed to one row per user."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).dropDuplicates()
+
+
+@register(
+    "window_nonnull_count",
+    f"""
+    SELECT DISTINCT user_id, event_type,
+           count(CASE WHEN props IS NOT NULL AND event_type <> 'error' THEN 1 END)
+             OVER (PARTITION BY user_id, event_type) AS wir
+    FROM events
+    """,
+)
+def window_nonnull_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 shape: non-null count over a cohort-style window."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    marker = F.when(
+        F.col("props").isNotNull() & (F.col("event_type") != "error"), F.lit(1)
+    )
+    return e.select(
+        "user_id", "event_type", F.count(marker).over(w).alias("wir")
+    ).dropDuplicates()
+
+
+@register(
+    "window_lead_diff",
+    f"""
+    SELECT event_id, user_id, value,
+           value - lead(value) OVER (PARTITION BY user_id ORDER BY {_EV_SIGMA}) AS diff_next
+    FROM events
+    """,
+)
+def window_lead_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 shape: value minus next-row value within a partition (diff(-1))."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lead("value").over(w)).alias("diff_next"),
+    )
+
+
+@register(
+    "window_running_agg",
+    f"""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY {_EV_SIGMA}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+           row_number() OVER (PARTITION BY user_id ORDER BY {_EV_SIGMA}) AS rn
+    FROM events
+    """,
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + row_number (explicit ROWS frame, deterministic σ)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            4,
+        ).alias("running_sum"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (extension surface: TPC-H-style reporting queries)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: partial aggregation map-side, one
+    shuffle on the (low-cardinality) grouping key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join rollup: fact-fact join shuffles on orderkey; dims broadcast."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (rollup lattice) — single pass, Expand operator."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_distinct_count",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase Expand+agg in Spark)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 5
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (deterministic tiebreak on key) —
+    Spark plans a partial top-k sort per partition before the shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test runs use ``local[N]``; the same config block is what we would
+ship to a 1000-executor cluster — AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), Arrow transfer for the Pandas-UDF slow
+path, UTC session timezone so timestamp semantics are stable across the
+DuckDB oracle and any cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "datamodel_clinicaldata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count: at local scale
+    200 shuffle partitions (Spark's default) means 200 tiny tasks per
+    exchange; on a real cluster this knob is instead sized so each shuffle
+    partition lands in the 100-200 MB range. AQE's coalescePartitions then
+    shrinks over-partitioned exchanges at runtime either way.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; read as long + convert in
+        # sources.readers (Spark timestamps are µs precision anyway).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

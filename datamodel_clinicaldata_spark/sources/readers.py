@@ -1,0 +1,95 @@
+"""Sources: CSV (reference parity, S1/S2) and parquet (driver testdata).
+
+Reference behavior being reproduced (SURVEY.md §2.1):
+- S1: ``pd.read_csv(path)`` ×3 — header row, inferred types
+  (``pandas_DataModel.py:51-53``).
+- S2: ``pl.read_csv(path, try_parse_dates=True)`` — dates typed at load
+  (``polars_DataModel.py:52-55``).
+
+Spark-first translation: one CSV reader with an explicit pinned
+``StructType`` so dates are typed at load (the polars shape) without the
+double scan ``inferSchema`` costs; the pandas late-cast path (P3) exists as
+an operator in ``operators.relational`` for parity testing.
+
+At 100 TB the real source is columnar parquet; every reader here returns a
+lazy DataFrame so Catalyst can push filters and prune columns into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datamodel_clinicaldata_spark.schemas import CLINICAL_SCHEMAS, TESTDATA_TABLES
+
+
+def read_clinical_csv(
+    spark: SparkSession, path_to_data: str, table: str, typed_dates: bool = True
+) -> DataFrame:
+    """Read one clinical CSV (``users``/``weights``/``treatments``).
+
+    ``typed_dates=True`` mirrors polars' ``try_parse_dates=True`` (dates
+    typed at load). ``typed_dates=False`` mirrors the pandas path: timestamp
+    columns land as strings for the explicit P3 cast stage.
+    """
+    schema = CLINICAL_SCHEMAS[table]
+    if not typed_dates:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.StringType() if isinstance(f.dataType, T.TimestampType) else f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+    return spark.read.csv(
+        os.path.join(path_to_data, f"{table}.csv"),
+        header=True,
+        schema=schema,
+        timestampFormat="yyyy-MM-dd HH:mm:ss",
+    )
+
+
+def load_clinical_tables(
+    spark: SparkSession, path_to_data: str, fmt: str = "csv"
+) -> dict[str, DataFrame]:
+    """Load the three clinical base tables (S1/S2 ×3)."""
+    if fmt == "parquet":
+        return {
+            t: spark.read.parquet(os.path.join(path_to_data, f"{t}.parquet"))
+            for t in CLINICAL_SCHEMAS
+        }
+    return {t: read_clinical_csv(spark, path_to_data, t) for t in CLINICAL_SCHEMAS}
+
+
+# Columns stored as parquet TIMESTAMP(NANOS) in the driver testdata; read
+# as long (spark.sql.legacy.parquet.nanosAsLong) and converted to µs
+# TimestampType here so downstream operators see a real timestamp.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata parquet table."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # Integer division — float division would lose ns precision
+            # (2^53 < 1e18) and shift the resulting microsecond.
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load driver testdata tables as a name→DataFrame dict."""
+    return {t: read_table(spark, sf_dir, t) for t in tables}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
