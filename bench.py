@@ -1,0 +1,85 @@
+"""Benchmark loop — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing method (BASELINE.md target interpretation): the session is created
+and warmed once (JVM startup + first-job overhead excluded — the reference
+numbers are steady-state pandas/polars wall clock, and the 2× bar is
+against engine work, not JVM boot). Each query is then executed end-to-end
+with a `noop` sink so the full plan runs distributed without driver-side
+collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "clinical_cohort_week",
+    "clinical_cohort_month",
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "join_asof_backward",
+    "window_running_agg",
+    "multikey_sort",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from datamodel_clinicaldata_spark.registry import QUERIES
+    from datamodel_clinicaldata_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm: touch the input files + trigger one tiny job so first-run JVM
+    # class-loading doesn't land inside a measured query.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    read_table(spark, sf_dir, "lineitem").count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    names += [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n in QUERIES and n not in names]
+
+    # Compile/JIT warm-up: run each headline plan once at the smallest scale
+    # factor so whole-stage codegen + Python plan construction costs land
+    # outside the measured runs (BASELINE.md measures steady-state engine
+    # work; the reference numbers are warm pandas/polars loops).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in names:
+            try:
+                QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:  # noqa: BLE001 — warm-up is best-effort
+                pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,11 +45,22 @@ SIGMA = ("Wts_CreatedDate", "Wts_UpdatedDate", "Weight")
 
 
 def sigma_cols(prefix_keys: tuple[str, ...] = ()) -> list[Column]:
-    """Ascending, NULLS LAST — pandas ``sort_values`` places NaN last
+    """σ ascending NULLS LAST — pandas ``sort_values`` places NaN last
     (``na_position='last'`` default) and ANSI/DuckDB ASC defaults to NULLS
     LAST, while Spark ASC defaults to nulls *first*; made explicit so all
-    three agree on left-join null rows."""
-    return [F.col(c).asc_nulls_last() for c in (*prefix_keys, *SIGMA)]
+    three agree on left-join null rows.
+
+    ``prefix_keys`` (episode keys inside the patient window) use NULLS
+    FIRST instead: semantically free — a user's rows either all have a
+    treatment or none do (left join), so episode-key nulls never compete
+    with non-nulls inside one partition — and it makes this window's
+    required sort byte-identical to the treatment/cohort windows' sort
+    (whose partition keys Spark sorts NULLS FIRST), letting the planner
+    reuse ONE in-partition sort across adjacent window operators instead
+    of re-sorting between them."""
+    return [F.col(c).asc_nulls_first() for c in prefix_keys] + [
+        F.col(c).asc_nulls_last() for c in SIGMA
+    ]
 
 
 def w_patient() -> WindowSpec:

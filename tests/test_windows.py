@@ -1,0 +1,163 @@
+"""Unit tests for the metric core (W1-W9) on tiny hand-built frames with
+hand-computed expectations — every W8 edge from SURVEY.md §2.5 (cohort gap,
+single-row cohort, gain masking, last-row null)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+
+from datamodel_clinicaldata_spark.operators.windows import with_cohort_metrics
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                UID=r[0],
+                TreatmentTypeID=1,
+                Tmt_StartDate=datetime(2023, 1, 1),
+                Wts_CreatedDate=datetime(2023, 1, 1) + timedelta(days=r[1])
+                if r[1] is not None
+                else None,
+                Wts_UpdatedDate=datetime(2023, 1, 1) + timedelta(days=r[1]) if r[2] else None,
+                Weight=float(r[3]) if r[3] is not None else None,
+                Age=30,
+                Gender="Male",
+                ClinicID=5066,
+            )
+            for r in rows
+        ]
+    )
+
+
+def _by_key(df, cohort="week"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["UID"], []).append(r)
+    for v in out.values():
+        v.sort(key=lambda r: (r["Wts_CreatedDate"] or datetime.min))
+    return out
+
+
+def test_week_month_buckets(spark):
+    # day offsets 0, 6, 7, 13, 14 → weeks 0,0,1,1,2; month: all 0
+    df = _frame(spark, [("u1", d, True, 70 + d) for d in [0, 6, 7, 13, 14]])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    assert [r["week"] for r in res] == [0, 0, 1, 1, 2]
+    assert all(r["month"] == 0 for r in res)
+
+
+def test_negative_bucket_floors_toward_neg_inf(spark):
+    # 3 days before treatment start → floor(-3/7) = -1, floor(-3/30.417) = -1
+    df = _frame(spark, [("u1", -3, True, 70.0), ("u1", 0, True, 71.0)])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    assert res[0]["week"] == -1 and res[0]["month"] == -1
+    assert res[1]["week"] == 0 and res[1]["month"] == 0
+
+
+def test_psw_tsw_first_in_sigma_order(spark):
+    df = _frame(spark, [("u1", 5, True, 80.0), ("u1", 1, True, 85.0), ("u1", 9, True, 78.0)])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    # first by CreatedDate is the day-1 row (85.0), regardless of input order
+    assert all(r["PSW"] == 85.0 for r in res)
+    assert all(r["TSW"] == 85.0 for r in res)
+
+
+def test_treatment_tbwl_negative_is_loss(spark):
+    # 83.5 → 80.5: TEW - TSW = -3.0 (negative = loss, SURVEY.md §2.5 W7)
+    df = _frame(spark, [("u1", 0, True, 83.5), ("u1", 7, True, 82.0), ("u1", 14, True, 80.5)])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    assert all(abs(r["treatment_TBWL"] - (-3.0)) < 1e-9 for r in res)
+
+
+def test_wir_counts_nonnull_updated_only(spark):
+    # week 0: 2 rows, one NULL UpdatedDate → WIR 1; week 1: 1 non-null → 1
+    df = _frame(spark, [("u1", 0, True, 80.0), ("u1", 1, False, 79.5), ("u1", 7, True, 79.0)])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    assert [r["WIR"] for r in res] == [1, 1, 1]
+
+
+def test_wgt_diff_interior_zero_and_boundary(spark):
+    # week 0 first=83.5, week 1 first=81.8 → interior rows patient_TBWL
+    # include boundary diff 1.7 via max(0.0, 1.7)
+    df = _frame(
+        spark,
+        [("u1", 0, True, 83.5), ("u1", 2, True, 83.0), ("u1", 7, True, 81.8), ("u1", 9, True, 81.5)],
+    )
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    w0 = [r for r in res if r["week"] == 0]
+    w1 = [r for r in res if r["week"] == 1]
+    assert all(abs(r["patient_TBWL"] - 1.7) < 1e-9 for r in w0)
+    # last cohort of the treatment: boundary lead is NULL → max over {0, NULL} = 0
+    assert all(r["patient_TBWL"] == 0.0 for r in w1)
+
+
+def test_cohort_gap_spans_missing_week(spark):
+    # weeks 0 and 2 (no week 1): week-0 boundary diffs against week 2's first
+    # (SURVEY.md §2.5 semantic 5)
+    df = _frame(spark, [("u1", 0, True, 83.5), ("u1", 14, True, 81.8)])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    w0 = [r for r in res if r["week"] == 0]
+    assert all(abs(r["patient_TBWL"] - 1.7) < 1e-9 for r in w0)
+
+
+def test_single_row_cohort_exposes_negative_diff(spark):
+    # single-row cohorts: week 0 = 80.0, week 1 = 80.8 (gain) → patient_TBWL
+    # -0.8, NOT masked to 0 (SURVEY.md §2.5 semantic 3, the -0.8 case)
+    df = _frame(spark, [("u1", 0, True, 80.0), ("u1", 7, True, 80.8)])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    w0 = [r for r in res if r["week"] == 0]
+    assert all(abs(r["patient_TBWL"] - (-0.8)) < 1e-9 for r in w0)
+
+
+def test_gain_masked_to_zero_in_multirow_cohort(spark):
+    # multi-row week 0 then gain at week 1: max(0, -0.8) = 0 (semantic 3)
+    df = _frame(
+        spark, [("u1", 0, True, 80.0), ("u1", 2, True, 80.2), ("u1", 7, True, 80.8)]
+    )
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    w0 = [r for r in res if r["week"] == 0]
+    assert all(r["patient_TBWL"] == 0.0 for r in w0)
+
+
+def test_no_cross_user_leak(spark):
+    # u1's last row must NOT diff against u2's first weight (the clean-lead
+    # deviation, SURVEY.md §2.5 semantic 4)
+    df = _frame(spark, [("u1", 0, True, 90.0), ("u2", 0, True, 60.0)])
+    res = _by_key(with_cohort_metrics(df, "week"))
+    assert res["u1"][0]["patient_TBWL"] is None  # max over {NULL}
+    assert res["u2"][0]["patient_TBWL"] is None
+
+
+def test_last_frame_row_null_diff(spark):
+    # the very last row of a treatment gets NULL wgt_diff; single-row final
+    # cohort → patient_TBWL NULL... but multi-row final cohort → 0.0
+    df = _frame(spark, [("u1", 0, True, 80.0)])
+    res = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    assert res[0]["patient_TBWL"] is None
+
+
+def test_cohort_month_and_clinic_scopes(spark):
+    df = _frame(spark, [("u1", 0, True, 80.0), ("u1", 40, True, 78.0)])
+    bym = _by_key(with_cohort_metrics(df, "month"))["u1"]
+    assert [r["month"] for r in bym] == [0, 1]
+    assert abs(bym[0]["patient_TBWL"] - 2.0) < 1e-9
+    # ClinicID cohort degenerates to per-treatment scope
+    byc = _by_key(with_cohort_metrics(df, "ClinicID"))["u1"]
+    assert all(r["WIR"] == 2 for r in byc)
+
+
+def test_invalid_cohort_rejected(spark):
+    df = _frame(spark, [("u1", 0, True, 80.0)])
+    with pytest.raises(ValueError, match="cohort"):
+        with_cohort_metrics(df, "DROP TABLE")
+
+
+def test_keep_tew_variant(spark):
+    # polars .py keeps TEW as a column (SURVEY.md §2.9)
+    df = _frame(spark, [("u1", 0, True, 83.5), ("u1", 7, True, 80.5)])
+    res = _by_key(with_cohort_metrics(df, "week", keep_tew=True))["u1"]
+    assert all(r["TEW"] == 80.5 for r in res)
