@@ -1,0 +1,110 @@
+"""Text column expressions — tokenization, shingles, quality signals,
+fingerprints. All built-in ``pyspark.sql.functions`` (JVM-side); every
+expression has an exact ANSI-SQL twin used by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker/stopword sets for the language-ID heuristic and stopword-ratio
+# quality signal. Deterministic heuristic — the oracle replays it in SQL.
+STOPWORDS_EN = ["the", "a", "an", "of", "to", "in", "and", "is", "for", "on"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization: split on runs of whitespace after trim."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles joined with single spaces — the unit for n-gram
+    Jaccard / MinHash. Array expression, no explode until the caller needs
+    the inverted index."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def char_shingles(text: Column, k: int = 12) -> Column:
+    """k-character shingles (for fingerprinting / char-level similarity)."""
+    n = F.length(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substring(text, i, k),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    cleaned = F.regexp_replace(text, PUNCT_CLASS, "")
+    return (F.length(text) - F.length(cleaned)) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language (occurrence counts, dups kept)."""
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        ms = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(ms, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when all zero;
+    ties break by the fixed language order in LANG_MARKERS."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:  # insertion order = deterministic tie order
+        s = scores[lang]
+        take = s > best_score  # strict: earlier langs win ties
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(text: Column, k: int = 16) -> Column:
+    """Document fingerprint: minimum md5 over the k-char shingle set (a
+    1-permutation MinHash). Near-identical documents collide; md5 keeps the
+    value engine-portable (DuckDB computes the identical digest)."""
+    return F.array_min(F.transform(char_shingles(text, k), F.md5))
+
+
+def quality_struct(text: Column) -> dict[str, Column]:
+    """The quality-scoring bundle: each signal as a named column expr."""
+    n_tok = token_count(text)
+    n_char = F.length(text)
+    # Plain int/int double divisions are bitwise-deterministic IEEE — no
+    # rounding needed for oracle parity (unlike accumulated sums).
+    return {
+        "n_chars_actual": n_char,
+        "n_tokens": n_tok,
+        "avg_token_len": (n_char - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)),
+        "punct_ratio": punct_ratio(text),
+        "stopword_ratio": stopword_count(text) / F.greatest(n_tok, F.lit(1)),
+        "uniq_token_ratio": F.size(F.array_distinct(tokens(text)))
+        / F.greatest(n_tok, F.lit(1)),
+    }

@@ -1,0 +1,55 @@
+"""Vector math over ``array<float>`` embedding columns — pure built-in
+higher-order functions (``F.zip_with`` / ``F.aggregate``), JVM-side inside
+whole-stage codegen. No UDFs: at 100 TB a Python UDF here would dominate
+the query; these expressions vectorize like any other Catalyst projection.
+
+Cross-engine note: embeddings are cast to double BEFORE any arithmetic so
+Spark and the DuckDB oracle accumulate in the same precision; results that
+feed comparisons are rounded at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (same accumulation order as DuckDB's
+    list_inner_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot / sqrt(dot(a,a) * dot(b,b)) — the sqrt-of-product
+    form matches DuckDB's list_cosine_similarity expression shape."""
+    da, db = as_double(a), as_double(b)
+    return dot(da, db) / F.sqrt(dot(da, da) * dot(db, db))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    da, db = as_double(a), as_double(b)
+    diff = F.zip_with(da, db, lambda x, y: x - y)
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def sign_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane, packed into
+    a long. ``planes`` is a small driver-side constant (k ≤ 32 plates), so
+    the expression is a literal-folded projection — no shuffle, no UDF."""
+    bits = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(as_double(vec), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("long")

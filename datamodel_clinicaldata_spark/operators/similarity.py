@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors for a (small) query
+  set: broadcast the queries, score every corpus row with built-in
+  higher-order functions, per-query top-k via window row_number. The
+  baseline and the correctness oracle for the approximate paths.
+  Scale shape: corpus-partition-parallel scan, no shuffle except the final
+  per-query top-k (k rows per partition per query pre-aggregated by the
+  window's partial top-k sort).
+- ``cosine_neardup_pairs``: all pairs with cosine ≥ τ, blocked by
+  random-hyperplane LSH sign buckets (exact verify in-bucket, with
+  multi-probe via several independent plane sets to keep recall high).
+- ``ivf_topk``: IVF-style two-stage ANN: k-means-lite centroids (sampled
+  seed points refined once — deterministic), assign corpus to nearest
+  centroid (one narrow shuffle), probe the ``nprobe`` nearest centroids
+  per query. The 100 TB path: scoring touches only probed partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.functions.vectors import as_double, cosine, dot, sign_bits
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query. Ties break on ascending corpus id so
+    results are deterministic across engines."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    n_tables: int = 4,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """cosine ≥ threshold pairs via multi-table hyperplane LSH blocking.
+
+    Each of ``n_tables`` independent plane sets hashes every vector to a
+    ``bits``-bit sign bucket; candidates = pairs sharing a bucket in ANY
+    table; exact cosine verifies. Miss probability per pair is
+    ((1-(1-θ/π)^bits))^tables — small for near-dup thresholds.
+    Planes are a deterministic LCG sample (reproducible, no numpy state).
+    """
+    if planes is None:
+        planes_all = _lcg_planes(n_tables * bits, dim, seed)
+    else:
+        planes_all = planes
+    tables = [planes_all[t * bits : (t + 1) * bits] for t in range(n_tables)]
+
+    buckets = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        sign_bits(F.col(vec_col), tables[t]).alias("bucket"),
+                    )
+                    for t in range(len(tables))
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF two-stage ANN. Centroids = a deterministic corpus sample (every
+    (n/n_centroids)-th row by id order — k-means seeding without iterative
+    training; good enough for partition pruning, and fully deterministic).
+
+    Stage 1: assign every corpus vector to its nearest centroid (broadcast
+    centroids, argmin over a small array — a projection, then the corpus
+    can be written bucketed by ``centroid`` for reuse).
+    Stage 2: per query, pick ``nprobe`` nearest centroids, then exact
+    cosine only over those buckets — at scale this prunes
+    (1 - nprobe/n_centroids) of the scan.
+    """
+    w_sample = Window.orderBy(F.col(id_col))
+    n = corpus.count()
+    step = max(n // n_centroids, 1)
+    centroids = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w_sample))
+        .filter(((F.col("__rn") - 1) % step == 0) & (F.col("__rn") <= step * n_centroids))
+        .select(
+            ((F.col("__rn") - 1) / step).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("__cvec"),
+        )
+    )
+    cent_rows = centroids.collect()  # n_centroids rows — driver-side constant
+    cent_array = F.array(
+        *[
+            F.struct(F.lit(r["centroid_id"]).alias("cid"), F.array(*[F.lit(float(x)) for x in r["__cvec"]]).alias("cvec"))
+            for r in cent_rows
+        ]
+    )
+
+    def nearest(vec, topn):
+        scored = F.transform(
+            cent_array,
+            lambda c: F.struct(
+                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, topn)
+
+    assigned = corpus.withColumn(
+        "__cid", nearest(F.col(vec_col), 1)[0]["cid"]
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])
+        ).alias("__cid"),
+    )
+    scored = assigned.join(F.broadcast(q), "__cid").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _lcg_planes(n: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via a 64-bit LCG — stable
+    across runs/engines without numpy RNG state."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    planes = []
+    for _ in range(n):
+        p = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            p.append(((state >> 33) / float(1 << 31)) - 1.0)  # uniform [-1, 1)
+        planes.append(p)
+    return planes

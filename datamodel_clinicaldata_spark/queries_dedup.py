@@ -1,0 +1,92 @@
+"""Deduplication queries over ``documents`` + DuckDB oracles.
+
+Exact dedup and the exact-Jaccard inverted-index path are oracle-matched.
+The MinHash-LSH path is also oracle-matched against the *exact* answer:
+with (num_hashes=128, bands=64, r=2) at threshold 0.5 the per-pair miss
+probability is (1 - j²)^64 ≤ 1e-8, and every candidate is verified with
+exact Jaccard, so LSH output == exact output on any realistic data.
+SimHash banding has no SQL twin (rows-only check; recall covered in
+tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datamodel_clinicaldata_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_band_pairs,
+)
+from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 2, 1) + 1), "
+    f"i -> array_to_string(({_TOKS})[i : i + 2], ' ')))"
+)
+
+
+def _exact_jaccard_oracle(threshold: float) -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(da.sh, db.sh))
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+    FROM cand
+    JOIN docs da ON da.doc_id = id_a
+    JOIN docs db ON db.doc_id = id_b
+    WHERE len(list_intersect(da.sh, db.sh))
+            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= {threshold}
+    """
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text) — only 16-byte digests
+    shuffle, never the payload."""
+    d = read_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "text", "doc_id")
+
+
+@register("dedup_ngram_jaccard", _exact_jaccard_oracle(0.2))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-token-shingle Jaccard ≥ 0.2 via inverted-index candidate
+    generation (catches the testdata's planted near-duplicate pairs)."""
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    )
+
+
+@register("dedup_minhash_lsh", _exact_jaccard_oracle(0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + 64-band LSH with exact-Jaccard verification at
+    threshold 0.5. Oracle = the exact answer (see module docstring for the
+    ≤1e-8 miss bound that justifies the equality)."""
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_hashes=128, bands=64, threshold=0.5
+    )
+
+
+@register("dedup_simhash_bands")  # no SQL twin — rows-only driver check
+def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60bit band blocking (Hamming ≤ 3 guaranteed candidates)."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_band_pairs(d, "text", "doc_id")

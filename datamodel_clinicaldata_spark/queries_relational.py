@@ -356,7 +356,7 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
             4,
         ).alias("running_sum"),
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 

@@ -1,0 +1,122 @@
+"""Text-analysis queries over the ``documents`` table, each with an exact
+DuckDB oracle twin (extension surface: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+All Spark expressions are built-in functions (JVM, codegen); the oracle SQL
+replays the identical arithmetic so values match bitwise (plain divisions)
+or by construction (md5 digests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    doc_fingerprint,
+    lang_id,
+    quality_struct,
+    token_count,
+)
+from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _hits(words: list[str]) -> str:
+    return f"len(list_filter({_TOKS}, t -> list_contains({_sql_list(words)}, t)))"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           length(text) AS n_chars_actual,
+           len({_TOKS}) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, claimed-vs-actual chars."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len({_TOKS}) AS n_tokens,
+           (length(text) - (len({_TOKS}) - 1)) / greatest(len({_TOKS}), 1) AS avg_token_len,
+           (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+             / greatest(length(text), 1) AS punct_ratio,
+           {_hits(STOPWORDS_EN)} / greatest(len({_TOKS}), 1) AS stopword_ratio,
+           len(list_distinct({_TOKS})) / greatest(len({_TOKS}), 1) AS uniq_token_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword/uniqueness signals."""
+    d = read_table(spark, sf_dir, "documents")
+    qs = quality_struct(F.col("text"))
+    for int_col in ("n_chars_actual", "n_tokens"):
+        qs[int_col] = qs[int_col].cast("long")
+    return d.select("doc_id", *[c.alias(n) for n, c in qs.items()])
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_hits(LANG_MARKERS['en'])} AS s_en,
+             {_hits(LANG_MARKERS['de'])} AS s_de,
+             {_hits(LANG_MARKERS['fr'])} AS s_fr,
+             {_hits(LANG_MARKERS['es'])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of marker-word hit counts, first-lang
+    tiebreak, 'und' when no markers hit. (The testdata's ``lang`` column is
+    synthetic noise over a shared vocabulary, so ``lang_pred`` is the
+    deterministic heuristic output, cross-checked engine-vs-engine.)"""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+                                   i -> md5(text[i : i + 15]))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over 16-char shingles (1-perm MinHash)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text"), k=16).alias("fingerprint"))
