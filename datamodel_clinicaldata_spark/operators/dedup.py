@@ -11,11 +11,11 @@ Five strategies, all shuffle-conscious:
   over the corpus; hot shingles are capped (df-style stop-shingle cut) to
   bound skew.
 - ``minhash_lsh_pairs``: MinHash signatures + banded LSH. Signatures are
-  built with portable md5-derived hash functions (no JVM-specific hashing)
-  entirely with array expressions; bands explode to (band_id, band_hash)
-  buckets → join within buckets. Tunable (b, r) for target Jaccard.
-- ``simhash64``: 64-bit SimHash over token md5 bits; near-dups = equal
-  16-bit bands (Hamming blocking).
+  a single-pass ``aggregate`` over xxhash64 shingle hashes (see
+  ``minhash_signature``); bands explode to (band_id, band_hash) buckets →
+  join within buckets. Tunable (b, r) for target Jaccard.
+- ``simhash64``: 60-bit SimHash over token xxhash64 bits; near-dups =
+  equal 15-bit bands (Hamming blocking).
 - embedding-cosine near-dup lives in ``operators.similarity``
   (``cosine_neardup_pairs``): cosine ≥ τ pairs with LSH blocking.
 
@@ -113,19 +113,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def _lcg_longs(n: int, seed: int = 0x5DEECE66D) -> list[int]:
+    """n deterministic signed-64 constants from a 64-bit LCG (portable,
+    no RNG state)."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append(state - (1 << 64) if state >= (1 << 63) else state)
+    return out
+
+
 def minhash_signature(content: Column, k: int, num_hashes: int) -> Column:
-    """MinHash signature as array<long>, fully with array expressions:
-    one md5 per shingle, then per-hash xor-permutations of it — O(shingles
-    + num_hashes) work per doc, not O(shingles × num_hashes) md5 calls."""
-    base = F.transform(
-        F.array_distinct(word_shingles(content, k)),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    """MinHash signature as array<long> in ONE pass over the shingle set:
+    ``aggregate(xxhash64-per-shingle, [MAX]*H, zip_with(least(min, h XOR C_i)))``.
+
+    The shingle-hash array appears exactly once in the expression tree, so
+    it is evaluated once per row — a naive ``transform(0..H, i ->
+    array_min(transform(shingles, ...)))`` re-evaluates the (expensive)
+    shingle hashing H times because higher-order-function bodies run
+    interpreted per element. xor-permutations of a well-mixed 64-bit base
+    hash give per-slot-exact collision probability (x↦x⊕c is a bijection,
+    so P(argmin lands in the intersection) = Jaccard exactly); slots are
+    correlated across i, which only *raises* band-collision recall. All
+    bitwise ops — safe under ANSI mode (no overflow)."""
+    hashes = F.transform(
+        F.array_distinct(word_shingles(content, k)), lambda s: F.xxhash64(s)
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(base, lambda h: h.bitwiseXOR(F.shiftleft(i, 16) + i * 2654435761))
-        ),
+    consts = F.array(*[F.lit(c).cast("long") for c in _lcg_longs(num_hashes)])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(acc, consts, lambda m, c: F.least(m, h.bitwiseXOR(c))),
     )
 
 
@@ -164,7 +184,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("bh"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
                 ),
             )
         ).alias("bb"),
@@ -193,43 +213,49 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(content: Column, k: int = 1) -> Column:
-    """64-bit SimHash from token (or k-shingle) md5s: per bit, sum of ±1
-    votes across shingle hashes; bit set when the vote is positive.
-    Array-expression only — no UDF, no shuffle."""
+def simhash64(content: Column, k: int = 1, bits: int = 60) -> Column:
+    """SimHash (``bits`` wide, ≤ 63) from token (or k-shingle) xxhash64
+    values: per bit, sum of ±1 votes across unit hashes; bit set when the
+    vote is positive.
+
+    ONE aggregate pass over the unit-hash array (the previous shape — one
+    ``F.aggregate`` per bit — re-evaluated the hash array 60× because HOF
+    bodies run interpreted per element). The vote vector is an array<int>
+    accumulator zip_with'd against a constant bit-mask array; bitwise-only,
+    ANSI-safe, no UDF, no shuffle."""
     units = F.array_distinct(word_shingles(content, k)) if k > 1 else F.array_distinct(
         F.split(F.trim(content), r"\s+")
     )
-    # one 60-bit value per unit from the md5 hex (first 15 hex chars).
-    # Bit positions are unrolled statically: shiftright/shiftleft take a
-    # Python int, and a 60-term sum keeps everything in one codegen'd
-    # projection (vote count = 2·popcount-ish work per unit, fine for
-    # document-length token sets).
-    hashes = F.transform(
-        units, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    hashes = F.transform(units, lambda s: F.xxhash64(s))
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
     )
-    # NB: the bit index must be bound via a closure factory, NOT a default
-    # argument — pyspark's higher-order-function wrapper introspects lambda
-    # arity, so `lambda acc, h, i=i` would be treated as a 3-variable
-    # lambda and `i` would receive a Column.
-    def vote_at(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("long")
-    for i in range(60):
-        vote = F.aggregate(hashes, F.lit(0), vote_at(i))
-        out = out + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_band_pairs(
-    df: DataFrame, content_col: str, id_col: str, band_bits: int = 15
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    band_bits: int = 15,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup blocking: docs sharing any of the 4 15-bit bands of
     their simhash (Hamming-distance blocking: distance ≤ 3 guarantees ≥1
-    equal band). Output: (id_a, id_b, hamming)."""
+    equal band). Output: (id_a, id_b, hamming), optionally filtered to
+    ``hamming ≤ max_hamming`` (the guarantee holds for max_hamming ≤ 3 at
+    the default 4×15-bit banding)."""
     sh = df.select(F.col(id_col), simhash64(F.col(content_col)).alias("sh"))
     banded = sh.select(
         id_col,
@@ -250,12 +276,19 @@ def simhash_band_pairs(
     ).select(id_col, "sh", "bb.band", "bb.bv")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if max_hamming is not None:
+        # Filter in the join condition so non-near pairs never reach the
+        # dedup shuffle (they are the overwhelming majority of candidates).
+        cond = cond & (hamming <= max_hamming)
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            cond,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -127,9 +127,13 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
 ) -> DataFrame:
-    """IVF two-stage ANN. Centroids = a deterministic corpus sample (every
-    (n/n_centroids)-th row by id order — k-means seeding without iterative
-    training; good enough for partition pruning, and fully deterministic).
+    """IVF two-stage ANN. Centroids = a deterministic hash-stride corpus
+    sample (rows whose xxhash64(id) ≡ 0 mod n/n_centroids, lowest ids
+    kept) — k-means seeding without iterative training; good enough for
+    partition pruning, fully deterministic, and crucially sampled WITHOUT
+    a global window (a ``Window.orderBy`` over the whole corpus would pull
+    100 TB through one partition; the hash filter is a parallel scan and
+    the ``orderBy().limit()`` on its tiny survivor set is a TakeOrdered).
 
     Stage 1: assign every corpus vector to its nearest centroid (broadcast
     centroids, argmin over a small array — a projection, then the corpus
@@ -138,19 +142,18 @@ def ivf_topk(
     cosine only over those buckets — at scale this prunes
     (1 - nprobe/n_centroids) of the scan.
     """
-    w_sample = Window.orderBy(F.col(id_col))
     n = corpus.count()
     step = max(n // n_centroids, 1)
-    centroids = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w_sample))
-        .filter(((F.col("__rn") - 1) % step == 0) & (F.col("__rn") <= step * n_centroids))
-        .select(
-            ((F.col("__rn") - 1) / step).cast("int").alias("centroid_id"),
-            F.col(vec_col).alias("__cvec"),
-        )
+    sampled = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
     )
-    cent_rows = centroids.collect()  # n_centroids rows — driver-side constant
+    cent_rows = [
+        {"centroid_id": i, "__cvec": r["__cvec"]}
+        for i, r in enumerate(sampled.collect())
+    ]  # ≤ n_centroids rows — driver-side constant
     cent_array = F.array(
         *[
             F.struct(F.lit(r["centroid_id"]).alias("cid"), F.array(*[F.lit(float(x)) for x in r["__cvec"]]).alias("cvec"))
@@ -185,9 +188,10 @@ def ivf_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
+    # No dedup needed: each corpus row has exactly one __cid and each query
+    # probes nprobe distinct cids, so (query, corpus) pairs are unique.
     return (
-        scored.dropDuplicates([query_id_col, id_col])
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

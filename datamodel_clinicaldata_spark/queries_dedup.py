@@ -87,6 +87,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_bands")  # no SQL twin — rows-only driver check
 def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-60bit band blocking (Hamming ≤ 3 guaranteed candidates)."""
+    """SimHash-60bit near-dup pairs: band blocking (4×15-bit bands find
+    every pair at Hamming ≤ 3) + in-join Hamming filter."""
     d = read_table(spark, sf_dir, "documents")
-    return simhash_band_pairs(d, "text", "doc_id")
+    return simhash_band_pairs(d, "text", "doc_id", max_hamming=3)

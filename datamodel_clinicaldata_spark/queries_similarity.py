@@ -81,10 +81,15 @@ def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_neardup_lsh")  # rows-only: approximate blocking path
 def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH-blocked near-dup pairs (the 100 TB path: bucketed
-    self-join instead of all-pairs crossJoin)."""
+    """Hyperplane-LSH-blocked cosine ≥ 0.45 pairs (the 100 TB path:
+    bucketed self-join instead of all-pairs crossJoin). Threshold matches
+    ``similarity_neardup_exact`` so recall is measurable on this corpus
+    (the synthetic embeddings are near-orthogonal — max cos ≈ 0.51 — so a
+    production 0.9 near-dup threshold would return an empty, untestable
+    result). bits=4 × 16 tables → per-pair miss ≈ (1−0.65⁴)¹⁶ ≈ 4% at
+    cos 0.45; recall is asserted against the exact pairs in tests."""
     e = read_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(e, threshold=0.9)
+    return cosine_neardup_pairs(e, threshold=0.45, n_tables=16, bits=4)
 
 
 @register("similarity_ivf_topk")  # rows-only: approximate ANN path

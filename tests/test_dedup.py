@@ -1,0 +1,97 @@
+"""Unit tests for dedup operators: exact hash-groupBy, exact n-gram
+Jaccard, MinHash-LSH (recall vs the exact answer), SimHash banding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from datamodel_clinicaldata_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_band_pairs,
+)
+
+DOCS = [
+    # two exact copies
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+    # near-dup of 1 (one word changed)
+    (3, "the quick brown fox jumps over the lazy cat near the river bank"),
+    # unrelated
+    (4, "completely different content about distributed query engines and shuffles"),
+    (5, "yet another unrelated document discussing parquet column pruning strategies"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_exact_dedup_groups(spark, docs_df):
+    rows = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(docs_df, "text", "doc_id").collect()}
+    assert rows[1] == 2  # docs 1 and 2 collapse, min id kept
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+    assert 2 not in rows
+
+
+def test_ngram_jaccard_exact_pairs(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "text", "doc_id", k=3, threshold=0.3).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0)  # identical
+    # doc 3 differs in 1 of 13 tokens → 8 of 11 shingles shared with 1/2:
+    # J = 8 / (11 + 11 - 8) = 4/7
+    assert got[(1, 3)] == pytest.approx(8 / 14, abs=1e-9)
+    assert got[(2, 3)] == pytest.approx(8 / 14, abs=1e-9)
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_minhash_lsh_matches_exact(spark, docs_df):
+    """At (128 hashes, 64 bands) the per-pair miss probability is ≤1e-8,
+    and candidates are exact-verified — so LSH output == exact output."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_df, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs_df, "text", "doc_id", k=3, num_hashes=128, bands=64, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact
+    assert (1, 2) in lsh and (1, 3) in lsh
+
+
+def test_simhash_bands(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(docs_df, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs: identical simhash
+    # unrelated docs must not appear at hamming ≤ 3
+    assert all(not (a in (4, 5) or b == 4) for (a, b) in pairs if (a, b) != (4, 5))
+
+
+def test_minhash_lsh_on_testdata(spark, sf_dir):
+    """LSH equals the exact inverted-index answer on driver testdata."""
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.5, max_postings=10_000
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            d, "text", "doc_id", k=3, num_hashes=128, bands=64, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact

@@ -1,0 +1,98 @@
+"""Unit tests for similarity search: exact cosine math, brute-force top-k,
+LSH near-dup recall, IVF ANN recall — approximate paths measured against
+the exact baseline on driver testdata."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.functions.vectors import cosine, dot, l2_distance
+from datamodel_clinicaldata_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk_bruteforce,
+    ivf_topk,
+)
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 2.0], b=[2.0, 0.0, 1.0])])
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+        l2_distance(F.col("a"), F.col("b")).alias("l2"),
+    ).first()
+    assert r["d"] == pytest.approx(4.0)
+    assert r["c"] == pytest.approx(4.0 / (3.0 * math.sqrt(5.0)))
+    assert r["l2"] == pytest.approx(math.sqrt(1 + 4 + 1))
+
+
+def test_bruteforce_topk_ordering(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+            Row(vec_id=4, embedding=[-1.0, 0.0]),
+        ]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, embedding=[1.0, 0.0])])
+    got = [
+        r["vec_id"]
+        for r in cosine_topk_bruteforce(corpus, queries, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [1, 2, 3]
+
+
+def _exact_pairs(spark, sf_dir, threshold):
+    e = read_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= threshold)
+        .collect()
+    }
+
+
+def test_neardup_lsh_recall(spark, sf_dir):
+    """Multi-table hyperplane LSH must recover ≥70% of exact cosine ≥ 0.45
+    pairs (expected miss ≈ 4% per pair at bits=4, tables=16; floor leaves
+    slack for the finite-sample variance of 64-dim sign buckets)."""
+    exact = _exact_pairs(spark, sf_dir, 0.45)
+    assert exact, "testdata should contain cosine ≥ 0.45 pairs"
+    e = read_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(e, threshold=0.45, n_tables=16, bits=4).collect()
+    }
+    assert not (got - exact), "LSH must not invent pairs (exact verify)"
+    assert len(got & exact) / len(exact) >= 0.7
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF with nprobe=8 of 16 centroids must reach ≥50% recall@10 vs the
+    brute-force baseline (synthetic embeddings are near-orthogonal, the
+    hardest case for coarse quantization — recall floor is deliberately
+    conservative)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(e, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(e, queries, k=10, n_centroids=16, nprobe=8).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5

@@ -1,0 +1,75 @@
+"""Unit tests for text-analysis expressions: tokenization, quality
+signals, language-ID heuristic, fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_struct,
+    token_count,
+    word_shingles,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([Row(text=text)]).select(expr.alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "  a b   c  ", token_count(F.col("text"))) == 3
+    assert _one(spark, "single", token_count(F.col("text"))) == 1
+
+
+def test_word_shingles(spark):
+    got = _one(spark, "a b c d", word_shingles(F.col("text"), 3))
+    assert got == ["a b c", "b c d"]
+    # short doc: one truncated shingle, never empty
+    assert _one(spark, "a b", word_shingles(F.col("text"), 3)) == ["a b"]
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "ab,.", punct_ratio(F.col("text"))) == pytest.approx(0.5)
+    assert _one(spark, "abcd", punct_ratio(F.col("text"))) == pytest.approx(0.0)
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat is on the mat", lang_id(F.col("text"))) == "en"
+    assert _one(spark, "der hund und die katze ist", lang_id(F.col("text"))) == "de"
+    assert _one(spark, "le chat et la souris est", lang_id(F.col("text"))) == "fr"
+    assert _one(spark, "xyzzy plugh", lang_id(F.col("text"))) == "und"
+
+
+def test_quality_struct_signals(spark):
+    text = "the cat sat."  # 3 tokens, 12 chars, 1 punct
+    row = (
+        spark.createDataFrame([Row(text=text)])
+        .select(*[c.alias(n) for n, c in quality_struct(F.col("text")).items()])
+        .first()
+    )
+    assert row["n_chars_actual"] == 12
+    assert row["n_tokens"] == 3
+    assert row["punct_ratio"] == pytest.approx(1 / 12)
+    assert row["stopword_ratio"] == pytest.approx(1 / 3)
+    assert row["uniq_token_ratio"] == pytest.approx(1.0)
+
+
+def test_doc_fingerprint_collision_behavior(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="identical document text body here"),
+            Row(doc_id=2, text="identical document text body here"),
+            Row(doc_id=3, text="a thoroughly different piece of writing"),
+        ]
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
