@@ -1,0 +1,97 @@
+"""Event-time window queries over ``events`` — the batch face of the
+unified streaming transforms (``streaming.windows``), each with a DuckDB
+oracle twin.
+
+The identical functions run under ``readStream`` with watermarks in
+``tests/test_streaming.py``; registering their batch execution here gives
+the driver a value-level correctness check on the window semantics
+(tumbling bucketing, sliding replication, session gap merging).
+
+Oracle notes: Spark aligns window starts to the epoch in multiples of the
+slide — so does DuckDB ``time_bucket``; session windows are replayed in
+SQL as gaps-and-islands with the same [start, last+gap) semantics
+(boundary: a gap of exactly ``gap`` starts a NEW session, hence ``>=``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.sources.readers import read_table
+from datamodel_clinicaldata_spark.streaming.windows import (
+    session_windows,
+    sliding_event_avg,
+    tumbling_event_counts,
+)
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type: count + value sum."""
+    return tumbling_event_counts(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_avg",
+    """
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: each event lands in 2 windows
+    (the oracle replicates rows against both covering window starts).
+    ``avg_value`` is excluded from the hashed projection: the input values
+    have 2 decimals, so sum/count lands on exact 4-dp half-ties (e.g.
+    473.47/8) where JVM shortest-repr HALF_UP and DuckDB binary rounding
+    legitimately disagree — count+sum pin the window semantics; the
+    average is a derived quotient."""
+    return sliding_event_avg(read_table(spark, sf_dir, "events")).drop("avg_value")
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 6 HOUR AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour-gap session windows (F.session_window) vs the SQL
+    gaps-and-islands replay."""
+    return session_windows(read_table(spark, sf_dir, "events"))

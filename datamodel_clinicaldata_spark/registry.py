@@ -39,4 +39,5 @@ from datamodel_clinicaldata_spark import queries_clinical  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_dedup  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_relational  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_similarity  # noqa: E402,F401
+from datamodel_clinicaldata_spark import queries_streaming  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_text  # noqa: E402,F401

@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator — ``applyInPandasWithState``.
+
+The one place the engine's streaming surface needs per-group imperative
+state that windowed aggregation can't express: a per-user *running*
+profile (event count, cumulative value, exponentially-weighted moving
+average of ``value``) that updates per micro-batch and survives between
+batches in the state store. This is the pattern slot for "custom stateful
+operators" (SURVEY.md §7.6); on a cluster the state lives in the
+checkpointed state store, partitioned by the group key — no driver state.
+
+Arrow-batched (pandas) transfer — the Python hop happens once per group
+per micro-batch, not per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_ALPHA = 0.1
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this micro-batch's rows for one user into the running state and
+    emit the updated profile. Rows are EWMA-folded in ``ts`` order so the
+    result is deterministic regardless of Arrow batch boundaries."""
+    if state.exists:
+        n, total, ewma = state.get
+    else:
+        n, total, ewma = 0, 0.0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        for v in pdf["value"]:
+            ewma = float(v) if ewma is None else EWMA_ALPHA * float(v) + (1 - EWMA_ALPHA) * ewma
+    state.update((n, total, ewma))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "ewma": [ewma],
+        }
+    )
+
+
+def running_user_profile(events: DataFrame) -> DataFrame:
+    """Streaming per-user running profile. ``events`` must be a streaming
+    DataFrame with (user_id, ts, value); output emits one row per user per
+    micro-batch with the post-batch state (update mode)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,139 @@
+"""Event-time window operators — Structured Streaming's unified model.
+
+Every transform here is written against the *unbounded-table* semantics:
+the same function runs on a batch ``DataFrame`` (driver oracle checks,
+``queries_streaming``) and on a ``readStream`` DataFrame (watermarked
+incremental execution, ``tests/test_streaming.py``). That is the Spark-first
+translation of the reference's batch-only event table (``weights`` is
+morally an append stream of timestamped weigh-ins — SURVEY.md §2.7): one
+declaration, two execution modes.
+
+Scale notes:
+- Tumbling/sliding aggregation is a partial-agg + single shuffle on
+  (window, keys) — map-side combine keeps the shuffle proportional to the
+  number of open windows, not events.
+- ``session_window`` merges in the state store keyed by (user, session);
+  the watermark bounds state size — without it a 100 TB stream would
+  accumulate state forever.
+- Sliding windows replicate each row ``window/slide`` times *logically*;
+  Spark expands them at the aggregation input, so slide ratios should stay
+  small (ours is 2×).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet — the streaming twin of
+    ``sources.readers.read_table(..., 'events')``. Streaming sources need
+    an explicit schema; ts arrives as nanos-long (legacy.parquet.nanosAsLong)
+    and is converted to a µs timestamp exactly like the batch reader."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Late-data bound: batch frames pass through unchanged (watermarks are
+    a streaming-state concept); streaming frames get state eviction +
+    late-row drop beyond ``delay``."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def tumbling_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window counts + value sum per key. One shuffle on
+    (window, keys); partial aggregation map-side."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) window average: each event lands in width/slide
+    windows. The average is rounded from the RAW sum (never from the
+    already-rounded total: a 4-dp total divided by a small count lands
+    exactly on half-ties — 409.53/8 = 51.19125 — where JVM shortest-repr
+    HALF_UP and DuckDB binary rounding disagree)."""
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+            F.round(F.sum(value_col) / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "6 hours",
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user session windows: events closer than ``gap`` merge into one
+    session; the session ends ``gap`` after its last event
+    (``F.session_window`` semantics — the batch SQL twin reproduces them
+    with gaps-and-islands: lag → boundary flag → running sum → group)."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming execution tests: the unified window transforms
+run under ``readStream`` (memory sink, availableNow trigger) and must
+produce the same results as their batch execution; the stateful
+``applyInPandasWithState`` operator maintains per-user running state
+across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.sources.readers import read_table
+from datamodel_clinicaldata_spark.streaming.stateful import (
+    EWMA_ALPHA,
+    running_user_profile,
+)
+from datamodel_clinicaldata_spark.streaming.windows import (
+    session_windows,
+    stream_events,
+    tumbling_event_counts,
+    with_watermark,
+)
+
+
+def _run_stream(df, name, tmp_path, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(str(tmp_path), name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _norm(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, tmp_path):
+    streaming = tumbling_event_counts(with_watermark(stream_events(spark, sf_dir)))
+    _run_stream(streaming, "tumbling_counts", tmp_path, "complete")
+    got = spark.sql("SELECT * FROM tumbling_counts")
+    want = tumbling_event_counts(read_table(spark, sf_dir, "events"))
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, tmp_path):
+    streaming = session_windows(with_watermark(stream_events(spark, sf_dir)))
+    _run_stream(streaming, "session_counts", tmp_path, "complete")
+    got = spark.sql("SELECT * FROM session_counts")
+    want = session_windows(read_table(spark, sf_dir, "events"))
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_watermark_is_applied(spark, sf_dir):
+    wm = with_watermark(stream_events(spark, sf_dir), delay="1 hour")
+    assert wm.isStreaming
+    assert "watermark" in wm._jdf.queryExecution().analyzed().toString().lower()
+    # batch frames pass through untouched
+    batch = read_table(spark, sf_dir, "events")
+    assert with_watermark(batch) is batch
+
+
+def test_running_user_profile_state(spark, sf_dir, tmp_path):
+    """Stateful per-user profile: final counts/totals must equal the batch
+    aggregate; EWMA must equal a pandas replay in ts order."""
+    stream = running_user_profile(stream_events(spark, sf_dir))
+    _run_stream(stream, "user_profiles", tmp_path, "update")
+    # update mode can emit a user several times (once per micro-batch);
+    # the LAST emission per user carries the final state.
+    got = (
+        spark.sql("SELECT * FROM user_profiles")
+        .toPandas()
+        .groupby("user_id")
+        .last()
+    )
+    events = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+    )
+    want = events.groupby("user_id").agg(n=("value", "size"), total=("value", "sum"))
+    assert len(got) == len(want)
+    merged = got.join(want)
+    assert (merged["n_events"] == merged["n"]).all()
+    assert merged["total_value"].values == pytest.approx(merged["total"].values)
+
+    # EWMA spot-check on the 3 busiest users
+    for uid in want.sort_values("n", ascending=False).head(3).index:
+        vals = events[events.user_id == uid]["value"].tolist()
+        ewma = vals[0]
+        for v in vals[1:]:
+            ewma = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
+        assert got.loc[uid, "ewma"] == pytest.approx(ewma)
