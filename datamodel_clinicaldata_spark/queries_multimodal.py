@@ -1,0 +1,112 @@
+"""Multimodal-column queries + DuckDB oracles.
+
+The media table is derived deterministically from ``documents`` (ASCII
+text re-encoded as the binary payload — verified byte == char code), so
+every byte-level feature has an exact SQL twin over the text column:
+the mapInPandas plumbing (schema, Arrow batching, explode cardinality)
+is what's actually under test, with values checked to integer exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.operators.multimodal import (
+    audio_rms_windows,
+    byte_histogram,
+    frame_sample,
+    media_from_documents,
+)
+from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_from_documents(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_ingest",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           length(text) AS n_bytes,
+           md5(text) AS content_md5,
+           length(text) % 640 AS meta_width,
+           length(text) % 480 AS meta_height,
+           length(text) * 10 AS meta_duration_ms
+    FROM documents
+    """,
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary + typed-metadata ingest: blob length, digest, meta fields."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "kind",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.col("media_meta.width").cast("long").alias("meta_width"),
+        F.col("media_meta.height").cast("long").alias("meta_height"),
+        F.col("media_meta.duration_ms").cast("long").alias("meta_duration_ms"),
+    )
+
+
+@register(
+    "multimodal_byte_histogram",
+    """
+    WITH bytes AS (
+      SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           ord(substr(text, CAST(i AS INTEGER), 1)) // 4 AS bin,
+           count(*) AS n
+    FROM bytes
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bin byte histogram per media blob (image-feature stand-in)."""
+    return byte_histogram(_media(spark, sf_dir), bins=64)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           i AS frame_idx,
+           md5(substr(text, CAST(i * 128 + 1 AS INTEGER), 64)) AS frame_md5,
+           length(substr(text, CAST(i * 128 + 1 AS INTEGER), 64)) AS frame_len
+    FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+    WHERE i * 128 < length(text)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: 64-byte frame every 128 bytes, ≤8."""
+    return frame_sample(_media(spark, sf_dir), frame_bytes=64, stride=128, max_frames=8)
+
+
+@register(
+    "multimodal_audio_rms",
+    """
+    WITH samples AS (
+      SELECT doc_id,
+             unnest(range(1, length(text) + 1)) AS i,
+             text
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           (i - 1) // 256 AS window_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(ord(substr(text, CAST(i AS INTEGER), 1))
+                    * ord(substr(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS sum_sq
+    FROM samples
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed energy: 256-sample windows, exact integer
+    sum-of-squares (RMS = sqrt(sum_sq/n) derivable)."""
+    return audio_rms_windows(_media(spark, sf_dir), window=256)

@@ -37,6 +37,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Import modules for their registration side effects.
 from datamodel_clinicaldata_spark import queries_clinical  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_dedup  # noqa: E402,F401
+from datamodel_clinicaldata_spark import queries_multimodal  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_relational  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_similarity  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_streaming  # noqa: E402,F401
