@@ -34,13 +34,25 @@ def token_count(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-token shingles joined with single spaces — the unit for n-gram
     Jaccard / MinHash. Array expression, no explode until the caller needs
-    the inverted index."""
+    the inverted index.
+
+    Built as a zip_with chain over k shifted views of the token array
+    (``zip(toks, toks[2:], toks[3:], ...)``), NOT as
+    ``transform(sequence(1, n-k+1), i -> slice(toks, i, k))``: in that
+    shape ``toks`` sits inside the lambda body, and higher-order-function
+    bodies re-evaluate embedded expressions per element — the regex split
+    would run once per shingle POSITION (~n× per row; measured 10× slower
+    at sf0.1). Here every ``toks`` occurrence is an array-argument
+    evaluated once per row. ``concat_ws`` skips the nulls that zip_with
+    pads onto the shorter shifted views, which reproduces the truncated
+    final shingle for docs shorter than k tokens."""
     toks = tokens(text)
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    joined = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        joined = F.zip_with(joined, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(joined, 1, F.greatest(n - (k - 1), F.lit(1)))
 
 
 def char_shingles(text: Column, k: int = 12) -> Column:

@@ -52,33 +52,81 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
-    left_id: str,
     direction: str = "backward",
+    how: str = "inner",
 ) -> DataFrame:
     """As-of join: for each left row, the single most recent right row with
-    ``right_ts <= left_ts`` (backward; forward = earliest ``>=``).
+    ``right_ts <= left_ts`` (backward; forward = earliest ``>=``),
+    inclusive. Ties on ``right_ts`` break deterministically toward the
+    LARGEST ``right_cols[0]``. ``how='inner'`` drops unmatched left rows;
+    ``'left'`` keeps them with nulls.
 
-    Implementation: equi-join on the key, temporal filter, then keep the
-    closest match per left row via ``row_number``. ``left_id`` must uniquely
-    identify left rows. Ties on ``right_ts`` break deterministically on the
-    first of ``right_cols`` (descending) so results are stable.
+    Implementation — union + ordered window (the merge-join shape), NOT
+    equi-join + temporal filter + row_number dedup: the join form
+    materializes every (left row × all earlier right rows) pair before
+    discarding all but one — fan-out × |L| rows through two shuffles. The
+    union form shuffles exactly |L| + |R| rows once on the key, sorts
+    within partitions by (ts, side), and carries the latest right-row
+    struct forward with ``last(..., ignoreNulls)`` — per-row O(1), no
+    intermediate blow-up, the shape that survives 100 TB.
     """
-    if direction == "backward":
-        cond = F.col(right_ts) <= F.col(left_ts)
-        order = [F.col(right_ts).desc()]
-    elif direction == "forward":
-        cond = F.col(right_ts) >= F.col(left_ts)
-        order = [F.col(right_ts).asc()]
-    else:
+    if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    order += [F.col(c).desc() for c in right_cols[:1]]
+    backward = direction == "backward"
 
-    joined = left.join(
-        right, (F.col(left_key) == F.col(right_key)) & cond, "inner"
+    key_type = left.schema[left_key].dataType
+    ts_type = left.schema[left_ts].dataType
+    out_right = list(dict.fromkeys([*right_cols, right_ts]))
+    rv = F.struct(
+        *[
+            (F.col(right_ts).cast(ts_type) if c == right_ts else F.col(c)).alias(c)
+            for c in out_right
+        ]
     )
-    w = Window.partitionBy(left_id).orderBy(*order)
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", right_key)
+    rsel = right.select(
+        F.col(right_key).cast(key_type).alias(left_key),
+        F.col(right_ts).cast(ts_type).alias("__ats"),
+        rv.alias("__rv"),
+        # Backward: right rows sort BEFORE the left row at equal ts (<= is
+        # inclusive). Forward: after.
+        F.lit(0 if backward else 2).alias("__side"),
     )
+    rv_type = rsel.schema["__rv"].dataType
+    lsel = left.select(
+        "*",
+        F.col(left_ts).alias("__ats"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+        F.lit(1).alias("__side"),
+    )
+    u = lsel.unionByName(rsel, allowMissingColumns=True)
+
+    # Tie order among same-ts right rows: ascending on right_cols[0] so the
+    # row the frame edge picks (last for backward / first for forward) is
+    # the max — matching the row_number() DESC convention.
+    tiebreak = (
+        F.col("__rv")[right_cols[0]].asc_nulls_first()
+        if backward
+        else F.col("__rv")[right_cols[0]].desc_nulls_last()
+    )
+    w = Window.partitionBy(left_key).orderBy(
+        F.col("__ats").asc_nulls_last(), F.col("__side").asc(), tiebreak
+    )
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__rv", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__rv", ignorenulls=True).over(w)
+
+    matched = (
+        u.withColumn("__pick", pick)
+        .filter(F.col("__side") == 1)
+        .drop("__ats", "__rv", "__side")
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__pick").isNotNull())
+    out = matched.select(
+        *[c for c in left.columns],
+        *[F.col("__pick")[c].alias(c) for c in out_right],
+    )
+    return out

@@ -33,7 +33,17 @@ def cosine_topk_bruteforce(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k per query. Ties break on ascending corpus id so
-    results are deterministic across engines."""
+    results are deterministic across engines.
+
+    Two-phase top-k: a single ``Window.partitionBy(query_id)`` pulls every
+    scored corpus row for one query through ONE task — with a handful of
+    queries at 100 TB that is a serial sort of the whole corpus. Phase 1
+    ranks within (query, input-partition) — ``spark_partition_id()`` is
+    evaluated on the scan-side partitions, so the sort parallelism is
+    n_queries × n_partitions — and keeps k rows per group; phase 2 ranks
+    only the surviving ≤ k·n_partitions rows per query. Same shuffle
+    volume on phase 1 (inherent to window ranking), but no serial-sort
+    bottleneck and a negligible phase-2."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
@@ -42,12 +52,15 @@ def cosine_topk_bruteforce(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
+    order = [F.col("cos_sim").desc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, F.spark_partition_id()).orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("__local_rank", F.row_number().over(w_local))
+        .filter(F.col("__local_rank") <= k)
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
         .filter(F.col("rank") <= k)
+        .drop("__local_rank")
     )
 
 

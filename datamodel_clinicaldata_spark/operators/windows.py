@@ -194,15 +194,47 @@ def with_cohort_metrics(
         raise ValueError(f"cohort must be one of {COHORT_CHOICES}, got {cohort!r}")
 
     df = df.withColumns({"month": month_bucket(), "week": week_bucket()})
+
+    # ONE shuffle for the whole metric stage: hash-partition by UID
+    # explicitly. Every window partitions by UID-plus-suffix keys, and
+    # HashPartitioning(UID) satisfies ClusteredDistribution(UID, ...) —
+    # so EnsureRequirements inserts no further exchange for any window,
+    # and the final full-row distinct (whose keys include UID) is also
+    # shuffle-free. Left to its own devices the planner partitions on the
+    # FIRST window's full key set (UID, Trt, Start, cohort), which does
+    # NOT satisfy the patient window's UID clustering → a second
+    # full-data shuffle. At 100 TB, one wide-row shuffle saved per query.
+    df = df.repartition(F.col("UID"))
+
+    # Three explicit window stages in dependency order so the physical plan
+    # needs only THREE in-partition sorts (cohort → treatment+patient →
+    # cohort) instead of four: the patient and treatment specs share one
+    # byte-identical sort (see sigma_cols), so they must be adjacent —
+    # evaluating PSW first (dict order) used to wedge a cohort sort
+    # between them. Materializing __first_w also evaluates the cohort
+    # nth_value once instead of twice inside the wgt_diff expression.
+    df = df.withColumn("__first_w", cohort_first_weight(cohort))
     tew = treatment_ending_weight()
     tsw = treatment_starting_weight()
-    metrics = {
-        "WIR": weigh_in_rate(cohort),
+    stage2 = {
         "PSW": patient_starting_weight(),
         "TSW": tsw,
         "treatment_TBWL": tew - tsw,
-        "patient_TBWL": patient_tbwl(cohort),
+        "__wgt_diff": F.col("__first_w") - F.lead("__first_w").over(w_treatment()),
     }
     if keep_tew:
-        metrics["TEW"] = tew
-    return df.withColumns(metrics)
+        stage2["TEW"] = tew
+    df = df.withColumns(stage2)
+    df = df.withColumns(
+        {
+            "WIR": weigh_in_rate(cohort),
+            "patient_TBWL": F.max("__wgt_diff").over(_full(w_cohort(cohort))),
+        }
+    )
+    out_cols = [c for c in df.columns if not c.startswith("__")]
+    # Reference column order: metrics appended as WIR, PSW, TSW,
+    # treatment_TBWL, patient_TBWL (+ TEW variant).
+    ordered = [c for c in out_cols if c not in ("WIR", "patient_TBWL")]
+    insert_at = ordered.index("PSW")
+    ordered = ordered[:insert_at] + ["WIR"] + ordered[insert_at:] + ["patient_TBWL"]
+    return df.select(*ordered)

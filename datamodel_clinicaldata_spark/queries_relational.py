@@ -215,7 +215,6 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="o_orderdate",
         right_cols=["o_orderkey"],
-        left_id="event_id",
     ).select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate")
 
 

@@ -48,6 +48,17 @@ def get_spark(
         # which the vectorized reader rejects; read as long + convert in
         # sources.readers (Spark timestamps are µs precision anyway).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The engine stages multi-window pipelines in dependency order so
+        # windows with byte-identical sort requirements sit adjacent and
+        # share ONE in-partition sort (operators/windows.py). TransposeWindow
+        # re-sinks any window whose partition keys are a subset of its
+        # neighbor's (patient ⊂ treatment ⊂ cohort), wedging a cohort sort
+        # between the patient/treatment pair → +1 full-data sort pass per
+        # query (measured ~35% on the flagship pipeline at sf0.1).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.TransposeWindow",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — pin the scale-critical plan shapes
+so a refactor that silently de-optimizes (extra shuffle, lost broadcast,
+lost pushdown, unpartitioned window) fails CI, not a cluster run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.operators.similarity import cosine_topk_bruteforce
+from datamodel_clinicaldata_spark.pipeline import flagship_query
+from datamodel_clinicaldata_spark.plans.audit import (
+    assert_no_unpartitioned_window,
+    audit,
+)
+from datamodel_clinicaldata_spark.registry import QUERIES
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    """The flagship pipeline: both dimension joins broadcast, ONE fact
+    exchange (on UID) feeds all window operators, exactly 3 window sorts
+    (cohort → treatment+patient shared → cohort), no sort-merge joins."""
+    a = audit(flagship_query(spark, sf_dir))
+    assert a.broadcast_hash_joins == 2
+    assert a.sort_merge_joins == 0
+    assert a.windows == 4
+    # exchanges: 1 for the treatments groupBy + 1 fact repartition on UID
+    assert a.exchanges == 2
+    # sorts: 2 for the treatments SortAggregate + 3 window sorts — the
+    # 4th window sort is eliminated by dependency-staged window order
+    # (operators/windows.py) + TransposeWindow exclusion (session.py)
+    assert a.sorts == 5
+    assert a.unpartitioned_windows == 0
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    """Filters and projections must reach the parquet scan."""
+    df = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    scan = audit(df).scan_for("lineitem.parquet")
+    assert any("l_quantity" in f for f in scan["pushed_filters"])
+    assert "l_orderkey" in scan["read_schema"]
+    assert "l_comment" not in scan["read_schema"]
+
+
+def test_topk_two_phase_no_serial_sort(spark, sf_dir):
+    """Brute-force top-k must rank per (query, input-partition) first —
+    never a single unpartitioned/per-query-only window over the corpus."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = cosine_topk_bruteforce(e, q, k=5)
+    assert_no_unpartitioned_window(df)
+    a = audit(df)
+    assert a.windows == 2  # local rank + global rank
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "clinical_cohort_week",
+        "agg_revenue_by_nation",
+        "join_asof_backward",
+        "stream_tumbling_counts",
+        "similarity_topk_bruteforce",
+        "dedup_minhash_lsh",
+    ],
+)
+def test_no_unpartitioned_windows_across_surface(spark, sf_dir, name):
+    assert_no_unpartitioned_window(QUERIES[name](spark, sf_dir))
