@@ -46,25 +46,50 @@ def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFram
     )
 
 
-def _shingle_index(
+def _pairs_from_postings(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(id_a, id_b) candidate pairs from grouped posting lists — emitted
+    INSIDE the aggregation row via nested array transforms (id_a < id_b by
+    sorting the list first), then exploded and deduped.
+
+    The SMALL-bucket path (MinHash bands: buckets ≈ near-dup groups, a
+    handful of ids): postings shuffle ONCE (collect_list) and pair
+    emission is a projection — no self-join shuffle. For HEAVY buckets
+    (exact shingle postings, simhash bands over clustered corpora) the
+    interpreted per-pair struct work loses to a JVM hash self-join —
+    measured at sf0.1 — so those operators join instead."""
+    ids = F.array_sort(F.col(ids_col))
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def _shingle_postings(
     df: DataFrame, content_col: str, id_col: str, k: int, max_postings: int
 ) -> DataFrame:
-    """Inverted index: (shingle, id), hot shingles dropped.
+    """Inverted-index posting lists: (shingle, ids), hot shingles dropped.
 
     ``max_postings`` caps a shingle's posting list: a shingle occurring in
     more than that many docs generates quadratic candidate pairs and near
     zero signal (it's a stop-shingle) — dropping it bounds both skew and
-    output size. Done with a window count, one shuffle on shingle."""
-    from pyspark.sql import Window
-
+    output size. Singleton shingles are dropped too (no pair to emit)."""
     idx = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(content_col), k))).alias("shingle")
     )
-    w = Window.partitionBy("shingle")
     return (
-        idx.withColumn("__df", F.count(F.lit(1)).over(w))
-        .filter(F.col("__df") <= max_postings)
-        .drop("__df")
+        idx.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_postings))
     )
 
 
@@ -80,35 +105,50 @@ def ngram_jaccard_pairs(
     least one (non-stop) shingle. Output: (id_a, id_b, jaccard), id_a <
     id_b, jaccard ≥ threshold.
 
-    Jaccard is computed on distinct shingle sets via
-    ``array_intersect``/``array_union`` (set semantics) after the
-    inverted-index join proposes candidates — exact, so no false
-    positives; false negatives only for pairs whose every shared shingle
-    was stop-capped (at the default cap that implies ubiquitous shingles
-    only)."""
-    docs = df.select(
+    Jaccard comes from co-occurrence COUNTING, not array intersection:
+    the inverted-index self-join yields one row per shared shingle per
+    pair, so ``groupBy(pair).count()`` IS |A∩B| (sets — postings are
+    per-doc distinct), and J = c / (|A|+|B|−c) joining in the per-doc set
+    sizes (a 2-column narrow table; AQE broadcasts it while it fits).
+    This replaces the pair-distinct shuffle + two wide joins on the full
+    shingle arrays + per-pair ``array_intersect`` with one count
+    aggregate and two narrow joins.
+
+    Exact while nothing is stop-capped; with a binding ``max_postings``
+    cap both c and the candidate set ignore capped (ubiquitous) shingles,
+    while sizes still count them — Jaccard is then a lower bound."""
+    sizes = df.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(content_col), k)).alias("shingles"),
+        F.size(F.array_distinct(word_shingles(F.col(content_col), k))).alias("n"),
     )
-    idx = _shingle_index(df, content_col, id_col, k, max_postings)
+    # Heavy posting lists (shared-vocabulary shingles) pair off via a JVM
+    # hash self-join — measured faster than in-array pair emission once
+    # buckets grow past a few dozen ids (interpreted per-pair struct work
+    # vs ns/row join probes). The capped postings re-explode into a
+    # compact index; both join sides are the identical subplan, so Spark
+    # reuses one exchange (ReusedExchange) for the self-join.
+    idx = _shingle_postings(df, content_col, id_col, k, max_postings).select(
+        "shingle", F.explode("ids").alias(id_col)
+    )
     a, b = idx.alias("a"), idx.alias("b")
-    cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    da = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    db = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("__nb"))
+    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+    return (
+        pair_counts.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -189,16 +229,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    cand = _pairs_from_postings(
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
     da = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -274,6 +308,11 @@ def simhash_band_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sh", "bb.band", "bb.bv")
+    # Similar-document clusters make simhash band buckets HEAVY (hundreds
+    # of ids), so candidates pair off via the JVM hash self-join (faster
+    # than in-array emission for big buckets — see ngram_jaccard_pairs);
+    # the Hamming bound lives in the join condition so non-near pairs die
+    # before the dedup shuffle.
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     cond = (
@@ -282,14 +321,9 @@ def simhash_band_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
     if max_hamming is not None:
-        # Filter in the join condition so non-near pairs never reach the
-        # dedup shuffle (they are the overwhelming majority of candidates).
         cond = cond & (hamming <= max_hamming)
     return (
-        a.join(
-            b,
-            cond,
-        )
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -20,6 +20,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: one hot key otherwise lands every matching
+    row in a single reducer. The left (large, skewed) side gets a random
+    salt in [0, salt); the right side is replicated ``salt`` times with
+    every salt value; the join key becomes (key, salt) so a hot key's rows
+    spread over ``salt`` reducers.
+
+    AQE's skew-join splitting (enabled in ``session.get_spark``) handles
+    most skew at runtime by splitting oversized partitions; explicit
+    salting remains the tool when one KEY (not one partition) is hot —
+    AQE cannot split a single key's hash bucket across reducers for a
+    sort-merge join of two large tables, salting can.
+
+    The salt uses ``pmod(xxhash64(all left columns...), salt)`` via a
+    deterministic row hash rather than ``rand()`` so results are
+    reproducible; replication uses ``explode(sequence)`` — no Python.
+    """
+    from pyspark.sql import functions as _F
+
+    lsalted = left.withColumn(
+        "__salt", _F.pmod(_F.xxhash64(*[_F.col(c) for c in left.columns]), _F.lit(salt))
+    )
+    rrep = right.withColumn(
+        "__salt", _F.explode(_F.sequence(_F.lit(0), _F.lit(salt - 1)))
+    )
+    out = lsalted.join(
+        rrep,
+        (lsalted[left_key] == rrep[right_key]) & (lsalted["__salt"] == rrep["__salt"]),
+        how,
+    )
+    return out.drop(lsalted["__salt"]).drop(rrep["__salt"])
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
     """EXISTS: left rows with ≥1 match; left columns only, no fan-out."""
     return left.join(right, on, "left_semi")

@@ -498,3 +498,137 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / pivot / quantiles / SQL surface (extension §7.6)
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_union_intersect_except",
+    """
+    WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT k, 'union' AS op FROM (SELECT k FROM a UNION SELECT k FROM b)
+    UNION ALL
+    SELECT k, 'intersect' AS op FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT k, 'except' AS op FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    """,
+)
+def set_ops_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct set semantics) in one result,
+    tagged by op. Each set op is a hash aggregate/join on the key — the
+    three branches share the two base scans (Spark reuses the exchange)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    tag = lambda df, op: df.select("k", F.lit(op).alias("op"))  # noqa: E731
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.exceptAll(b.distinct()).distinct(), "except"))
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user count matrix over event types. The
+    explicit value list keeps it a single-pass groupBy (no extra distinct
+    scan to discover pivot values); absent combinations are 0 like the
+    SQL FILTER form."""
+    e = read_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+        .select("user_id", *[F.col(k).cast("long").alias(k) for k in kinds])
+    )
+
+
+@register(
+    "quantiles_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). The exact form needs the
+    group's values collected per partition — fine at dim-key cardinality;
+    the sketch-based scale path is ``approx_percentile`` (not
+    oracle-comparable across engines by construction)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", p), 4).alias(name)
+            for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+"""
+
+
+@register("sql_shipping_priority", _SQL_SHIPPING_PRIORITY)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface: the engine registers the testdata as temp views
+    and executes ANSI text directly (TPC-H Q3 shape) — the identical
+    string runs on DuckDB as its own oracle. Catalyst gets the same
+    logical plan as the DataFrame API (broadcast dims, one fact shuffle)."""
+    from datamodel_clinicaldata_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SHIPPING_PRIORITY)
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column: JSON path extraction + typed filter over the
+    events ``props`` payload (``get_json_object`` stays JVM-side; at scale
+    prefer parsing ONCE with ``from_json`` into a struct column when
+    several fields are read)."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.select("event_id", k.alias("prop_k"), "event_type").filter(
+        F.col("prop_k") > 50
+    )

@@ -1,0 +1,58 @@
+"""Sinks — the write side of the engine (reference surface S3/S4 plus the
+storage layouts a 100 TB deployment actually needs).
+
+The reference's only "sinks" are stdout and a returned frame
+(``pandas_DataModel.py:156-161``); at scale the result of a pipeline is a
+TABLE LAYOUT decision:
+
+- ``write_partitioned``: hive-style directory partitioning on
+  low-cardinality keys (date / clinic) → partition PRUNING at read time:
+  a filter on the partition key skips whole directories, the dominant
+  I/O saver for time-range queries.
+- ``write_bucketed``: hash-bucketed + sorted table on the join key →
+  co-located, shuffle-free joins between tables bucketed the same way
+  (verified by plan test: the bucketed join has ZERO exchanges).
+- ``write_parquet`` / ``write_csv``: plain sinks with explicit mode.
+
+Bucketing requires ``saveAsTable`` (bucket metadata lives in the
+catalog); the session uses a local warehouse dir for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Directory-partitioned parquet. Partition columns should be
+    low-cardinality (a date bucket, a clinic id) — one directory per
+    value; high-cardinality keys belong in bucketing instead."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    num_buckets: int = 16,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (optionally sorted) managed table. Two tables
+    bucketed by the same key with the same bucket count join WITHOUT a
+    shuffle — the scan's output partitioning already satisfies the join's
+    clustering requirement."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the metric core — SURVEY.md §5.2:
+random weigh-in histories must satisfy the metric invariants that hold by
+construction in the reference semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from datamodel_clinicaldata_spark.operators.windows import with_cohort_metrics
+
+BASE = datetime(2023, 1, 1)
+
+# One weigh-in: (day offset, has UpdatedDate, weight). Offsets may collide
+# and go negative (pre-treatment); weights may tie — exactly the cases the
+# deterministic σ tiebreaker exists for.
+weigh_in = st.tuples(
+    st.integers(min_value=-10, max_value=40),
+    st.booleans(),
+    st.integers(min_value=50, max_value=120),
+)
+
+histories = st.dictionaries(
+    st.sampled_from(["u1", "u2", "u3"]),
+    st.lists(weigh_in, min_size=1, max_size=12),
+    min_size=1,
+    max_size=3,
+)
+
+
+_SCHEMA = (
+    "UID string, TreatmentTypeID int, Tmt_StartDate timestamp, "
+    "Wts_CreatedDate timestamp, Wts_UpdatedDate timestamp, Weight double, "
+    "Age int, Gender string, ClinicID int"
+)
+
+
+def _run(spark, hist, cohort="week"):
+    rows = [
+        Row(
+            UID=uid,
+            TreatmentTypeID=1,
+            Tmt_StartDate=BASE,
+            Wts_CreatedDate=BASE + timedelta(days=d),
+            Wts_UpdatedDate=(BASE + timedelta(days=d)) if upd else None,
+            Weight=float(w),
+            Age=30,
+            Gender="Male",
+            ClinicID=5066,
+        )
+        for uid, ws in hist.items()
+        for (d, upd, w) in ws
+    ]
+    return with_cohort_metrics(spark.createDataFrame(rows, _SCHEMA), cohort).collect()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(hist=histories)
+def test_metric_invariants(spark, hist):
+    out = _run(spark, hist)
+    by_uid: dict[str, list] = {}
+    for r in out:
+        by_uid.setdefault(r["UID"], []).append(r)
+
+    for uid, rows in by_uid.items():
+        src = hist[uid]
+        # NB: no plain sorted() here — tuples containing None (null
+        # UpdatedDate) are not orderable; min() below uses an explicit key.
+        sigma = [
+            (BASE + timedelta(days=d), (BASE + timedelta(days=d)) if u else None, float(w))
+            for d, u, w in src
+        ]
+        # metrics are row-count preserving
+        assert len(rows) == len(src)
+        # single treatment → PSW == TSW == weight of the σ-minimal row
+        # (None sorts last on the UpdatedDate key)
+        first = min(
+            sigma,
+            key=lambda t: (t[0], (0, t[1]) if t[1] is not None else (1,), t[2]),
+        )
+        for r in rows:
+            assert r["PSW"] == r["TSW"] == first[2]
+        # treatment_TBWL identical on every row of the episode
+        assert len({r["treatment_TBWL"] for r in rows}) == 1
+        # WIR == per-cohort count of non-null UpdatedDate
+        from collections import Counter
+
+        # Python // floors toward -inf — identical to floor(days/7) for
+        # negative (pre-treatment) offsets, no adjustment needed.
+        want_wir = Counter()
+        for d, u, w in src:
+            if u:
+                want_wir[d // 7] += 1
+        for r in rows:
+            assert r["WIR"] == want_wir[r["week"]]
+        # bucket arithmetic: week = floor(days/7) incl. negatives
+        for r in rows:
+            days = (r["Wts_CreatedDate"] - BASE).days
+            assert r["week"] == days // 7
+        # masking property: patient_TBWL ≥ 0 on multi-row cohorts that
+        # have a next cohort (interior zeros dominate a negative boundary)
+        weeks = Counter(d // 7 for d, _, _ in src)
+        max_week = max(weeks)
+        for r in rows:
+            if weeks[r["week"]] > 1 and r["week"] != max_week:
+                assert r["patient_TBWL"] is not None and r["patient_TBWL"] >= 0
