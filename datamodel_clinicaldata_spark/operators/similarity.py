@@ -130,6 +130,66 @@ def cosine_neardup_pairs(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    seeds: list[list[float]],
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list[list[float]]:
+    """Lloyd iterations over the corpus: assign every vector to its nearest
+    seed (cosine), recompute centroids as per-cluster means, repeat.
+
+    The iterative-algorithm pattern on Spark: each iteration is one
+    aggregate job (assign is a projection against broadcast centroids;
+    the mean is ``zip_with``-summed arrays — partial aggregation
+    map-side), with only n_centroids × dim floats returning to the
+    driver between iterations. No sampling; assignment ties break to the
+    lowest centroid id (results deterministic up to float reduction
+    order in the means). Empty clusters keep their previous centroid."""
+    cents = [list(map(float, s)) for s in seeds]
+    dim = len(cents[0])
+    for _ in range(iters):
+        cent_array = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(x) for x in c]).alias("cvec"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        assigned = corpus.select(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        cent_array,
+                        lambda c: F.struct(
+                            (-cosine(F.col(vec_col), c["cvec"])).alias("negcos"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                1,
+            )[0]["cid"].alias("__cid"),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        # Per-(cluster, dimension) partial sums — posexplode keeps the
+        # combine map-side (shuffle rows ≈ partitions × k × dim), never a
+        # whole cluster's vectors in one reducer row.
+        rows = (
+            assigned.select("__cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("__cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in rows:
+            new_cents[r["__cid"]][r["pos"]] = r["s"] / r["n"]
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -139,6 +199,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF two-stage ANN. Centroids = a deterministic hash-stride corpus
     sample (rows whose xxhash64(id) ≡ 0 mod n/n_centroids, lowest ids
@@ -154,6 +215,10 @@ def ivf_topk(
     Stage 2: per query, pick ``nprobe`` nearest centroids, then exact
     cosine only over those buckets — at scale this prunes
     (1 - nprobe/n_centroids) of the scan.
+
+    ``refine_iters`` > 0 runs that many Lloyd iterations
+    (``kmeans_refine``) on the seeds before assignment — tighter clusters
+    → better recall at the same nprobe.
     """
     n = corpus.count()
     step = max(n // n_centroids, 1)
@@ -163,10 +228,10 @@ def ivf_topk(
         .orderBy(id_col)
         .limit(n_centroids)
     )
-    cent_rows = [
-        {"centroid_id": i, "__cvec": r["__cvec"]}
-        for i, r in enumerate(sampled.collect())
-    ]  # ≤ n_centroids rows — driver-side constant
+    seeds = [r["__cvec"] for r in sampled.collect()]  # ≤ n_centroids vecs
+    if refine_iters > 0:
+        seeds = kmeans_refine(corpus, seeds, vec_col=vec_col, iters=refine_iters)
+    cent_rows = [{"centroid_id": i, "__cvec": v} for i, v in enumerate(seeds)]
     cent_array = F.array(
         *[
             F.struct(F.lit(r["centroid_id"]).alias("cid"), F.array(*[F.lit(float(x)) for x in r["__cvec"]]).alias("cvec"))

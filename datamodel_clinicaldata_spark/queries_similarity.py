@@ -94,10 +94,10 @@ def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ivf_topk")  # rows-only: approximate ANN path
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN, nprobe=4 of 16 centroids (recall vs brute force
-    asserted in tests)."""
+    """IVF two-stage ANN, nprobe=4 of 16 centroids, seeds tightened with
+    one Lloyd iteration (recall vs brute force asserted in tests)."""
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, queries, k=10, n_centroids=16, nprobe=4)
+    return ivf_topk(e, queries, k=10, n_centroids=16, nprobe=4, refine_iters=1)

@@ -95,3 +95,57 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 6-hour-gap session windows (F.session_window) vs the SQL
     gaps-and-islands replay."""
     return session_windows(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rollup_time_cascade",
+    """
+    WITH base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type, value FROM events
+    )
+    SELECT 'hour' AS grain, h AS bucket_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM base GROUP BY h, event_type
+    UNION ALL
+    SELECT 'day', time_bucket(INTERVAL '1 day', h), event_type, count(*), round(sum(value), 4)
+    FROM base GROUP BY time_bucket(INTERVAL '1 day', h), event_type
+    UNION ALL
+    SELECT 'all', TIMESTAMP '1970-01-01', event_type, count(*), round(sum(value), 4)
+    FROM base GROUP BY event_type
+    """,
+)
+def rollup_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (hypertable-style continuous-aggregate
+    cascade) in ONE pass: hour/day/total grains via grouping sets over
+    derived buckets — a single Expand + aggregate instead of three scans.
+    At 100 TB this is the pre-aggregation pattern: coarse grains answer
+    dashboard queries without touching raw events."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events")
+    base = e.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "event_type",
+        "value",
+    )
+    agg = base.groupingSets(
+        [["h", "event_type"], ["d", "event_type"], ["event_type"]],
+        "h", "d", "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    grain = (
+        F.when(F.col("h").isNotNull(), F.lit("hour"))
+        .when(F.col("d").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("all"))
+    )
+    bucket = F.coalesce("h", "d", F.lit("1970-01-01").cast("timestamp"))
+    return agg.select(
+        grain.alias("grain"),
+        bucket.alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -120,3 +120,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-md5 over 16-char shingles (1-perm MinHash)."""
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", doc_fingerprint(F.col("text"), k=16).alias("fingerprint"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (raw tf × ln(N/df), deterministic
+    term tiebreak). Shapes: one explode + two aggregates; the document
+    frequency table is a narrow dim the planner broadcasts back onto the
+    term-frequency fact. ln(N/df) is an IEEE-deterministic double on both
+    engines; round(6) guards the tf multiple."""
+    d = read_table(spark, sf_dir, "documents")
+    from datamodel_clinicaldata_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    n = d.count()
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

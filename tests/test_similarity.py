@@ -78,6 +78,32 @@ def test_neardup_lsh_recall(spark, sf_dir):
     assert len(got & exact) / len(exact) >= 0.7
 
 
+def test_kmeans_refine_shapes_and_recall(spark, sf_dir):
+    """Lloyd refinement keeps centroid count/dim and the refined IVF still
+    clears the recall floor."""
+    from datamodel_clinicaldata_spark.operators.similarity import kmeans_refine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    seeds = [r["embedding"] for r in e.orderBy("vec_id").limit(8).collect()]
+    refined = kmeans_refine(e, seeds, iters=2)
+    assert len(refined) == 8 and all(len(c) == len(seeds[0]) for c in refined)
+    # refinement moved at least one centroid off its seed
+    assert any(tuple(a) != tuple(map(float, b)) for a, b in zip(refined, seeds))
+
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(e, queries, k=10).collect()
+    }
+    refined_ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(e, queries, k=10, n_centroids=16, nprobe=8, refine_iters=1).collect()
+    }
+    assert len(refined_ivf & exact) / len(exact) >= 0.5
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     """IVF with nprobe=8 of 16 centroids must reach ≥50% recall@10 vs the
     brute-force baseline (synthetic embeddings are near-orthogonal, the
