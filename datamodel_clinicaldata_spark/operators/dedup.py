@@ -217,6 +217,14 @@ def minhash_lsh_pairs(
         F.array_distinct(word_shingles(F.col(content_col), k)).alias("shingles"),
         minhash_signature(F.col(content_col), k, num_hashes).alias("sig"),
     )
+    # Three plan branches read this projection (banding + both sides of
+    # the verification join); without a persist each branch re-tokenizes
+    # and re-hashes the whole corpus. MEMORY_AND_DISK: at 100 TB the
+    # shingle+signature projection spills rather than OOMs — the same
+    # role a materialized signature table plays in a production pipeline.
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = docs.select(
         id_col,
         F.explode(
