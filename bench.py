@@ -71,11 +71,13 @@ def main() -> None:
                 pass
 
     # Steady-state measurement (BASELINE.md interpretation): the reference
-    # numbers are warm single-process loops, so each query runs twice at
-    # the target scale and the better run is recorded — run 1 additionally
-    # absorbs file-index listing and AQE's first-execution re-planning.
+    # numbers are warm single-process loops, so each query gets one
+    # UNTIMED run at the target scale (absorbs file-index listing, AQE
+    # first-execution re-planning, codegen compilation) and then the best
+    # of two timed runs is recorded.
     timings: dict[str, float] = {}
     for name in names:
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

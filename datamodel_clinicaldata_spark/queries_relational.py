@@ -632,3 +632,147 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", k.alias("prop_k"), "event_type").filter(
         F.col("prop_k") > 50
     )
+
+
+@register(
+    "window_rolling_24h",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_24h,
+           round(sum(value) OVER w, 4) AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling window: per-user trailing-24h event count and
+    value sum. Spark range frames need a numeric ordering key, so the
+    frame runs over epoch seconds (identical semantics to DuckDB's
+    RANGE INTERVAL frame: inclusive bounds, peers share results)."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_24h"),
+    )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (event_type = 'click')    AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, t_signup, t_click, t_purchase,
+           (t_signup IS NOT NULL AND t_click > t_signup
+            AND t_purchase > t_click) AS converted
+    FROM steps
+    WHERE t_signup IS NOT NULL
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: earliest signup → later click → later purchase per
+    user, one conditional-aggregation pass (no self-joins; NULL step
+    timestamps make `converted` NULL exactly as in the SQL twin)."""
+    e = read_table(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    s = e.groupBy("user_id").agg(
+        step("signup").alias("t_signup"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_purchase"),
+    )
+    return s.filter(F.col("t_signup").isNotNull()).select(
+        "user_id",
+        "t_signup",
+        "t_click",
+        "t_purchase",
+        (
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("converted"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           replace(c_mktsegment, 'A', '_') AS seg_repl
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function bundle (upper/substr/length/regexp_extract/concat/
+    replace) — byte-identical across engines on ASCII data."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.concat_ws("#", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_key"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("seg_repl"),
+    )
+
+
+@register(
+    "null_semantics",
+    """
+    SELECT e.event_id,
+           coalesce(o.o_totalprice, 0.0) AS price_or_zero,
+           nullif(e.event_type, 'error') AS type_or_null,
+           (o.o_orderkey IS NOT DISTINCT FROM NULL) AS no_order,
+           CASE WHEN o.o_totalprice > 200000 THEN 'big'
+                WHEN o.o_totalprice IS NULL THEN 'none'
+                ELSE 'small' END AS bucket
+    FROM events e
+    LEFT JOIN (SELECT o_custkey, min(o_orderkey) AS o_orderkey,
+                      round(min(o_totalprice), 4) AS o_totalprice
+               FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = e.user_id
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic bundle: coalesce, nullif, null-safe equality
+    (<=> / IS NOT DISTINCT FROM), CASE with NULL branches over left-join
+    null rows — the semantics the all-null loginId column (SURVEY §1.2)
+    makes load-bearing."""
+    e = read_table(spark, sf_dir, "events")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.round(F.min("o_totalprice"), 4).alias("o_totalprice"),
+        )
+    )
+    j = e.join(o, o["o_custkey"] == e["user_id"], "left")
+    return j.select(
+        "event_id",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.col("o_orderkey").eqNullSafe(F.lit(None)).alias("no_order"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice").isNull(), "none")
+        .otherwise("small")
+        .alias("bucket"),
+    )
