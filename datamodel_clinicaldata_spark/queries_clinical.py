@@ -20,7 +20,7 @@ _SIGMA_PAT = f"TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, {_S
 _FULL = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
 
 
-def _flagship_oracle(cohort_col: str) -> str:
+def _flagship_oracle(cohort_col: str, extra_where: str = "") -> str:
     """ANSI-SQL twin of ``flagship_query`` for a given cohort column."""
     return f"""
 WITH users AS (
@@ -88,7 +88,7 @@ SELECT DISTINCT
   TEW - TSW AS treatment_TBWL,
   patient_TBWL
 FROM m3
-WHERE Age BETWEEN 15 AND 74
+WHERE Age BETWEEN 15 AND 74{extra_where}
 """
 
 
@@ -101,3 +101,30 @@ def _make(cohort: str):
 
 for _cohort in ("week", "month", "ClinicID"):
     register(f"clinical_cohort_{_cohort}", _flagship_oracle(_cohort))(_make(_cohort))
+
+
+@register(
+    "clinical_cohort_week_filtered",
+    _flagship_oracle("week", " AND Gender = 'BUILDING' AND ClinicID = 5"),
+)
+def clinical_cohort_week_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F3 exercised on the full pipeline: gender ('BUILDING' segment in
+    the stand-in mapping) and clinic filters applied AFTER the window
+    metrics — pinning cross-engine that PSW/WIR/TBWL are computed over
+    the unfiltered population (SURVEY.md §2.3 filter-placement note)."""
+    from datamodel_clinicaldata_spark.pipeline import (
+        clinical_standins_from_testdata,
+        run_cohort_pipeline,
+    )
+
+    users, weights, treatments = clinical_standins_from_testdata(spark, sf_dir)
+    return run_cohort_pipeline(
+        users,
+        weights,
+        treatments,
+        cohort="week",
+        gender="BUILDING",
+        min_age=15,
+        max_age=74,
+        clinic_id=5,
+    )
