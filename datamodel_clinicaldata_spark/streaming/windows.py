@@ -137,3 +137,23 @@ def session_windows(
             "total_value",
         )
     )
+
+
+def dedup_events_stream(
+    df: DataFrame, keys: tuple[str, ...] = ("event_id",), ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop re-deliveries of the same key.
+
+    On a stream, ``dropDuplicatesWithinWatermark`` keeps key state only
+    until the watermark passes — bounded state for unbounded input (plain
+    ``dropDuplicates`` on a stream accumulates every key forever). On a
+    batch frame the same call degenerates to ordinary dropDuplicates
+    semantics. This is the ingestion-side dedup of a training-data
+    pipeline (at-least-once delivery → exactly-once downstream); the
+    content-level dedup family lives in ``operators.dedup``.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, "1 hour").dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))

@@ -101,3 +101,20 @@ def test_running_user_profile_state(spark, sf_dir, tmp_path):
         for v in vals[1:]:
             ewma = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
         assert got.loc[uid, "ewma"] == pytest.approx(ewma)
+
+
+def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    """Re-delivered event_ids are dropped with bounded (watermarked) state;
+    output matches batch per-key dedup."""
+    from datamodel_clinicaldata_spark.streaming.windows import dedup_events_stream
+
+    raw = stream_events(spark, sf_dir)
+    # simulate at-least-once delivery: every event arrives twice
+    doubled = raw.unionByName(raw)
+    deduped = dedup_events_stream(doubled)
+    _run_stream(deduped.select("event_id"), "dedup_rows", tmp_path, "append")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids FROM dedup_rows"
+    ).first()
+    want = read_table(spark, sf_dir, "events").count()
+    assert got["n"] == got["n_ids"] == want
