@@ -91,3 +91,54 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pair at Hamming ≤ 3) + in-join Hamming filter."""
     d = read_table(spark, sf_dir, "documents")
     return simhash_band_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Cluster canonicalization: pairs → transitive-closure components
+# ---------------------------------------------------------------------------
+_CC_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN docs da ON da.doc_id = id_a
+      JOIN docs db ON db.doc_id = id_b
+      WHERE len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= 0.2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS node, w.lbl AS lbl FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node, CAST(min(lbl) AS BIGINT) AS component_id
+    FROM walk GROUP BY node
+    """
+
+
+@register("dedup_cluster_components", _CC_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → keep-groups: exact-Jaccard ≥ 0.2 pairs as the edge
+    list, then iterative min-label connected components (the transitive
+    closure that turns pairwise matches into dedup survivor groups;
+    ``component_id`` = smallest doc_id in the cluster). Oracle replays the
+    closure with a recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges).select("node", "component_id")

@@ -95,3 +95,33 @@ def test_minhash_lsh_on_testdata(spark, sf_dir):
         ).collect()
     }
     assert lsh == exact
+
+
+def test_connected_components_vs_union_find(spark):
+    """Iterative min-label CC equals a driver-side union-find, including a
+    path graph (worst diameter for propagation) and disjoint clusters."""
+    from datamodel_clinicaldata_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (22, 20), (30, 30)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    expected_nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue  # self-loops dropped by symmetrize
+        expected_nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in expected_nodes}
+    assert got == expected
