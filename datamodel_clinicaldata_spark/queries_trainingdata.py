@@ -1,0 +1,257 @@
+"""Training-data curation queries — the operations a 100 TB pretraining
+pipeline layers on top of dedup/similarity/text-quality: repetition
+screens, deterministic sampling, mixture weighting, sequence packing, PII
+redaction. All over the ``documents`` table; every query except the
+greedy packer has an exact DuckDB oracle.
+
+The reference has no analog surface (it is a clinical cohort pipeline);
+these extend the engine per the extension charter (SURVEY.md §7.6,
+BASELINE north star).
+
+Determinism policy: sampling uses an explicit Knuth-multiplicative key
+``(id * 2654435761) % m`` instead of ``rand()`` / ``xxhash64`` — it is
+reproducible, partition-count-independent, AND replayable in ANSI SQL so
+the oracle can verify the exact row set (xxhash64 has no DuckDB twin).
+Products stay ≪ 2⁶³ (ANSI mode: arithmetic overflow throws, it must not
+wrap).
+
+Float policy: ratio-shaped metrics emit integer numerator/denominator
+pairs, never the quotient (quotients of small ints land on exactly-
+representable half-ties where JVM and DuckDB rounding disagree — see
+registry module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.functions.text import tokens, word_shingles
+from datamodel_clinicaldata_spark.operators.packing import (
+    greedy_pack_bins,
+    quota_chunk_bins,
+)
+from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 * phi)
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality (Gopher-style screens: most-repeated unigram/bigram)
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_topgram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), tc AS (
+      SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ), uni AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_token_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens
+      FROM tc GROUP BY doc_id
+    ), bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len({_TOKS}) - 1, 1) + 1),
+                                   i -> array_to_string(({_TOKS})[i : i + 1], ' ')))
+               AS bg
+      FROM documents
+    ), bc AS (
+      SELECT doc_id, count(*) AS cnt FROM bgs GROUP BY doc_id, bg
+    ), bi AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    )
+    SELECT uni.doc_id, top_token_cnt, n_tokens, top_bigram_cnt, n_bigrams
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+)
+def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-repeated unigram/bigram counts per document — the repetition
+    screens from Gopher-style quality filtering (Rae et al. 2021, table A1:
+    drop docs whose top n-gram covers too much of the text). Counts are
+    emitted with their denominators; the caller thresholds the ratio.
+
+    Shape: explode → two-level hash agg (partial agg collapses each doc's
+    token stream map-side, so the shuffle carries (doc_id, gram) counts,
+    not raw grams); the unigram and bigram branches then join on doc_id.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    uni = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("long").alias("top_token_cnt"),
+            F.sum("count").cast("long").alias("n_tokens"),
+        )
+    )
+    bi = (
+        d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("long").alias("top_bigram_cnt"),
+            F.sum("count").cast("long").alias("n_bigrams"),
+        )
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id", "top_token_cnt", "n_tokens", "top_bigram_cnt", "n_bigrams"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+@register(
+    "sample_stratified_orders",
+    f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY (o_orderkey * {_KNUTH}) % 1000000007, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 100
+    """,
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 100 orders per priority stratum, chosen
+    by a deterministic multiplicative-hash shuffle order (uniform within
+    the stratum, stable across runs/partitionings). Per-stratum top-k via
+    row_number → Spark plans a partial per-partition top-k before the
+    single stratum shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    key = (F.col("o_orderkey") * _KNUTH) % 1000000007
+    w = Window.partitionBy("o_orderpriority").orderBy(key, F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
+
+
+@register(
+    "sample_weighted_mixture",
+    f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % 100 <
+      CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 80
+           WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+           ELSE 20 END
+    """,
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: per-source keep-rates (80% / 50% / 20% tiers)
+    applied as a deterministic hash-mod Bernoulli — the standard way to
+    re-weight corpus sources for a training mix. Pure filter (no shuffle);
+    the predicate is partition-pruning-friendly when the corpus is laid
+    out by source."""
+    d = read_table(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("source").isin([f"src{i}" for i in range(5)]), 80)
+        .when(F.col("source").isin([f"src{i}" for i in range(5, 10)]), 50)
+        .otherwise(20)
+    )
+    return d.filter((F.col("doc_id") * _KNUTH) % 100 < tier).select(
+        "doc_id", "source", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences_quota",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def pack_sequences_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum chunking of each source's doc stream into
+    ~512-token training bins (window cumsum; bins overflow by at most one
+    doc — the fixed-order streaming packer)."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return quota_chunk_bins(
+        t, size_col="n_tokens", order_col="doc_id", group_col="source",
+        budget=_PACK_BUDGET,
+    )
+
+
+@register("pack_sequences_greedy")  # rows-only: resettable state, no SQL twin
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True greedy reset packing (new bin when the next doc would overflow
+    512 tokens) via applyInPandas per source group; invariants asserted in
+    tests/test_text.py."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return greedy_pack_bins(
+        t, size_col="n_tokens", order_col="doc_id", group_col="source",
+        budget=_PACK_BUDGET,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+@register(
+    "pii_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g')) AS BIGINT) AS n_chars_after
+    FROM documents
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, long digit runs) — narrow-transform
+    ``regexp_replace`` chain, no shuffle; patterns restricted to syntax
+    where Java regex and RE2 agree. Before/after char counts let the
+    caller audit redaction volume without diffing payloads."""
+    d = read_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), r"[0-9]{4,}", "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(redacted).cast("long").alias("n_chars_after"),
+    )

@@ -73,3 +73,34 @@ def test_doc_fingerprint_collision_behavior(spark):
     }
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_greedy_pack_invariants(spark, sf_dir):
+    """Greedy packer: bins fill in doc_id order, never exceed the budget
+    (except single oversized docs), and match a driver-side replay."""
+    from datamodel_clinicaldata_spark.queries_trainingdata import (
+        _PACK_BUDGET,
+        pack_sequences_greedy,
+    )
+
+    rows = pack_sequences_greedy(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(rows) > 0
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # replay greedy packing on the driver
+        filled, cur = 0, 0
+        for r in rs:
+            if filled > 0 and filled + r["n_tokens"] > _PACK_BUDGET:
+                cur += 1
+                filled = 0
+            filled += r["n_tokens"]
+            assert r["bin_id"] == cur, (source, r)
+        # bin totals respect the budget unless a bin is a single huge doc
+        totals: dict[int, list[int]] = {}
+        for r in rs:
+            totals.setdefault(r["bin_id"], []).append(r["n_tokens"])
+        for sizes in totals.values():
+            assert sum(sizes) <= _PACK_BUDGET or len(sizes) == 1
