@@ -950,3 +950,37 @@ def agg_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates — the 100 TB path for cardinality / quantiles. At scale
+# exact distinct is a full shuffle of the key universe and exact quantiles
+# a global sort; HLL++ / KLL-style sketches are fixed-size, mergeable,
+# one-pass map-side state. Values are engine-specific (rows-only driver
+# check); error bounds vs the exact answers are pinned in tests.
+# ---------------------------------------------------------------------------
+@register("agg_approx_distinct_sketch")  # rows-only: HLL++ values are engine-specific
+def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd 1%) — constant
+    memory per group vs the O(distinct) hash set of exact count-distinct;
+    sketches merge associatively so partial aggregation stays map-side."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@register("quantiles_approx_sketch")  # rows-only: sketch values are engine-specific
+def quantiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles of l_extendedprice per
+    return flag (accuracy 10000 ⇒ ε=1e-4) — bounded state and one pass vs
+    the exact path's per-group sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("pq")
+    ).select(
+        "l_returnflag",
+        F.col("pq")[0].alias("p25"),
+        F.col("pq")[1].alias("p50"),
+        F.col("pq")[2].alias("p75"),
+    )

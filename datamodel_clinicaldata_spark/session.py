@@ -59,6 +59,9 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.TransposeWindow",
         )
+        # Untruncated FileScan metadata (default 100 chars cuts
+        # PushedFilters mid-token) — the plan audits parse these lists.
+        .config("spark.sql.maxMetadataStringLength", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

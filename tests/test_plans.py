@@ -73,3 +73,50 @@ def test_topk_two_phase_no_serial_sort(spark, sf_dir):
 )
 def test_no_unpartitioned_windows_across_surface(spark, sf_dir, name):
     assert_no_unpartitioned_window(QUERIES[name](spark, sf_dir))
+
+
+def test_revenue_forecast_plan(spark, sf_dir):
+    """q6 shape: every predicate reaches the scan, 4-column ReadSchema,
+    no wide (hash-partitioned) exchange — the only shuffle is the 1-row
+    SinglePartition agg merge — and no joins at all."""
+    a = audit(QUERIES["agg_revenue_forecast"](spark, sf_dir))
+    scan = a.scan_for("lineitem.parquet")
+    assert any("l_shipdate" in f for f in scan["pushed_filters"])
+    assert any("l_discount" in f for f in scan["pushed_filters"])
+    assert "l_comment" not in scan["read_schema"]
+    assert a.exchanges == 0
+    assert a.sort_merge_joins == 0 and a.broadcast_hash_joins == 0
+
+
+def test_topk_returned_customers_plan(spark, sf_dir):
+    """q10 shape: customer dim broadcast; global top-20 runs as
+    TakeOrderedAndProject, never a full global sort."""
+    from datamodel_clinicaldata_spark.plans.audit import physical_plan
+
+    df = QUERIES["topk_returned_customers"](spark, sf_dir)
+    a = audit(df)
+    assert a.broadcast_hash_joins >= 1
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    assert a.sorts == 0
+
+
+def test_large_volume_customers_plan(spark, sf_dir):
+    """q18 shape: the HAVING-filtered rollup broadcasts back to orders."""
+    a = audit(QUERIES["agg_large_volume_customers"](spark, sf_dir))
+    assert a.broadcast_hash_joins >= 1
+
+
+def test_mixture_filter_no_shuffle(spark, sf_dir):
+    """Weighted mixture sampling is a pure narrow filter — zero exchanges."""
+    a = audit(QUERIES["sample_weighted_mixture"](spark, sf_dir))
+    assert a.exchanges == 0
+
+
+def test_packing_single_shuffle(spark, sf_dir):
+    """Quota packing: exactly one exchange (the source partitioning) and
+    its window is partitioned; stratified sampling likewise."""
+    for name in ("pack_sequences_quota", "sample_stratified_orders"):
+        a = audit(QUERIES[name](spark, sf_dir))
+        assert a.exchanges == 1, name
+        assert a.unpartitioned_windows == 0, name
+        assert a.windows == 1, name

@@ -107,3 +107,39 @@ def test_metric_invariants(spark, hist):
         for r in rows:
             if weeks[r["week"]] > 1 and r["week"] != max_week:
                 assert r["patient_TBWL"] is not None and r["patient_TBWL"] >= 0
+
+
+def test_sketch_aggregates_error_bounds(spark, sf_dir):
+    """HLL++ distinct counts within 5% of exact; GK quantiles within the
+    rank-error bound of the exact percentiles."""
+    import pyspark.sql.functions as F
+
+    from datamodel_clinicaldata_spark.registry import QUERIES
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct_sketch"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact_q = {
+        r["l_returnflag"]: r["qs"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("qs"))
+        .collect()
+    }
+    for r in QUERIES["quantiles_approx_sketch"](spark, sf_dir).collect():
+        lo, mid, hi = exact_q[r["l_returnflag"]]
+        for got, want in ((r["p25"], lo), (r["p50"], mid), (r["p75"], hi)):
+            assert abs(got - want) <= 0.02 * max(abs(want), 1.0), (r, exact_q)
