@@ -149,3 +149,25 @@ def rollup_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_click_purchase_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join (batch execution of the stream-stream
+    join; streaming twin exercised in tests/test_streaming.py)."""
+    from datamodel_clinicaldata_spark.streaming.windows import click_purchase_join
+
+    return click_purchase_join(read_table(spark, sf_dir, "events"))

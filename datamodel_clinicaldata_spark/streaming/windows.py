@@ -157,3 +157,44 @@ def dedup_events_stream(
             list(keys)
         )
     return df.dropDuplicates(list(keys))
+
+
+def click_purchase_join(
+    events: DataFrame, max_gap: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase matched to
+    every click by the same user in the preceding ``max_gap`` window
+    (attribution join).
+
+    Unified-model transform: on batch frames this is a plain range join;
+    on streaming frames Spark keeps BOTH sides in the state store and the
+    interval condition + the callers' watermarks bound how long a click
+    waits for a purchase (without the time bound, stream-stream join state
+    grows forever — the interval predicate is the state-eviction contract,
+    not just a filter).
+
+    Scale notes: the join shuffles on user_id; the interval condition is
+    evaluated post-match per user partition. Clicks and purchases are
+    pre-filtered by event_type before the shuffle, so state holds only the
+    two relevant event slices.
+    """
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )

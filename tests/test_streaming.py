@@ -118,3 +118,17 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     ).first()
     want = read_table(spark, sf_dir, "events").count()
     assert got["n"] == got["n_ids"] == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """The attribution interval join under readStream (watermarks on both
+    sides, append mode) equals its batch execution."""
+    from datamodel_clinicaldata_spark.streaming.windows import click_purchase_join
+
+    ev = stream_events(spark, sf_dir)
+    streaming = click_purchase_join(with_watermark(ev, delay="2 hours"))
+    _run_stream(streaming, "cp_join", tmp_path, "append")
+    got = spark.sql("SELECT * FROM cp_join")
+    want = click_purchase_join(read_table(spark, sf_dir, "events"))
+    cols = ["click_id", "purchase_id", "user_id", "purchase_value"]
+    assert _norm(got, cols) == _norm(want, cols)
