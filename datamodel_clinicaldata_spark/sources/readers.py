@@ -93,3 +93,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for the SQL surface."""
     for t in TESTDATA_TABLES:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL source. An explicit schema skips the inference pass (which
+    reads the whole dataset once — never acceptable at 100 TB) and pins
+    types against drift; inference is allowed only for exploration."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same predicate-pushdown/column-pruning contract as
+    parquet (pinned by the round-trip test)."""
+    return spark.read.orc(path)

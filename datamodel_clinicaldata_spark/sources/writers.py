@@ -56,3 +56,19 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(sort_by)
     w.format("parquet").saveAsTable(table)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON — the lingua franca of training-data
+    interchange (one document object per line; Spark writes one .json
+    part-file per partition, splittable and append-friendly). Binary
+    columns are base64-encoded by Spark's JSON writer; timestamps are
+    ISO-8601."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built into Spark): columnar alternative to parquet with
+    the same pushdown/pruning story; useful when the downstream consumer
+    is Hive/Trino-standardized on ORC."""
+    df.write.mode(mode).orc(path)

@@ -72,3 +72,35 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert sorted(tuple(r[k] for k in cols) for r in salted.collect()) == sorted(
         tuple(r[k] for k in cols) for r in plain.collect()
     )
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """documents → JSONL → read back with explicit schema == original."""
+    from datamodel_clinicaldata_spark.sources.readers import read_jsonl, read_table
+    from datamodel_clinicaldata_spark.sources.writers import write_jsonl
+
+    d = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, schema=d.schema)
+    assert back.schema == d.schema
+    a = {tuple(r) for r in d.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """orders → ORC → filtered read pushes the predicate to the ORC scan."""
+    from datamodel_clinicaldata_spark.plans.audit import audit
+    from datamodel_clinicaldata_spark.sources.readers import read_orc, read_table
+    from datamodel_clinicaldata_spark.sources.writers import write_orc
+
+    o = read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(o, path)
+    back = read_orc(spark, path).filter(F.col("o_totalprice") > 100000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    scan = audit(back).scan_for("orders_orc")
+    assert any("o_totalprice" in f for f in scan["pushed_filters"])
+    assert back.count() == o.filter(F.col("o_totalprice") > 100000).count()
