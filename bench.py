@@ -37,6 +37,12 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_session_windows",
     "multimodal_byte_histogram",
+    # TPC-H pack + training-data curation (round 1 widening)
+    "agg_revenue_forecast",
+    "topk_returned_customers",
+    "text_repetition_topgram",
+    "pack_sequences_quota",
+    "sample_stratified_orders",
 ]
 
 

@@ -72,3 +72,37 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     the same pushdown/pruning story; useful when the downstream consumer
     is Hive/Trino-standardized on ORC."""
     df.write.mode(mode).orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-aware sink: range-partition + sort by ``sort_cols`` before
+    writing. Parquet footers then carry NON-OVERLAPPING min/max ranges per
+    file/row-group, so a later filter on the sort key skips whole files
+    (the poor-man's Z-order for a single-key access path; at 100 TB this
+    is the difference between scanning a partition and scanning a
+    terabyte). ``repartitionByRange`` samples the key distribution, so
+    skew produces balanced files anyway."""
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    df: DataFrame, path: str, target_rows_per_file: int, mode: str = "overwrite"
+) -> None:
+    """Small-file compaction: coalesce a fragmented dataset into
+    ~target-row files (row count stands in for bytes on these fixtures; a
+    production deployment divides target file bytes by the measured
+    row width). Small files are the classic death-by-metadata failure at
+    scale — a 100 TB table in 10 MB files is 10M objects to list."""
+    n = max(1, -(-df.count() // target_rows_per_file))
+    df.repartition(n).write.mode(mode).parquet(path)

@@ -104,3 +104,54 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     scan = audit(back).scan_for("orders_orc")
     assert any("o_totalprice" in f for f in scan["pushed_filters"])
     assert back.count() == o.filter(F.col("o_totalprice") > 100000).count()
+
+
+def test_sorted_layout_enables_file_skipping(spark, sf_dir, tmp_path):
+    """write_sorted_parquet produces non-overlapping per-file o_orderdate
+    ranges (verified from the parquet footers via pyarrow) — the property
+    that lets a key filter skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+    from datamodel_clinicaldata_spark.sources.writers import write_sorted_parquet
+
+    o = read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_sorted")
+    write_sorted_parquet(o, path, ["o_orderdate"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # files do not overlap on the sort key
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Fragmented input (64 partitions) compacts to the expected file
+    count with all rows intact."""
+    import glob
+
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+    from datamodel_clinicaldata_spark.sources.writers import compact_small_files
+
+    c = read_table(spark, sf_dir, "customer").repartition(64)
+    path = str(tmp_path / "customer_compacted")
+    n_rows = c.count()
+    compact_small_files(c, path, target_rows_per_file=1000)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == max(1, -(-n_rows // 1000))
+    assert spark.read.parquet(path).count() == n_rows
