@@ -255,3 +255,68 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_before"),
         F.length(redacted).cast("long").alias("n_chars_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation: the composed pipeline a pretraining corpus runs
+# ---------------------------------------------------------------------------
+@register(
+    "curation_end_to_end",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, len({_TOKS}) AS n_tokens FROM documents
+    ), screened AS (
+      SELECT * FROM tok WHERE n_tokens BETWEEN 50 AND 1000
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id FROM screened GROUP BY md5(text)
+    ), deduped AS (
+      SELECT s.* FROM screened s JOIN keepers USING (doc_id)
+    ), mixed AS (
+      SELECT * FROM deduped
+      WHERE (doc_id * {_KNUTH}) % 100 <
+        CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 80
+             WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+             ELSE 20 END
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM mixed
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: token-length quality screen →
+    exact dedup (survivor = min doc_id per content hash) → weighted
+    source-mixture sampling → sequence packing into 512-token bins. Every
+    stage is one of this module's / the dedup module's operators; the
+    whole chain stays in two shuffles (the dedup hash-agg + the packing
+    source partition — the screen and mixture stages are narrow filters,
+    and the keeper semi-join broadcasts)."""
+    from datamodel_clinicaldata_spark.operators.dedup import exact_dedup_groups
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    screened = tok.filter(F.col("n_tokens").between(50, 1000))
+    keepers = exact_dedup_groups(screened, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = screened.join(F.broadcast(keepers), "doc_id", "left_semi")
+    tier = (
+        F.when(F.col("source").isin([f"src{i}" for i in range(5)]), 80)
+        .when(F.col("source").isin([f"src{i}" for i in range(5, 10)]), 50)
+        .otherwise(20)
+    )
+    mixed = deduped.filter((F.col("doc_id") * _KNUTH) % 100 < tier)
+    return quota_chunk_bins(
+        mixed.select("doc_id", "source", "n_tokens"),
+        size_col="n_tokens", order_col="doc_id", group_col="source",
+        budget=_PACK_BUDGET,
+    )

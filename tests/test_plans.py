@@ -120,3 +120,13 @@ def test_packing_single_shuffle(spark, sf_dir):
         assert a.exchanges == 1, name
         assert a.unpartitioned_windows == 0, name
         assert a.windows == 1, name
+
+
+def test_curation_pipeline_plan(spark, sf_dir):
+    """End-to-end curation: dedup hash-agg + packing partition = the only
+    wide exchanges; the keeper join broadcasts; packing window partitioned."""
+    a = audit(QUERIES["curation_end_to_end"](spark, sf_dir))
+    assert a.exchanges == 2
+    assert a.broadcast_hash_joins >= 1
+    assert a.sort_merge_joins == 0
+    assert a.unpartitioned_windows == 0
