@@ -143,3 +143,82 @@ def test_sketch_aggregates_error_bounds(spark, sf_dir):
         lo, mid, hi = exact_q[r["l_returnflag"]]
         for got, want in ((r["p25"], lo), (r["p50"], mid), (r["p75"], hi)):
             assert abs(got - want) <= 0.02 * max(abs(want), 1.0), (r, exact_q)
+
+
+# ---------------------------------------------------------------------------
+# Packing + connected-components invariants over random inputs
+# ---------------------------------------------------------------------------
+pack_inputs = st.lists(
+    st.tuples(
+        st.sampled_from(["sA", "sB"]),
+        st.integers(min_value=1, max_value=700),  # sizes may exceed the budget
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pack_inputs)
+def test_greedy_packing_property(spark, items):
+    """Random size streams: greedy bins never exceed the budget except as
+    singleton oversized docs, bin ids are contiguous from 0 per group, and
+    every doc is assigned exactly once."""
+    from datamodel_clinicaldata_spark.operators.packing import greedy_pack_bins
+
+    budget = 500
+    rows = [(i, src, n) for i, (src, n) in enumerate(items)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = greedy_pack_bins(
+        df, size_col="n_tokens", order_col="doc_id", group_col="source", budget=budget
+    ).collect()
+    assert len(out) == len(rows)
+    assert {r["doc_id"] for r in out} == {r[0] for r in rows}
+    per_group: dict[str, dict[int, list[int]]] = {}
+    for r in out:
+        per_group.setdefault(r["source"], {}).setdefault(r["bin_id"], []).append(
+            r["n_tokens"]
+        )
+    for bins in per_group.values():
+        assert sorted(bins) == list(range(len(bins)))  # contiguous bin ids
+        for sizes in bins.values():
+            assert sum(sizes) <= budget or len(sizes) == 1
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+def test_connected_components_property(spark, edges):
+    """Random graphs: spark CC == driver union-find."""
+    from datamodel_clinicaldata_spark.operators.graph import connected_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in real:
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert got == {n: find(n) for n in nodes}
