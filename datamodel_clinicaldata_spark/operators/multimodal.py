@@ -190,3 +190,66 @@ def audio_rms_windows(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, content_col).mapInPandas(rms, schema)
+
+
+def resize_nearest(
+    media: DataFrame,
+    src_width: int = 32,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Nearest-neighbour resize over the byte-grid view of each blob: the
+    payload is treated as a row-major ``src_width``-wide grid (height =
+    ceil(len/src_width)) and sampled down to ``out_w``×``out_h``. Real
+    image resize swaps the per-pixel gather for a codec + interpolation
+    kernel; the Spark-side contract — Arrow batching, binary in/out,
+    per-media metadata — is identical and is what this operator pins.
+
+    Output: (media_id, out_w, out_h, resized_md5, resized_len).
+    """
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("out_w", T.LongType()),
+            T.StructField("out_h", T.LongType()),
+            T.StructField("resized_md5", T.StringType()),
+            T.StructField("resized_len", T.LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                id_col: [],
+                "out_w": [],
+                "out_h": [],
+                "resized_md5": [],
+                "resized_len": [],
+            }
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                n = len(b)
+                h = -(-n // src_width)
+                out = bytes(
+                    b[
+                        min(
+                            (r * h) // out_h * src_width
+                            + (c * src_width) // out_w,
+                            n - 1,
+                        )
+                    ]
+                    for r in range(out_h)
+                    for c in range(out_w)
+                )
+                rows[id_col].append(mid)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["resized_md5"].append(hashlib.md5(out).hexdigest())
+                rows["resized_len"].append(len(out))
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, content_col).mapInPandas(resize, schema)

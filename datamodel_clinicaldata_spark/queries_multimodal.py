@@ -110,3 +110,32 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style windowed energy: 256-sample windows, exact integer
     sum-of-squares (RMS = sqrt(sum_sq/n) derivable)."""
     return audio_rms_windows(_media(spark, sf_dir), window=256)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(ceil(length(text) / 32.0) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS out_w,
+           CAST(8 AS BIGINT) AS out_h,
+           md5(array_to_string(list_transform(range(0, 64), k ->
+             substr(text,
+                    CAST(least(((k // 8) * h) // 8 * 32 + ((k % 8) * 32) // 8,
+                               n - 1) AS INTEGER) + 1,
+                    1)), '')) AS resized_md5,
+           CAST(64 AS BIGINT) AS resized_len
+    FROM g
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour byte-grid resize to 8×8 (Arrow-batched
+    mapInPandas; the oracle replays the same gather over the ASCII text
+    payload)."""
+    from datamodel_clinicaldata_spark.operators.multimodal import resize_nearest
+
+    return resize_nearest(_media(spark, sf_dir))

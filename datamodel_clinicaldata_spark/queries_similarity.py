@@ -101,3 +101,37 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, queries, k=10, n_centroids=16, nprobe=4, refine_iters=1)
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus (the sanity scan
+    run before any cosine-based dedup: un-normalized vectors silently
+    break cosine-threshold semantics). Fold order inside F.aggregate
+    matches DuckDB's list_sum (array order), so the doubles agree
+    bitwise before rounding."""
+    from datamodel_clinicaldata_spark.functions.vectors import l2_norm
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
