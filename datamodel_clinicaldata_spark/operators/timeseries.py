@@ -1,0 +1,100 @@
+"""Time-series regularization — hypertable-style bucket rollup with gap
+filling and linear interpolation (the `time_bucket_gapfill` /
+`interpolate` shape of time-series engines, re-expressed as DataFrame
+ops: bucket agg → per-key spine via sequence+explode → spine⟕agg left
+join → IGNORE NULLS window carry → arithmetic fill).
+
+Scale notes:
+- The spine is generated per key from that key's own [min, max] bucket
+  span (sequence + explode) — never a driver-side calendar crossJoin; a
+  key's spine length is bounded by its activity span, and spine rows are
+  3 columns wide.
+- One shuffle partitions by key; the bucket agg, both IGNORE-NULLS
+  window passes, and the final projection all share it.
+- Interpolation is pure column arithmetic on the carried (prev, next)
+  anchors — no UDFs, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream to one row per (key, bucket) over each
+    key's active span, with missing buckets linearly interpolated between
+    their nearest populated neighbours (edges forward/backward-filled).
+
+    Returns (key, bucket_ts, n_events, value_fill_e4):
+    - ``n_events`` — rows aggregated into the bucket (0 for gap rows).
+    - ``value_fill_e4`` — the filled per-bucket value sum, fixed-point
+      ×10⁴ (``floor(x * 10000)``). Fixed-point-and-floor, not round: the
+      interpolated quotient lands on exact decimal half-ties at dyadic
+      gap fractions, where IEEE-vs-decimal rounding modes legitimately
+      diverge across engines; floor of a bit-identical double is
+      engine-independent. The interpolation INPUTS are the 4-dp-rounded
+      bucket sums, so both engines fill from bit-identical anchors.
+    """
+    b = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.round(F.sum(value_col), 4).alias("v"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    spine = (
+        b.groupBy("key")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {bucket.upper()}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    j = spine.join(b, ["key", "bucket_ts"], "left")
+
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_ts = F.when(F.col("v").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_t = F.last(anchor_ts, ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_t = F.first(anchor_ts, ignorenulls=True).over(w_next)
+
+    frac = (
+        F.unix_timestamp("bucket_ts") - F.unix_timestamp(prev_t)
+    ) / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return j.select(
+        F.col("key").alias(key_col),
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.floor(filled * 10000).cast("long").alias("value_fill_e4"),
+    )

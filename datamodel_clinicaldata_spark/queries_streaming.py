@@ -171,3 +171,55 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamodel_clinicaldata_spark.streaming.windows import click_purchase_join
 
     return click_purchase_join(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "timeseries_gapfill_interpolate",
+    """
+    WITH b AS (
+      SELECT user_id AS key, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+             round(sum(value), 4) AS v, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM (SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+            FROM b GROUP BY key)
+    ), j AS (
+      SELECT s.key, s.bucket_ts, b.v, b.n_events
+      FROM spine s LEFT JOIN b ON b.key = s.key AND b.bucket_ts = s.bucket_ts
+    ), w AS (
+      SELECT key, bucket_ts, v, n_events,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY key ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+          OVER (PARTITION BY key ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY key ORDER BY bucket_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+          OVER (PARTITION BY key ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM j
+    )
+    SELECT key AS user_id, bucket_ts,
+           coalesce(n_events, 0) AS n_events,
+           CAST(floor(10000 * CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v) *
+                 ((epoch(bucket_ts) - epoch(prev_t))
+                   / (epoch(next_t) - epoch(prev_t)))
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v END) AS BIGINT) AS value_fill_e4
+    FROM w
+    """,
+)
+def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup with gap filling + linear
+    interpolation per user (see operators/timeseries.py for the
+    fixed-point hashing rationale)."""
+    from datamodel_clinicaldata_spark.operators.timeseries import time_bucket_gapfill
+
+    return time_bucket_gapfill(read_table(spark, sf_dir, "events"))

@@ -161,3 +161,31 @@ def test_keep_tew_variant(spark):
     df = _frame(spark, [("u1", 0, True, 83.5), ("u1", 7, True, 80.5)])
     res = _by_key(with_cohort_metrics(df, "week", keep_tew=True))["u1"]
     assert all(r["TEW"] == 80.5 for r in res)
+
+
+def test_time_bucket_gapfill_interpolation(spark):
+    """Known series: values at hours 0 and 3 with a 2-bucket gap →
+    linear fill 20, 30; edge rows keep their own sums; n_events=0 marks
+    synthetic rows."""
+    from datetime import datetime
+
+    from datamodel_clinicaldata_spark.operators.timeseries import time_bucket_gapfill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 15), 4.0),
+        (1, datetime(2024, 1, 1, 0, 45), 6.0),   # hour 0 sum = 10
+        (1, datetime(2024, 1, 1, 3, 30), 40.0),  # hour 3 sum = 40
+        (2, datetime(2024, 1, 1, 5, 0), 7.5),    # single-bucket user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket_ts"].hour): (r["n_events"], r["value_fill_e4"])
+        for r in time_bucket_gapfill(df).collect()
+    }
+    assert got == {
+        (1, 0): (2, 100000),
+        (1, 1): (0, 200000),   # 10 + (40-10) * 1/3
+        (1, 2): (0, 300000),
+        (1, 3): (1, 400000),
+        (2, 5): (1, 75000),
+    }
