@@ -984,3 +984,71 @@ def quantiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pq")[1].alias("p50"),
         F.col("pq")[2].alias("p75"),
     )
+
+
+@register(
+    "agg_statistical_moments",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_quantity), 4) AS mean_qty,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    single-pass Welford-style accumulators in both engines, partial-agg
+    friendly (the shuffle carries constant-size moment state per group).
+    avg is hashable here because l_quantity is integral-valued, so
+    sum/count quotients cannot land on decimal half-ties."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "window_rank_functions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist()    OVER w AS cdist,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_orderdate, o_orderkey) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family. rank/dense_rank/percent_rank/cume_dist
+    order by o_orderdate alone — they are tie-aware (functions of the key
+    VALUE, deterministic under duplicate dates); ntile is row-position-
+    dependent, so its window adds the unique o_orderkey tiebreaker.
+    percent_rank/cume_dist are single int/int divisions — bit-identical
+    across engines, hashed unrounded."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    wt = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
