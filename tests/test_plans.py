@@ -130,3 +130,25 @@ def test_curation_pipeline_plan(spark, sf_dir):
     assert a.broadcast_hash_joins >= 1
     assert a.sort_merge_joins == 0
     assert a.unpartitioned_windows == 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A join against a filtered dim over a hive-partitioned fact must
+    inject a dynamicpruning PartitionFilter — at scale this is what keeps
+    a dim-filtered query from scanning every fact partition."""
+    from datamodel_clinicaldata_spark.plans.audit import physical_plan
+    from datamodel_clinicaldata_spark.sources.writers import write_partitioned
+
+    fact_dir = str(tmp_path / "orders_by_year")
+    o = read_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    write_partitioned(o, fact_dir, ["o_year"])
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [(1996, "pick"), (1997, "other")], "yr int, tag string"
+    ).filter(F.col("tag") == "pick")
+    j = fact.join(dim, fact.o_year == dim.yr)
+
+    assert "dynamicpruning" in physical_plan(j).lower()
+    expected = o.filter(F.col("o_year") == 1996).count()
+    assert j.count() == expected
