@@ -152,3 +152,37 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in physical_plan(j).lower()
     expected = o.filter(F.col("o_year") == 1996).count()
     assert j.count() == expected
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With a selective dim filter and a non-broadcast join, Spark injects
+    a runtime bloom filter (bloom_filter_agg on the creation side, a
+    might-contain probe on the fact scan side) — the shuffle-join analog
+    of DPP at 100 TB. Locally the application-side scan threshold is
+    lowered to simulate scale; conf restored after."""
+    from datamodel_clinicaldata_spark.plans.audit import physical_plan
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "bloom_filter_agg" in physical_plan(j)
+        expected = (
+            li.join(
+                o.hint("broadcast"), F.col("l_orderkey") == F.col("o_orderkey")
+            ).count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -155,3 +155,50 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     files = glob.glob(path + "/*.parquet")
     assert len(files) == max(1, -(-n_rows // 1000))
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Appended data with an added column reads back via mergeSchema with
+    nulls for pre-evolution rows — additive drift, the only kind a
+    long-lived corpus layout should allow."""
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    path = str(tmp_path / "evolving")
+    d = read_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text").write.mode("overwrite").parquet(path)
+    d.select("doc_id", "text", "lang").limit(10).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    n = d.count()
+    assert merged.count() == n + 10
+    assert merged.filter(F.col("lang").isNull()).count() == n
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the escape hatch for sinks Spark lacks natively —
+    each micro-batch lands through a custom writer (here: partitioned
+    parquet keyed by batch id, the idempotent-restart layout: a replayed
+    batch overwrites its own directory instead of duplicating rows)."""
+    import os
+
+    from datamodel_clinicaldata_spark.streaming.windows import stream_events
+
+    out = str(tmp_path / "batches")
+
+    def write_batch(df, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    got = spark.read.parquet(out)
+    assert got.count() == read_table(spark, sf_dir, "events").count()
