@@ -641,20 +641,22 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER w AS n_24h,
            round(sum(value) OVER w, 4) AS sum_24h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based rolling window: per-user trailing-24h event count and
-    value sum. Spark range frames need a numeric ordering key, so the
-    frame runs over epoch seconds (identical semantics to DuckDB's
-    RANGE INTERVAL frame: inclusive bounds, peers share results)."""
+    value sum. Spark range frames need a numeric ordering key; it must be
+    epoch MICROSECONDS on both sides — ordering by epoch seconds while
+    the oracle ranges over full-precision timestamps flips membership for
+    pairs within 1s of the 24h edge (surfaced at sf0.1, where boundary
+    collisions first appear). Inclusive bounds, peers share results."""
     e = read_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-24 * 3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
     )
     return e.select(
         "event_id",
