@@ -1054,3 +1054,73 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(wt).alias("quartile"),
     )
+
+
+@register(
+    "scd2_user_value_history",
+    """
+    SELECT user_id, value, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, value NULLS LAST, event_type NULLS LAST)
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2: the per-user event stream as a validity-interval
+    history (valid_from/valid_to chained by lead; NULL valid_to = current
+    row). One window pass after the key shuffle."""
+    from datamodel_clinicaldata_spark.operators.temporal import scd2_history
+
+    e = read_table(spark, sf_dir, "events")
+    return scd2_history(
+        e.select("user_id", "ts", "value", "event_type"),
+        key_col="user_id",
+        ts_col="ts",
+        value_cols=["value", "event_type"],
+    )
+
+
+@register(
+    "merge_upsert_customers",
+    """
+    WITH src AS (
+      SELECT c_custkey + CASE WHEN c_nationkey < 3 THEN 1000000 ELSE 0 END
+               AS c_custkey,
+             c_name, c_nationkey,
+             round(c_acctbal + 1000, 2) AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_nationkey < 10
+    )
+    SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END
+             AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+                ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 1 merge: an update batch (shifted keys for the insert
+    path, bumped balances for the update path) merged into the customer
+    snapshot — MERGE INTO semantics as full-outer join + row-level pick,
+    source side winning."""
+    from datamodel_clinicaldata_spark.operators.temporal import upsert_snapshot
+
+    c = read_table(spark, sf_dir, "customer")
+    src = c.filter(F.col("c_nationkey") < 10).select(
+        (
+            F.col("c_custkey")
+            + F.when(F.col("c_nationkey") < 3, 1000000).otherwise(0)
+        ).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    return upsert_snapshot(c, src, key_col="c_custkey")
