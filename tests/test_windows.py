@@ -189,3 +189,45 @@ def test_time_bucket_gapfill_interpolation(spark):
         (1, 3): (1, 400000),
         (2, 5): (1, 75000),
     }
+
+
+def test_scd2_and_upsert_semantics(spark):
+    """SCD2: interval chain covers the timeline with one current row per
+    key. Upsert: matched rows replaced wholesale, unmatched from both
+    sides survive."""
+    from datetime import datetime
+
+    from datamodel_clinicaldata_spark.operators.temporal import (
+        scd2_history,
+        upsert_snapshot,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 10.0, "a"),
+            (1, datetime(2024, 1, 2), 20.0, "b"),
+            (2, datetime(2024, 1, 5), 5.0, "a"),
+        ],
+        "user_id long, ts timestamp, value double, event_type string",
+    )
+    hist = scd2_history(ev, "user_id", "ts", ["value", "event_type"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert sum(1 for r in hist if r["is_current"]) == 2  # one current per key
+    u1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]  # chained intervals
+    assert u1[1]["valid_to"] is None
+
+    tgt = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "k long, name string, bal double"
+    )
+    src = spark.createDataFrame(
+        [(2, "y2", None), (3, "z", 3.0)], "k long, name string, bal double"
+    )
+    got = {r["k"]: (r["name"], r["bal"]) for r in upsert_snapshot(tgt, src, "k").collect()}
+    assert got == {
+        1: ("x", 1.0),   # untouched
+        2: ("y2", None), # replaced wholesale — source NULL wins
+        3: ("z", 3.0),   # inserted
+    }
