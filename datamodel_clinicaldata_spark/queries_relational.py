@@ -1124,3 +1124,44 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UPDATED").alias("c_mktsegment"),
     )
     return upsert_snapshot(c, src, key_col="c_custkey")
+
+
+@register(
+    "nested_collect_sorted",
+    """
+    SELECT o_orderpriority,
+           list_sort(list_distinct(array_agg(o_orderstatus))) AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def nested_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: per-group sorted distinct array.
+    collect_set + array_sort — the only deterministic way to hash a
+    collected array (bare collect_list order is partition-dependent)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@register(
+    "nested_posexplode_tokens",
+    """
+    SELECT doc_id,
+           unnest(range(0, len(string_split_regex(trim(text), '\\s+'))))
+             AS pos,
+           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def nested_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinality-preserving explode (posexplode ↔ DuckDB's zipped
+    unnests) — the lateral-view shape for order-sensitive token work."""
+    from datamodel_clinicaldata_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
