@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.functions.text import tokens
-from datamodel_clinicaldata_spark.operators.dedup import exact_dedup_groups
+from datamodel_clinicaldata_spark.operators.dedup import dedup_keep_first
 from datamodel_clinicaldata_spark.operators.packing import quota_chunk_bins
 from datamodel_clinicaldata_spark.sources.readers import read_table
 from datamodel_clinicaldata_spark.sources.writers import write_jsonl, write_parquet
@@ -34,18 +34,16 @@ def curate_documents(
     keep_pct: int = 100,
     budget: int = 512,
 ) -> DataFrame:
-    """Screen → exact dedup → uniform hash-mod sample → pack; returns the
-    packed assignment joined back to the text payload (assignments are
-    narrow, so the payload re-attach broadcasts them — the text column
-    never shuffles)."""
+    """Screen → exact dedup → uniform hash-mod sample → pack. Dedup is
+    the single-shuffle window survivor (no keeper join — a keeper set is
+    corpus-sized and must never broadcast); the packing assignment then
+    re-attaches to payloads with a doc_id equi-join that AQE sizes at
+    runtime (broadcast locally, shuffle at corpus scale)."""
     tok = docs.select(
         "doc_id", "source", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
     screened = tok.filter(F.col("n_tokens").between(min_tokens, max_tokens))
-    keepers = exact_dedup_groups(screened, "text", "doc_id").select(
-        F.col("keep_id").alias("doc_id")
-    )
-    deduped = screened.join(F.broadcast(keepers), "doc_id", "left_semi")
+    deduped = dedup_keep_first(screened, "text", "doc_id")
     if keep_pct < 100:
         deduped = deduped.filter((F.col("doc_id") * KNUTH) % 100 < keep_pct)
     packed = quota_chunk_bins(
@@ -55,7 +53,7 @@ def curate_documents(
         group_col="source",
         budget=budget,
     )
-    return deduped.select("doc_id", "text").join(F.broadcast(packed), "doc_id").select(
+    return deduped.select("doc_id", "text").join(packed, "doc_id").select(
         "doc_id", "source", "n_tokens", "bin_id", "text"
     )
 

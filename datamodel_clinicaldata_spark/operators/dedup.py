@@ -339,3 +339,20 @@ def simhash_band_pairs(
         )
         .distinct()
     )
+
+
+def dedup_keep_first(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Row-preserving exact dedup: keep the minimum-id row per distinct
+    content (row_number over the content-hash partition). ONE shuffle and
+    no join — strictly better at any scale than aggregating keeper ids and
+    semi-joining them back (which shuffles twice, and whose keeper set is
+    corpus-sized, so it must never be broadcast). Only the 16-byte digest
+    is the shuffle key; payload columns ride along untouched."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -864,7 +864,11 @@ def agg_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q10 shape: returned-lines fact filtered at the scan, aggregated
     to customer grain BEFORE joining the customer dim (smallest shuffle),
-    then global top-20 as TakeOrderedAndProject (no full sort)."""
+    then global top-20 as TakeOrderedAndProject (no full sort). The
+    customer-dim join is left to the planner: statically broadcast here
+    (parquet size stats), shuffle at dim sizes beyond the threshold —
+    forcing F.broadcast on a dim that scales with SF would OOM the
+    executors at 100 TB."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -879,7 +883,7 @@ def topk_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.join(F.broadcast(c.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        rev.join(c.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)

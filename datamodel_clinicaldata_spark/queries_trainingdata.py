@@ -267,10 +267,12 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, text, len({_TOKS}) AS n_tokens FROM documents
     ), screened AS (
       SELECT * FROM tok WHERE n_tokens BETWEEN 50 AND 1000
-    ), keepers AS (
-      SELECT min(doc_id) AS doc_id FROM screened GROUP BY md5(text)
     ), deduped AS (
-      SELECT s.* FROM screened s JOIN keepers USING (doc_id)
+      SELECT doc_id, source, text, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM screened
+      ) WHERE rn = 1
     ), mixed AS (
       SELECT * FROM deduped
       WHERE (doc_id * {_KNUTH}) % 100 <
@@ -295,20 +297,19 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup (survivor = min doc_id per content hash) → weighted
     source-mixture sampling → sequence packing into 512-token bins. Every
     stage is one of this module's / the dedup module's operators; the
-    whole chain stays in two shuffles (the dedup hash-agg + the packing
-    source partition — the screen and mixture stages are narrow filters,
-    and the keeper semi-join broadcasts)."""
-    from datamodel_clinicaldata_spark.operators.dedup import exact_dedup_groups
+    whole chain stays in two shuffles: the dedup window (keyed by the
+    16-byte content digest) and the packing source partition — the screen
+    and mixture stages are narrow filters, and there is no join anywhere
+    (the keeper-set-plus-semi-join alternative shuffles twice and its
+    keeper set is corpus-sized, so it could never broadcast at scale)."""
+    from datamodel_clinicaldata_spark.operators.dedup import dedup_keep_first
 
     d = read_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "source", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
     screened = tok.filter(F.col("n_tokens").between(50, 1000))
-    keepers = exact_dedup_groups(screened, "text", "doc_id").select(
-        F.col("keep_id").alias("doc_id")
-    )
-    deduped = screened.join(F.broadcast(keepers), "doc_id", "left_semi")
+    deduped = dedup_keep_first(screened, "text", "doc_id")
     tier = (
         F.when(F.col("source").isin([f"src{i}" for i in range(5)]), 80)
         .when(F.col("source").isin([f"src{i}" for i in range(5, 10)]), 50)

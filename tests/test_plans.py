@@ -123,12 +123,15 @@ def test_packing_single_shuffle(spark, sf_dir):
 
 
 def test_curation_pipeline_plan(spark, sf_dir):
-    """End-to-end curation: dedup hash-agg + packing partition = the only
-    wide exchanges; the keeper join broadcasts; packing window partitioned."""
+    """End-to-end curation: dedup content-hash window + packing partition
+    = the only wide exchanges; NO joins anywhere (the keeper-semi-join
+    alternative would add a corpus-sized broadcast); both windows
+    partitioned."""
     a = audit(QUERIES["curation_end_to_end"](spark, sf_dir))
     assert a.exchanges == 2
-    assert a.broadcast_hash_joins >= 1
+    assert a.broadcast_hash_joins == 0
     assert a.sort_merge_joins == 0
+    assert a.windows == 2
     assert a.unpartitioned_windows == 0
 
 
