@@ -42,8 +42,12 @@ def assemble_star(users: DataFrame, weights: DataFrame, treatments: DataFrame) -
     is the small one, so users ⟕ weights runs as a shuffle join at scale —
     that single fact-table shuffle on UID is then *reused* by every window
     in the metric stage (all partition by UID first), so it is paid once.
-    The second join broadcasts the tiny treatments dimension explicitly,
-    making it a shuffle-free map-side join.
+    The treatments join is likewise left to the planner: treatments is
+    per-user metadata, so it SCALES WITH THE USER POPULATION — small
+    enough to broadcast at every test SF (and the planner does), but a
+    forced hint would pin that choice past the threshold where it OOMs;
+    un-forced, the planner degrades to reusing the same UID shuffle the
+    metric stage already pays.
 
     Column handling mirrors J2a: the redundant right-side join keys
     (``MasterUserID``) are dropped after each join (the notebook verified
@@ -68,7 +72,7 @@ def assemble_star(users: DataFrame, weights: DataFrame, treatments: DataFrame) -
     # broadcast so the second join never shuffles the fanned-out fact rows.
     t = treatments
     uwt = uw.join(
-        F.broadcast(t), uw["UID"] == t["MasterUserID"], "left"
+        t, uw["UID"] == t["MasterUserID"], "left"
     ).drop(t["MasterUserID"])
     return uwt
 

@@ -940,8 +940,10 @@ def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q18 shape: HAVING on a fact rollup, then join the survivors
-    (tiny after the filter) back to orders/customer — survivors side is
-    broadcast so the dims never shuffle."""
+    (selectivity-bounded after the filter) back to orders/customer. The
+    join strategy is left to the planner: survivors still scale with SF
+    (~0.3% of orders), so a forced broadcast would eventually OOM; the
+    static planner/AQE broadcasts from measured sizes while small."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -952,7 +954,7 @@ def agg_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.round("sum_qty_raw", 4).alias("sum_qty"))
     )
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
