@@ -1171,3 +1171,110 @@ def nested_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@register(
+    "agg_nation_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: cross-nation trade volumes — the fact joins two
+    key-bearing dims (supplier, via orders→customer) and the fixed
+    25-row nation dim twice under different roles. Nation broadcasts
+    (constant size at any SF); supplier/customer joins are left to the
+    planner."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("nk1") == F.col("s_nationkey"))
+        .join(n2, F.col("nk2") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("volume"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "agg_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 4) AS nation_volume,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_volume
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+    GROUP BY 1
+    """,
+)
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: seven-table join tree (the suite's widest) — a
+    supplier nation's share of PROMO volume sold into one region.
+    Numerator/denominator emitted separately (module float policy: never
+    hash a quotient of rounded sums). part/supplier/customer filters
+    reach their scans; nation/region broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    su = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = F.broadcast(
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("nk_cust")
+        )
+    )
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("nk_supp"), F.col("n_name").alias("supp_nation")))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("nk_cust") == F.col("c_nationkey"))
+        .join(n2, F.col("nk_supp") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", disc).otherwise(0.0)), 4
+            ).alias("nation_volume"),
+            F.round(F.sum(disc), 4).alias("total_volume"),
+        )
+    )
