@@ -231,3 +231,71 @@ def test_scd2_and_upsert_semantics(spark):
         2: ("y2", None), # replaced wholesale — source NULL wins
         3: ("z", 3.0),   # inserted
     }
+
+
+def test_rolling_window_boundary_microseconds(spark):
+    """Regression pin for the 24h RANGE boundary: events exactly 24h apart
+    are IN the window; 24h + 1µs apart are OUT — the frame must compare
+    epoch microseconds, not truncated seconds (the sf0.1 sweep caught the
+    seconds-truncation variant of this)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 6, 1, 12, 0, 0, 500000)  # sub-second component
+    rows = [
+        (1, 1, base, 1.0),
+        (2, 1, base + timedelta(hours=24), 1.0),                     # exactly 24h: in
+        (3, 1, base + timedelta(hours=24, microseconds=1), 1.0),     # 24h+1µs: out
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in df.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2}  # ev3 sees ev2 but NOT ev1
+
+
+def test_gapfill_invariants_random(spark):
+    """Gap fill over a randomized series: the spine covers every hour of
+    each key's span exactly once, real buckets keep their event counts,
+    and every synthetic bucket is interpolated between its anchors."""
+    import random
+    from datetime import datetime, timedelta
+
+    from datamodel_clinicaldata_spark.operators.timeseries import time_bucket_gapfill
+
+    rng = random.Random(7)
+    base = datetime(2024, 3, 1)
+    rows = []
+    for uid in range(1, 6):
+        for _ in range(rng.randint(1, 12)):
+            rows.append(
+                (
+                    uid,
+                    base + timedelta(hours=rng.randint(0, 72), minutes=rng.randint(0, 59)),
+                    round(rng.uniform(-50, 50), 2),
+                )
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = time_bucket_gapfill(df).collect()
+
+    per_key: dict[int, list] = {}
+    for r in out:
+        per_key.setdefault(r["user_id"], []).append(r)
+    for uid, rs in per_key.items():
+        ts = sorted(r["bucket_ts"] for r in rs)
+        # contiguous hourly spine, no duplicates
+        assert len(set(ts)) == len(ts)
+        assert all((b - a) == timedelta(hours=1) for a, b in zip(ts, ts[1:]))
+        # event counts preserved
+        want = sum(1 for (u, _, _) in rows if u == uid)
+        assert sum(r["n_events"] for r in rs) == want
+        # every row has a filled value
+        assert all(r["value_fill_e4"] is not None for r in rs)
