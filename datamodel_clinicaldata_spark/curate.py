@@ -18,14 +18,12 @@ import argparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datamodel_clinicaldata_spark.functions.sampling import knuth_mod
 from datamodel_clinicaldata_spark.functions.text import tokens
 from datamodel_clinicaldata_spark.operators.dedup import dedup_keep_first
 from datamodel_clinicaldata_spark.operators.packing import quota_chunk_bins
 from datamodel_clinicaldata_spark.sources.readers import read_table
 from datamodel_clinicaldata_spark.sources.writers import write_jsonl, write_parquet
-
-KNUTH = 2654435761
-
 
 def curate_documents(
     docs: DataFrame,
@@ -45,7 +43,7 @@ def curate_documents(
     screened = tok.filter(F.col("n_tokens").between(min_tokens, max_tokens))
     deduped = dedup_keep_first(screened, "text", "doc_id")
     if keep_pct < 100:
-        deduped = deduped.filter((F.col("doc_id") * KNUTH) % 100 < keep_pct)
+        deduped = deduped.filter(knuth_mod("doc_id", 100) < keep_pct)
     packed = quota_chunk_bins(
         deduped.select("doc_id", "source", "n_tokens"),
         size_col="n_tokens",

@@ -12,8 +12,10 @@ Determinism policy: sampling uses an explicit Knuth-multiplicative key
 ``(id * 2654435761) % m`` instead of ``rand()`` / ``xxhash64`` — it is
 reproducible, partition-count-independent, AND replayable in ANSI SQL so
 the oracle can verify the exact row set (xxhash64 has no DuckDB twin).
-Products stay ≪ 2⁶³ (ANSI mode: arithmetic overflow throws, it must not
-wrap).
+The multiply runs in exact DECIMAL(38,0) arithmetic on the Spark side and
+HUGEINT on the DuckDB side (``functions.sampling``), so it cannot overflow
+— ANSI mode throws on BIGINT overflow, and a raw long multiply would crash
+at key ranges above ~3.5e9, i.e. exactly the 100 TB design point.
 
 Float policy: ratio-shaped metrics emit integer numerator/denominator
 pairs, never the quotient (quotients of small ints land on exactly-
@@ -26,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datamodel_clinicaldata_spark.functions.sampling import knuth_mod, knuth_mod_sql
 from datamodel_clinicaldata_spark.functions.text import tokens, word_shingles
 from datamodel_clinicaldata_spark.operators.packing import (
     greedy_pack_bins,
@@ -35,7 +38,6 @@ from datamodel_clinicaldata_spark.registry import register
 from datamodel_clinicaldata_spark.sources.readers import read_table
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
-_KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 * phi)
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +118,7 @@ def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_orderpriority, o_totalprice,
              row_number() OVER (
                PARTITION BY o_orderpriority
-               ORDER BY (o_orderkey * {_KNUTH}) % 1000000007, o_orderkey
+               ORDER BY {knuth_mod_sql('o_orderkey', 1000000007)}, o_orderkey
              ) AS rn
       FROM orders
     ) WHERE rn <= 100
@@ -129,7 +131,7 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number → Spark plans a partial per-partition top-k before the
     single stratum shuffle."""
     o = read_table(spark, sf_dir, "orders")
-    key = (F.col("o_orderkey") * _KNUTH) % 1000000007
+    key = knuth_mod("o_orderkey", 1000000007)
     w = Window.partitionBy("o_orderpriority").orderBy(key, F.col("o_orderkey"))
     return (
         o.select(
@@ -148,7 +150,7 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id, source, lang
     FROM documents
-    WHERE (doc_id * {_KNUTH}) % 100 <
+    WHERE {knuth_mod_sql('doc_id', 100)} <
       CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 80
            WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
            ELSE 20 END
@@ -166,7 +168,7 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source").isin([f"src{i}" for i in range(5, 10)]), 50)
         .otherwise(20)
     )
-    return d.filter((F.col("doc_id") * _KNUTH) % 100 < tier).select(
+    return d.filter(knuth_mod("doc_id", 100) < tier).select(
         "doc_id", "source", "lang"
     )
 
@@ -275,7 +277,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ), mixed AS (
       SELECT * FROM deduped
-      WHERE (doc_id * {_KNUTH}) % 100 <
+      WHERE {knuth_mod_sql('doc_id', 100)} <
         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 80
              WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
              ELSE 20 END
@@ -315,7 +317,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source").isin([f"src{i}" for i in range(5, 10)]), 50)
         .otherwise(20)
     )
-    mixed = deduped.filter((F.col("doc_id") * _KNUTH) % 100 < tier)
+    mixed = deduped.filter(knuth_mod("doc_id", 100) < tier)
     return quota_chunk_bins(
         mixed.select("doc_id", "source", "n_tokens"),
         size_col="n_tokens", order_col="doc_id", group_col="source",

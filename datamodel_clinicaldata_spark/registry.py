@@ -43,3 +43,30 @@ from datamodel_clinicaldata_spark import queries_similarity  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_streaming  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_text  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_trainingdata  # noqa: E402,F401
+
+
+def _interleave_by_family() -> None:
+    """Reorder QUERIES round-robin across registering modules.
+
+    A correctness harness that checks only the first N registry entries
+    would otherwise see families in import order, leaving the entire
+    similarity/streaming/text/trainingdata surface unchecked when N < total.
+    Round-robin guarantees any prefix of length >= #families covers every
+    family, and a prefix of 50 covers most of each.
+    """
+    by_family: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        by_family.setdefault(fn.__module__, []).append(name)
+    order: list[str] = []
+    queues = list(by_family.values())
+    while queues:
+        for q in list(queues):
+            order.append(q.pop(0))
+            if not q:
+                queues.remove(q)
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_interleave_by_family()

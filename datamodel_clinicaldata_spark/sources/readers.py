@@ -72,7 +72,15 @@ _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata parquet table."""
+    """Read one driver testdata parquet table.
+
+    Self-sufficient on ANY session (not just ``session.get_spark()``): the
+    testdata ``events.parquet`` stores TIMESTAMP(NANOS), which a vanilla
+    SparkSession rejects outright (PARQUET_TYPE_ILLEGAL). The legacy conf
+    below is runtime-settable and idempotent, so set it here rather than
+    relying on session-construction time.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

@@ -222,3 +222,19 @@ def test_connected_components_property(spark, edges):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assert got == {n: find(n) for n in nodes}
+
+
+def test_knuth_sampler_ansi_safe_at_huge_keys(spark):
+    """The deterministic sampler must not overflow under ANSI mode at key
+    ranges far beyond BIGINT/KNUTH (~3.5e9) — the 100 TB design point.
+    A raw long multiply would throw ARITHMETIC_OVERFLOW here; the decimal
+    path must return the exact mathematical (key * KNUTH) % 100."""
+    from datamodel_clinicaldata_spark.functions.sampling import KNUTH, knuth_mod
+
+    keys = [0, 1, 3_500_000_000, 2**62, 2**63 - 1, (2**63 - 1) // KNUTH + 7]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: int(r["m"])
+        for r in df.select("doc_id", knuth_mod("doc_id", 100).alias("m")).collect()
+    }
+    assert got == {k: (k * KNUTH) % 100 for k in keys}
