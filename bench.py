@@ -43,6 +43,10 @@ HEADLINE = [
     "text_repetition_topgram",
     "pack_sequences_quota",
     "sample_stratified_orders",
+    # heavy tail (round 2): widest join tree, iterative operator, gap fill
+    "dedup_cluster_components",
+    "agg_market_share",
+    "timeseries_gapfill_interpolate",
 ]
 
 
@@ -80,12 +84,14 @@ def main() -> None:
     # numbers are warm single-process loops, so each query gets one
     # UNTIMED run at the target scale (absorbs file-index listing, AQE
     # first-execution re-planning, codegen compilation) and then the best
-    # of two timed runs is recorded.
+    # of five timed runs is recorded — round-1 best-of-2 sat inside a
+    # ±0.5 s JVM noise band and misread the flagship by ~15%.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     for name in names:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)

@@ -189,6 +189,10 @@ def minhash_signature(content: Column, k: int, num_hashes: int) -> Column:
     )
 
 
+# Most recent persisted signature projection (see minhash_lsh_pairs).
+_MINHASH_PERSIST_HANDLE: DataFrame | None = None
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str,
@@ -222,9 +226,20 @@ def minhash_lsh_pairs(
     # and re-hashes the whole corpus. MEMORY_AND_DISK: at 100 TB the
     # shingle+signature projection spills rather than OOMs — the same
     # role a materialized signature table plays in a production pipeline.
+    # A long-lived session calling this repeatedly must not accumulate
+    # cached projections, so each call releases the previous one (at most
+    # one live handle per process; an older still-running plan just falls
+    # back to recompute).
     from pyspark import StorageLevel
 
+    global _MINHASH_PERSIST_HANDLE
+    if _MINHASH_PERSIST_HANDLE is not None:
+        try:
+            _MINHASH_PERSIST_HANDLE.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    _MINHASH_PERSIST_HANDLE = docs
     banded = docs.select(
         id_col,
         F.explode(

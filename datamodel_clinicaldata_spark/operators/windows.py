@@ -32,9 +32,11 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 # Days-per-month divisor used by both .py scripts (pandas_DataModel.py:98,
-# polars_DataModel.py:94). The notebooks' 30.44 / +1-origin variants are
-# non-canonical (SURVEY.md §2.9).
+# polars_DataModel.py:94). The pandas notebook (pandas_DataModel.ipynb#cell20)
+# divides by 30.44 and adds +1 to both buckets — non-canonical (SURVEY.md
+# §2.9) but exposed as the ``notebook_buckets`` variant.
 DAYS_PER_MONTH = 30.417
+DAYS_PER_MONTH_NOTEBOOK = 30.44
 DAYS_PER_WEEK = 7
 
 COHORT_CHOICES = ("week", "month", "ClinicID")
@@ -94,7 +96,8 @@ def _full(w: WindowSpec) -> WindowSpec:
 
 
 def month_bucket(
-    event_col: str = "Wts_CreatedDate", anchor_col: str = "Tmt_StartDate"
+    event_col: str = "Wts_CreatedDate", anchor_col: str = "Tmt_StartDate",
+    notebook: bool = False,
 ) -> Column:
     """W1 — ``floor((event − anchor).days / 30.417)`` (``pandas_DataModel.py:97-99``).
 
@@ -102,19 +105,25 @@ def month_bucket(
     pre-treatment weigh-ins land in negative buckets identically.
     The reference's row-wise ``.apply(math.floor)`` — its only "UDF" —
     is a pure builtin here (whole-stage codegen, no Python).
+
+    ``notebook=True`` is the pandas-notebook variant: divisor 30.44 and a
+    ``+1`` origin (``pandas_DataModel.ipynb#cell20``; non-canonical,
+    SURVEY.md §2.9).
     """
-    return F.floor(F.datediff(F.col(event_col), F.col(anchor_col)) / DAYS_PER_MONTH).cast(
-        "int"
-    )
+    divisor = DAYS_PER_MONTH_NOTEBOOK if notebook else DAYS_PER_MONTH
+    b = F.floor(F.datediff(F.col(event_col), F.col(anchor_col)) / divisor)
+    return (b + 1 if notebook else b).cast("int")
 
 
 def week_bucket(
-    event_col: str = "Wts_CreatedDate", anchor_col: str = "Tmt_StartDate"
+    event_col: str = "Wts_CreatedDate", anchor_col: str = "Tmt_StartDate",
+    notebook: bool = False,
 ) -> Column:
-    """W2 — ``floor(days / 7)`` (``pandas_DataModel.py:102-103``)."""
-    return F.floor(F.datediff(F.col(event_col), F.col(anchor_col)) / DAYS_PER_WEEK).cast(
-        "int"
-    )
+    """W2 — ``floor(days / 7)`` (``pandas_DataModel.py:102-103``).
+    ``notebook=True`` adds the pandas-notebook ``+1`` origin
+    (``pandas_DataModel.ipynb#cell20``; non-canonical, SURVEY.md §2.9)."""
+    b = F.floor(F.datediff(F.col(event_col), F.col(anchor_col)) / DAYS_PER_WEEK)
+    return (b + 1 if notebook else b).cast("int")
 
 
 def weigh_in_rate(cohort_col: str) -> Column:
@@ -168,6 +177,16 @@ def weight_diff(cohort_col: str) -> Column:
     return first_w - F.lead(first_w).over(w_treatment())
 
 
+def w_global() -> WindowSpec:
+    """The reference's physical frame order as a window: the full O1 6-key
+    sort with NO partitioning (``pandas_DataModel.py:85-90`` sorts the whole
+    frame, then ``.diff(-1)`` at :141 runs over that order). Single-partition
+    stage — exists only for ``strict_w8`` replication, never the default."""
+    return Window.orderBy(
+        F.col("UID").asc_nulls_first(), *sigma_cols(("TreatmentTypeID", "Tmt_StartDate"))
+    )
+
+
 def patient_tbwl(cohort_col: str) -> Column:
     """W9 ``patient_TBWL`` — max of wgt_diff per cohort, nulls skipped
     (``pandas_DataModel.py:146-149``). Positive = loss (the in-code comment
@@ -177,7 +196,8 @@ def patient_tbwl(cohort_col: str) -> Column:
 
 
 def with_cohort_metrics(
-    df: DataFrame, cohort: str = "week", keep_tew: bool = False
+    df: DataFrame, cohort: str = "week", keep_tew: bool = False,
+    strict_w8: bool = False, notebook_buckets: bool = False,
 ) -> DataFrame:
     """Derive week/month buckets + all five metrics in one pass.
 
@@ -189,11 +209,29 @@ def with_cohort_metrics(
     ``cohort`` selects the dynamic grouping column ('week' | 'month' |
     'ClinicID') — validated against an allowlist since it is injected as a
     column name (SURVEY.md §2.8, §7.4).
+
+    ``strict_w8=True`` replicates the reference's W8 exactly, including its
+    cross-user leak: ``pandas_DataModel.py:139-142`` computes ``diff(-1)``
+    over the whole physically-sorted frame, so the last row of each
+    treatment diffs against the NEXT group's first weight (across users).
+    The default (clean-lead) scopes the lead to the treatment episode —
+    reference semantics minus that leak (SURVEY.md §2.5, the single
+    deliberate deviation). Strict mode runs the W8 lead over an
+    unpartitioned window — a single-partition stage, acceptable only for
+    parity testing, never at scale.
+
+    ``notebook_buckets=True`` selects the pandas-notebook bucket variant
+    (30.44 month divisor, +1 origins — SURVEY.md §2.9, non-canonical).
     """
     if cohort not in COHORT_CHOICES:
         raise ValueError(f"cohort must be one of {COHORT_CHOICES}, got {cohort!r}")
 
-    df = df.withColumns({"month": month_bucket(), "week": week_bucket()})
+    df = df.withColumns(
+        {
+            "month": month_bucket(notebook=notebook_buckets),
+            "week": week_bucket(notebook=notebook_buckets),
+        }
+    )
 
     # ONE shuffle for the whole metric stage: hash-partition by UID
     # explicitly. Every window partitions by UID-plus-suffix keys, and
@@ -216,11 +254,12 @@ def with_cohort_metrics(
     df = df.withColumn("__first_w", cohort_first_weight(cohort))
     tew = treatment_ending_weight()
     tsw = treatment_starting_weight()
+    lead_window = w_global() if strict_w8 else w_treatment()
     stage2 = {
         "PSW": patient_starting_weight(),
         "TSW": tsw,
         "treatment_TBWL": tew - tsw,
-        "__wgt_diff": F.col("__first_w") - F.lead("__first_w").over(w_treatment()),
+        "__wgt_diff": F.col("__first_w") - F.lead("__first_w").over(lead_window),
     }
     if keep_tew:
         stage2["TEW"] = tew

@@ -527,7 +527,10 @@ def set_ops_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         tag(a.union(b).distinct(), "union")
         .unionAll(tag(a.intersect(b), "intersect"))
-        .unionAll(tag(a.exceptAll(b.distinct()).distinct(), "except"))
+        # subtract = set-semantics EXCEPT regardless of input multiplicity
+        # (exceptAll removes only one occurrence per match, so it is only
+        # accidentally correct when the left side is already unique).
+        .unionAll(tag(a.subtract(b), "except"))
     )
 
 

@@ -132,6 +132,20 @@ def test_no_cross_user_leak(spark):
     assert res["u2"][0]["patient_TBWL"] is None
 
 
+def test_strict_w8_reproduces_cross_user_boundary_diff(spark):
+    # strict_w8=True replicates the reference's diff(-1) over the whole
+    # sorted frame (pandas_DataModel.py:139-142): u1's last row diffs
+    # against u2's first cohort weight → patient_TBWL = 90 - 60 = 30.
+    # The default (clean-lead) must keep the leak out.
+    df = _frame(spark, [("u1", 0, True, 90.0), ("u2", 0, True, 60.0)])
+    strict = _by_key(with_cohort_metrics(df, "week", strict_w8=True))
+    assert abs(strict["u1"][0]["patient_TBWL"] - 30.0) < 1e-9  # leaked diff
+    assert strict["u2"][0]["patient_TBWL"] is None  # frame-last row → NULL
+    clean = _by_key(with_cohort_metrics(df, "week"))
+    assert clean["u1"][0]["patient_TBWL"] is None
+    assert clean["u2"][0]["patient_TBWL"] is None
+
+
 def test_last_frame_row_null_diff(spark):
     # the very last row of a treatment gets NULL wgt_diff; single-row final
     # cohort → patient_TBWL NULL... but multi-row final cohort → 0.0
