@@ -141,22 +141,30 @@ def asof_join(
     u = lsel.unionByName(rsel, allowMissingColumns=True)
 
     # Tie order among same-ts right rows: ascending on right_cols[0] so the
-    # row the frame edge picks (last for backward / first for forward) is
-    # the max — matching the row_number() DESC convention.
-    tiebreak = (
-        F.col("__rv")[right_cols[0]].asc_nulls_first()
-        if backward
-        else F.col("__rv")[right_cols[0]].desc_nulls_last()
-    )
-    w = Window.partitionBy(left_key).orderBy(
-        F.col("__ats").asc_nulls_last(), F.col("__side").asc(), tiebreak
-    )
+    # row the frame edge picks (the frame-end `last`) is the max — matching
+    # the row_number() DESC convention.
+    #
+    # BOTH directions use a running `unboundedPreceding → currentRow` frame
+    # with `last ignorenulls`: Spark maintains that frame incrementally
+    # (O(n) per partition), whereas `currentRow → unboundedFollowing`
+    # recomputes the aggregate per row (O(n²)). The forward direction gets
+    # the same running frame by fully REVERSING the sort (desc ts, sides
+    # and null placement flipped), which is value-identical to
+    # `first ignorenulls` over the following frame in ascending order.
     if backward:
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = F.last("__rv", ignorenulls=True).over(w)
+        w = Window.partitionBy(left_key).orderBy(
+            F.col("__ats").asc_nulls_last(),
+            F.col("__side").asc(),
+            F.col("__rv")[right_cols[0]].asc_nulls_first(),
+        )
     else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = F.first("__rv", ignorenulls=True).over(w)
+        w = Window.partitionBy(left_key).orderBy(
+            F.col("__ats").desc_nulls_first(),
+            F.col("__side").desc(),
+            F.col("__rv")[right_cols[0]].asc_nulls_first(),
+        )
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pick = F.last("__rv", ignorenulls=True).over(w)
 
     matched = (
         u.withColumn("__pick", pick)

@@ -69,16 +69,22 @@ def time_bucket_gapfill(
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward anchors via a DESCENDING running frame, not
+    # `currentRow → unboundedFollowing`: Spark's unbounded-following frame
+    # recomputes the aggregate from scratch per row (O(n²) per partition,
+    # measured 9.8s → 1.5s at sf0.1 on this query's spine), while the
+    # running frame is incrementally maintained O(n). `last ignorenulls`
+    # over desc order ≡ `first ignorenulls` over asc unbounded-following.
     w_next = (
         Window.partitionBy("key")
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     anchor_ts = F.when(F.col("v").isNotNull(), F.col("bucket_ts"))
     prev_v = F.last("v", ignorenulls=True).over(w_prev)
     prev_t = F.last(anchor_ts, ignorenulls=True).over(w_prev)
-    next_v = F.first("v", ignorenulls=True).over(w_next)
-    next_t = F.first(anchor_ts, ignorenulls=True).over(w_next)
+    next_v = F.last("v", ignorenulls=True).over(w_next)
+    next_t = F.last(anchor_ts, ignorenulls=True).over(w_next)
 
     frac = (
         F.unix_timestamp("bucket_ts") - F.unix_timestamp(prev_t)

@@ -218,6 +218,41 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate")
 
 
+@register(
+    "join_asof_forward",
+    """
+    SELECT o_orderkey, o_orderdate, o_custkey, event_id, ts
+    FROM (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_custkey, e.event_id, e.ts,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts ASC, e.event_id DESC) AS rn
+      FROM orders o
+      JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, forward direction: for each order, the customer's
+    earliest event at-or-after the order date (inclusive), ties toward
+    the largest event_id. Exercises the reversed-running-frame forward
+    branch of ``operators.joins.asof_join`` (O(n) per partition, not the
+    O(n²) unbounded-following frame)."""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey"
+    )
+    return asof_join(
+        o,
+        e,
+        left_key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_cols=["event_id"],
+        direction="forward",
+    ).select("o_orderkey", "o_orderdate", "o_custkey", "event_id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Sorts / distinct (O1, O2)
 # ---------------------------------------------------------------------------
