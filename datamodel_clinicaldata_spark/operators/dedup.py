@@ -270,8 +270,10 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(content: Column, k: int = 1, bits: int = 60) -> Column:
-    """SimHash (``bits`` wide, ≤ 63) from token (or k-shingle) xxhash64
+def simhash64(
+    content: Column, k: int = 1, bits: int = 60, hash_mode: str = "xxhash64"
+) -> Column:
+    """SimHash (``bits`` wide, ≤ 63) from token (or k-shingle) unit-hash
     values: per bit, sum of ±1 votes across unit hashes; bit set when the
     vote is positive.
 
@@ -279,11 +281,23 @@ def simhash64(content: Column, k: int = 1, bits: int = 60) -> Column:
     ``F.aggregate`` per bit — re-evaluated the hash array 60× because HOF
     bodies run interpreted per element). The vote vector is an array<int>
     accumulator zip_with'd against a constant bit-mask array; bitwise-only,
-    ANSI-safe, no UDF, no shuffle."""
+    ANSI-safe, no UDF, no shuffle.
+
+    ``hash_mode``: ``'xxhash64'`` (default — fastest, JVM-side) or
+    ``'md5'`` — the top 60 bits of md5, which has an exact ANSI-SQL twin
+    (``CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)``), so results are
+    replayable by a cross-engine oracle; xxhash64 has no SQL equivalent."""
     units = F.array_distinct(word_shingles(content, k)) if k > 1 else F.array_distinct(
         F.split(F.trim(content), r"\s+")
     )
-    hashes = F.transform(units, lambda s: F.xxhash64(s))
+    if hash_mode == "xxhash64":
+        unit_hash = F.xxhash64
+    elif hash_mode == "md5":
+        def unit_hash(s):  # 60-bit md5 prefix: ANSI-safe positive long
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+    hashes = F.transform(units, lambda s: unit_hash(s))
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     votes = F.aggregate(
         hashes,
@@ -307,13 +321,16 @@ def simhash_band_pairs(
     id_col: str,
     band_bits: int = 15,
     max_hamming: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup blocking: docs sharing any of the 4 15-bit bands of
     their simhash (Hamming-distance blocking: distance ≤ 3 guarantees ≥1
     equal band). Output: (id_a, id_b, hamming), optionally filtered to
     ``hamming ≤ max_hamming`` (the guarantee holds for max_hamming ≤ 3 at
-    the default 4×15-bit banding)."""
-    sh = df.select(F.col(id_col), simhash64(F.col(content_col)).alias("sh"))
+    the default 4×15-bit banding). ``hash_mode`` — see ``simhash64``."""
+    sh = df.select(
+        F.col(id_col), simhash64(F.col(content_col), hash_mode=hash_mode).alias("sh")
+    )
     banded = sh.select(
         id_col,
         "sh",

@@ -200,6 +200,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     refine_iters: int = 0,
+    seed_by: str = "hash",
 ) -> DataFrame:
     """IVF two-stage ANN. Centroids = a deterministic hash-stride corpus
     sample (rows whose xxhash64(id) ≡ 0 mod n/n_centroids, lowest ids
@@ -208,6 +209,12 @@ def ivf_topk(
     a global window (a ``Window.orderBy`` over the whole corpus would pull
     100 TB through one partition; the hash filter is a parallel scan and
     the ``orderBy().limit()`` on its tiny survivor set is a TakeOrdered).
+
+    ``seed_by='lowest'`` seeds from the ``n_centroids`` lowest ids instead
+    of the hash stride — same TakeOrdered scan shape, but expressible in
+    plain SQL (xxhash64 has no cross-engine twin), so results can be
+    replayed by an ANSI oracle. Seeding strategy only changes WHICH
+    centroids anchor the buckets, not the IVF plan shape.
 
     Stage 1: assign every corpus vector to its nearest centroid (broadcast
     centroids, argmin over a small array — a projection, then the corpus
@@ -220,14 +227,16 @@ def ivf_topk(
     (``kmeans_refine``) on the seeds before assignment — tighter clusters
     → better recall at the same nprobe.
     """
-    n = corpus.count()
-    step = max(n // n_centroids, 1)
-    sampled = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
-        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-    )
+    sampled = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    if seed_by == "hash":
+        n = corpus.count()
+        step = max(n // n_centroids, 1)
+        sampled = sampled.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0
+        )
+    elif seed_by != "lowest":
+        raise ValueError(f"seed_by must be hash|lowest, got {seed_by!r}")
+    sampled = sampled.orderBy(id_col).limit(n_centroids)
     seeds = [r["__cvec"] for r in sampled.collect()]  # ≤ n_centroids vecs
     if refine_iters > 0:
         seeds = kmeans_refine(corpus, seeds, vec_col=vec_col, iters=refine_iters)

@@ -85,12 +85,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_bands")  # no SQL twin — rows-only driver check
+@register(
+    "dedup_simhash_bands",
+    f"""
+    WITH units AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+    ), hashes AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM units
+    ), votes AS (
+      SELECT doc_id, b.j,
+             sum(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashes CROSS JOIN (SELECT unnest(range(60)) AS j) b
+      GROUP BY doc_id, b.j
+    ), sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                  AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, sh, t.b AS band, (sh >> (t.b * 15)) & 32767 AS bv
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) t
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60bit near-dup pairs: band blocking (4×15-bit bands find
-    every pair at Hamming ≤ 3) + in-join Hamming filter."""
+    every pair at Hamming ≤ 3) + in-join Hamming filter. Unit hashes are
+    the 60-bit md5 prefix (``hash_mode='md5'``) so the oracle replays the
+    whole vote/band/Hamming computation in SQL; the xxhash64 fast path
+    keeps its recall pin in tests/test_dedup.py."""
     d = read_table(spark, sf_dir, "documents")
-    return simhash_band_pairs(d, "text", "doc_id", max_hamming=3)
+    return simhash_band_pairs(d, "text", "doc_id", max_hamming=3, hash_mode="md5")
 
 
 # ---------------------------------------------------------------------------

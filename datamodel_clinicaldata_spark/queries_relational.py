@@ -1005,30 +1005,101 @@ def agg_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one-pass map-side state. Values are engine-specific (rows-only driver
 # check); error bounds vs the exact answers are pinned in tests.
 # ---------------------------------------------------------------------------
-@register("agg_approx_distinct_sketch")  # rows-only: HLL++ values are engine-specific
+@register(
+    "agg_approx_distinct_sketch",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd 1%) — constant
     memory per group vs the O(distinct) hash set of exact count-distinct;
-    sketches merge associatively so partial aggregation stays map-side."""
+    sketches merge associatively so partial aggregation stays map-side.
+
+    The sketch VALUE is engine-specific (DuckDB's HLL ≠ Spark's HLL++),
+    so the oracle checks the strongest cross-engine-stable property
+    instead: group keys, exact cardinalities, and ``sketch_ok`` — the
+    sketch landing within 3·rsd of the exact count. HLL++ is
+    deterministic for a given input, so the boolean is stable, and a
+    sketch regression flips the row red. (The exact count-distinct here
+    is test scaffolding; the sketch is the 100 TB operator.)"""
     e = read_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.lit(3 * 0.01) * F.col("exact_users")
+            ).alias("sketch_ok"),
+        )
     )
 
 
-@register("quantiles_approx_sketch")  # rows-only: sketch values are engine-specific
+@register(
+    "quantiles_approx_sketch",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def quantiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles of l_extendedprice per
     return flag (accuracy 10000 ⇒ ε=1e-4) — bounded state and one pass vs
-    the exact path's per-group sort."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("pq")
-    ).select(
+    the exact path's per-group sort.
+
+    Sketch values are engine-specific, so the oracle checks the GK rank
+    contract instead: each returned value's rank interval
+    ``[count(<v)+1, count(<=v)]`` must overlap the target rank band
+    ``(p ± ε)·n`` (±1 row cushion for rank-definition differences).
+    Deterministic for a given input; a sketch regression flips the row
+    red. The rank-count join is test scaffolding — the sketch is the
+    100 TB operator."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    eps = 1.0 / 10000
+    pq = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("pq")
+    )
+    j = li.join(F.broadcast(pq), "l_returnflag")
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            s
+            for i in range(3)
+            for s in (
+                F.sum(
+                    (F.col("l_extendedprice") < F.col("pq")[i]).cast("long")
+                ).alias(f"__lt{i}"),
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col("pq")[i]).cast("long")
+                ).alias(f"__le{i}"),
+            )
+        ],
+    )
+
+    def ok(i: int, p: float):
+        lo = (F.lit(p - eps) * F.col("n")) - F.lit(1.0)
+        hi = (F.lit(p + eps) * F.col("n")) + F.lit(1.0)
+        return (F.col(f"__le{i}") >= lo) & ((F.col(f"__lt{i}") + 1) <= hi)
+
+    return agg.select(
         "l_returnflag",
-        F.col("pq")[0].alias("p25"),
-        F.col("pq")[1].alias("p50"),
-        F.col("pq")[2].alias("p75"),
+        "n",
+        ok(0, 0.25).alias("p25_ok"),
+        ok(1, 0.50).alias("p50_ok"),
+        ok(2, 0.75).alias("p75_ok"),
     )
 
 

@@ -79,7 +79,49 @@ def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_neardup_lsh")  # rows-only: approximate blocking path
+def _lsh_planes_sql() -> str:
+    """VALUES rows for the exact LCG hyperplanes the Spark query uses
+    (``_lcg_planes(64, 64, 13)``; table = i//4, bit weight = 2^(i%4)).
+    Python float repr round-trips, so DuckDB parses bit-identical doubles
+    and ``list_inner_product`` folds in the same order as ``dot`` — the
+    sign of every plane projection agrees bitwise across engines."""
+    from datamodel_clinicaldata_spark.operators.similarity import _lcg_planes
+
+    planes = _lcg_planes(16 * 4, 64, 13)
+    rows = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        rows.append(f"({i // 4}, {1 << (i % 4)}, {arr})")
+    return ",\n      ".join(rows)
+
+
+@register(
+    "similarity_neardup_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl(tbl, wt, p) AS (VALUES
+      {_lsh_planes_sql()}
+    ),
+    sb AS (
+      SELECT e.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+                           THEN pl.wt ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sb a JOIN sb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT c.id_a, c.id_b,
+             round(list_inner_product(x.v, y.v) /
+                   sqrt(list_inner_product(x.v, x.v) * list_inner_product(y.v, y.v)),
+                   6) AS cos_sim
+      FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+    ) WHERE cos_sim >= 0.45
+    """,
+)
 def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-blocked cosine ≥ 0.45 pairs (the 100 TB path:
     bucketed self-join instead of all-pairs crossJoin). Threshold matches
@@ -87,20 +129,80 @@ def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the synthetic embeddings are near-orthogonal — max cos ≈ 0.51 — so a
     production 0.9 near-dup threshold would return an empty, untestable
     result). bits=4 × 16 tables → per-pair miss ≈ (1−0.65⁴)¹⁶ ≈ 4% at
-    cos 0.45; recall is asserted against the exact pairs in tests."""
+    cos 0.45; recall is asserted against the exact pairs in tests. The
+    planes are a deterministic LCG, so the oracle replays the EXACT
+    bucketing (not just the verified pairs) from inlined plane literals."""
     e = read_table(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(e, threshold=0.45, n_tables=16, bits=4)
 
 
-@register("similarity_ivf_topk")  # rows-only: approximate ANN path
+_IVF_COS_XQ = (
+    "round(list_inner_product(co.v, qp.qv) / "
+    "sqrt(list_inner_product(co.v, co.v) * list_inner_product(qp.qv, qp.qv)), 6)"
+)
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cvec
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_inner_product(e.v, s.cvec) /
+                          sqrt(list_inner_product(e.v, e.v) *
+                               list_inner_product(s.cvec, s.cvec)) DESC,
+                          s.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, s.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_inner_product(q.v, s.cvec) /
+                          sqrt(list_inner_product(q.v, q.v) *
+                               list_inner_product(s.cvec, s.cvec)) DESC,
+                          s.cid ASC
+               ) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN seeds s
+      ) WHERE rn <= 4
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT qp.query_id, a.vec_id, {_IVF_COS_XQ} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY qp.query_id
+               ORDER BY {_IVF_COS_XQ} DESC, a.vec_id ASC
+             ) AS rank
+      FROM qprobe qp
+      JOIN assign a ON a.cid = qp.cid
+      JOIN e co ON co.vec_id = a.vec_id
+    ) WHERE rank <= 10
+    """,
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN, nprobe=4 of 16 centroids, seeds tightened with
-    one Lloyd iteration (recall vs brute force asserted in tests)."""
+    """IVF two-stage ANN, nprobe=4 of 16 centroids, seeded from the 16
+    lowest vec_ids (``seed_by='lowest'`` — SQL-expressible, so the oracle
+    replays centroid assignment, probe selection, and in-bucket scoring
+    exactly; cosine folds are bit-identical across engines). The
+    Lloyd-refined seeding path (``refine_iters>0``) stays covered by
+    tests/test_similarity.py recall assertions."""
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, queries, k=10, n_centroids=16, nprobe=4, refine_iters=1)
+    return ivf_topk(
+        e, queries, k=10, n_centroids=16, nprobe=4, seed_by="lowest"
+    )
 
 
 @register(

@@ -209,11 +209,37 @@ def pack_sequences_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pack_sequences_greedy")  # rows-only: resettable state, no SQL twin
+@register(
+    "pack_sequences_greedy",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), walk AS (
+      SELECT source, rn, doc_id, n_tokens,
+             0 AS bin_id, n_tokens AS filled
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN w.filled + t.n_tokens > {_PACK_BUDGET}
+                  THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.filled + t.n_tokens > {_PACK_BUDGET}
+                  THEN t.n_tokens ELSE w.filled + t.n_tokens END
+      FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bin_id AS BIGINT) AS bin_id
+    FROM walk
+    """,
+)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True greedy reset packing (new bin when the next doc would overflow
     512 tokens) via applyInPandas per source group; invariants asserted in
-    tests/test_text.py."""
+    tests/test_text.py. The oracle replays the sequential fold as a
+    recursive CTE walking each source's doc stream in doc_id order (one
+    recursion level per row — feasible at oracle scale, which is the
+    point: the fold itself is what ``applyInPandas`` distributes)."""
     d = read_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
     return greedy_pack_bins(

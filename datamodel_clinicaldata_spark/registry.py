@@ -45,18 +45,18 @@ from datamodel_clinicaldata_spark import queries_text  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_trainingdata  # noqa: E402,F401
 
 
-def _interleave_by_family() -> None:
-    """Reorder QUERIES round-robin across registering modules.
+def interleaved_by_family(names: list[str]) -> list[str]:
+    """Round-robin the given query names across their registering modules.
 
-    A correctness harness that checks only the first N registry entries
-    would otherwise see families in import order, leaving the entire
-    similarity/streaming/text/trainingdata surface unchecked when N < total.
-    Round-robin guarantees any prefix of length >= #families covers every
-    family, and a prefix of 50 covers most of each.
+    Pure ordering helper — the registry itself stays in registration
+    order. A caller that samples only a prefix of the inventory (e.g. a
+    harness with a query cap) can use this so any prefix of length >=
+    #families covers every family. Computed lazily from the CURRENT
+    registry state, so queries registered after import are included.
     """
     by_family: dict[str, list[str]] = {}
-    for name, fn in QUERIES.items():
-        by_family.setdefault(fn.__module__, []).append(name)
+    for name in names:
+        by_family.setdefault(QUERIES[name].__module__, []).append(name)
     order: list[str] = []
     queues = list(by_family.values())
     while queues:
@@ -64,9 +64,4 @@ def _interleave_by_family() -> None:
             order.append(q.pop(0))
             if not q:
                 queues.remove(q)
-    reordered = {n: QUERIES[n] for n in order}
-    QUERIES.clear()
-    QUERIES.update(reordered)
-
-
-_interleave_by_family()
+    return order
