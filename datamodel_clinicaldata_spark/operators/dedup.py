@@ -189,8 +189,10 @@ def minhash_signature(content: Column, k: int, num_hashes: int) -> Column:
     )
 
 
-# Most recent persisted signature projection (see minhash_lsh_pairs).
+# Most recent persisted signature projection (see minhash_lsh_pairs) —
+# the default latest-call-wins lifecycle; guarded for concurrent callers.
 _MINHASH_PERSIST_HANDLE: DataFrame | None = None
+_MINHASH_PERSIST_LOCK = __import__("threading").Lock()
 
 
 def minhash_lsh_pairs(
@@ -201,6 +203,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    persist_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection.
 
@@ -226,20 +229,28 @@ def minhash_lsh_pairs(
     # and re-hashes the whole corpus. MEMORY_AND_DISK: at 100 TB the
     # shingle+signature projection spills rather than OOMs — the same
     # role a materialized signature table plays in a production pipeline.
-    # A long-lived session calling this repeatedly must not accumulate
-    # cached projections, so each call releases the previous one (at most
-    # one live handle per process; an older still-running plan just falls
-    # back to recompute).
+    # Lifecycle: a caller that passes ``persist_into`` OWNS the handle —
+    # the persisted projection is appended there and the caller unpersists
+    # when done (e.g. after its action), so holding several results live
+    # at once is safe. Without it (fire-and-forget registry use), the
+    # default is latest-call-wins: a long-lived session calling this
+    # repeatedly must not accumulate cached projections, so each call
+    # releases the previous one (at most one live handle per process; an
+    # older still-running plan just falls back to deterministic recompute).
     from pyspark import StorageLevel
 
-    global _MINHASH_PERSIST_HANDLE
-    if _MINHASH_PERSIST_HANDLE is not None:
-        try:
-            _MINHASH_PERSIST_HANDLE.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be stopped
-            pass
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    _MINHASH_PERSIST_HANDLE = docs
+    if persist_into is not None:
+        persist_into.append(docs)
+    else:
+        global _MINHASH_PERSIST_HANDLE
+        with _MINHASH_PERSIST_LOCK:
+            prev, _MINHASH_PERSIST_HANDLE = _MINHASH_PERSIST_HANDLE, docs
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be stopped
+                pass
     banded = docs.select(
         id_col,
         F.explode(

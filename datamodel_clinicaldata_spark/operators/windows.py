@@ -108,11 +108,20 @@ def month_bucket(
 
     ``notebook=True`` is the pandas-notebook variant: divisor 30.44 and a
     ``+1`` origin (``pandas_DataModel.ipynb#cell20``; non-canonical,
-    SURVEY.md §2.9).
+    SURVEY.md §2.9). The notebook divides the RAW Timedelta — including
+    time-of-day — by ``pd.Timedelta(days=30.44)`` (unlike the .py scripts'
+    ``.dt.days``), so this variant floors the seconds delta over
+    30.44·86400 rather than ``datediff``'s whole days; the two differ by
+    1 near bucket boundaries when timestamps carry time components. (The
+    notebook's WEEK still uses ``.dt.days // 7 + 1`` — whole days — so
+    ``week_bucket`` keeps ``datediff`` for both variants.)
     """
-    divisor = DAYS_PER_MONTH_NOTEBOOK if notebook else DAYS_PER_MONTH
-    b = F.floor(F.datediff(F.col(event_col), F.col(anchor_col)) / divisor)
-    return (b + 1 if notebook else b).cast("int")
+    if notebook:
+        secs = F.unix_timestamp(F.col(event_col)) - F.unix_timestamp(F.col(anchor_col))
+        b = F.floor(secs / (DAYS_PER_MONTH_NOTEBOOK * 86400.0))
+        return (b + 1).cast("int")
+    b = F.floor(F.datediff(F.col(event_col), F.col(anchor_col)) / DAYS_PER_MONTH)
+    return b.cast("int")
 
 
 def week_bucket(
@@ -177,14 +186,22 @@ def weight_diff(cohort_col: str) -> Column:
     return first_w - F.lead(first_w).over(w_treatment())
 
 
-def w_global() -> WindowSpec:
+def w_global(include_uid_created: bool = True) -> WindowSpec:
     """The reference's physical frame order as a window: the full O1 6-key
     sort with NO partitioning (``pandas_DataModel.py:85-90`` sorts the whole
     frame, then ``.diff(-1)`` at :141 runs over that order). Single-partition
-    stage — exists only for ``strict_w8`` replication, never the default."""
-    return Window.orderBy(
-        F.col("UID").asc_nulls_first(), *sigma_cols(("TreatmentTypeID", "Tmt_StartDate"))
-    )
+    stage — exists only for ``strict_w8`` replication, never the default.
+
+    All six O1 keys are present, including ``UIDCreatedDate`` (the
+    reference's 2nd key): it is constant per UID in well-formed data, but
+    strict-parity mode must not assume well-formedness. NULLS LAST matches
+    pandas ``na_position='last'``. ``include_uid_created=False`` is for
+    frames assembled without the users dimension (the column then does not
+    exist to sort on)."""
+    keys = [F.col("UID").asc_nulls_first()]
+    if include_uid_created:
+        keys.append(F.col("UIDCreatedDate").asc_nulls_last())
+    return Window.orderBy(*keys, *sigma_cols(("TreatmentTypeID", "Tmt_StartDate")))
 
 
 def patient_tbwl(cohort_col: str) -> Column:
@@ -254,7 +271,11 @@ def with_cohort_metrics(
     df = df.withColumn("__first_w", cohort_first_weight(cohort))
     tew = treatment_ending_weight()
     tsw = treatment_starting_weight()
-    lead_window = w_global() if strict_w8 else w_treatment()
+    lead_window = (
+        w_global(include_uid_created="UIDCreatedDate" in df.columns)
+        if strict_w8
+        else w_treatment()
+    )
     stage2 = {
         "PSW": patient_starting_weight(),
         "TSW": tsw,

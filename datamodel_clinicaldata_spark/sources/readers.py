@@ -77,10 +77,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Self-sufficient on ANY session (not just ``session.get_spark()``): the
     testdata ``events.parquet`` stores TIMESTAMP(NANOS), which a vanilla
     SparkSession rejects outright (PARQUET_TYPE_ILLEGAL). The legacy conf
-    below is runtime-settable and idempotent, so set it here rather than
-    relying on session-construction time.
+    below is runtime-settable and idempotent. It is set ONLY for tables
+    listed in ``_NANOS_TS_COLUMNS`` — other reads never touch session
+    state. For those tables the conf does stay set on the session
+    afterwards (deliberately: the returned DataFrame is lazy, and Spark
+    may consult the conf again when the scan executes, so an eager
+    set/restore could flip it back mid-plan); any later TIMESTAMP(NANOS)
+    parquet read on the same session therefore also comes back as long.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name in _NANOS_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

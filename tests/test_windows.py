@@ -170,6 +170,19 @@ def test_invalid_cohort_rejected(spark):
         with_cohort_metrics(df, "DROP TABLE")
 
 
+def test_notebook_month_bucket_uses_time_of_day(spark):
+    # pandas_DataModel.ipynb divides the RAW Timedelta by Timedelta(days=30.44)
+    # — time-of-day included — before floor (+1 origin). 30.5 days elapsed:
+    # raw 30.5/30.44 = 1.00197 → floor 1 → +1 = 2, whereas whole-days
+    # datediff gives 30/30.44 → floor 0 → +1 = 1. Canonical stays datediff.
+    df = _frame(spark, [("u1", 30.5, True, 70.0)])
+    nb = _by_key(with_cohort_metrics(df, "week", notebook_buckets=True))["u1"]
+    assert nb[0]["month"] == 2
+    assert nb[0]["week"] == 4 + 1  # notebook week stays whole-days (+1)
+    canon = _by_key(with_cohort_metrics(df, "week"))["u1"]
+    assert canon[0]["month"] == 0 and canon[0]["week"] == 4
+
+
 def test_keep_tew_variant(spark):
     # polars .py keeps TEW as a column (SURVEY.md §2.9)
     df = _frame(spark, [("u1", 0, True, 83.5), ("u1", 7, True, 80.5)])
