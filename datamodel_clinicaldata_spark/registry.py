@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Import modules for their registration side effects.
 from datamodel_clinicaldata_spark import queries_clinical  # noqa: E402,F401
+from datamodel_clinicaldata_spark import queries_csv  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_dedup  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_multimodal  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_relational  # noqa: E402,F401
