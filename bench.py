@@ -47,6 +47,9 @@ HEADLINE = [
     "dedup_cluster_components",
     "agg_market_share",
     "timeseries_gapfill_interpolate",
+    # round 3: remaining heavy extension ops get regression baselines
+    "similarity_neardup_lsh",
+    "dedup_simhash_bands",
 ]
 
 

@@ -34,6 +34,29 @@ def test_flagship_plan_shape(spark, sf_dir):
     assert a.unpartitioned_windows == 0
 
 
+def test_metric_stage_single_exchange(spark, sf_dir):
+    """The metric stage in isolation (verdict r2 #6): over an
+    already-assembled frame, ALL four window operators ride ONE wide
+    exchange (the explicit UID repartition) and at most 3 in-partition
+    sorts (cohort → treatment+patient shared → cohort). A regression here
+    is one extra full-data shuffle per query at 100 TB."""
+    from datamodel_clinicaldata_spark.operators.relational import rename_columns
+    from datamodel_clinicaldata_spark.operators.windows import with_cohort_metrics
+    from datamodel_clinicaldata_spark.pipeline import clinical_standins_from_testdata
+    from datamodel_clinicaldata_spark.operators.relational import assemble_star
+
+    users, weights, treatments = clinical_standins_from_testdata(spark, sf_dir)
+    assembled = rename_columns(assemble_star(users, weights, treatments))
+    # localCheckpoint-free isolation: audit only what the metric stage adds
+    # on top of the assembly plan by differencing the two audits.
+    base = audit(assembled)
+    full = audit(with_cohort_metrics(assembled, cohort="week"))
+    assert full.windows == 4
+    assert full.exchanges - base.exchanges == 1
+    assert full.sorts - base.sorts <= 3
+    assert full.unpartitioned_windows == 0
+
+
 def test_scan_pushdown_and_pruning(spark, sf_dir):
     """Filters and projections must reach the parquet scan."""
     df = (
