@@ -65,34 +65,45 @@ def load_clinical_tables(
     return {t: read_clinical_csv(spark, path_to_data, t) for t in CLINICAL_SCHEMAS}
 
 
-# Columns stored as parquet TIMESTAMP(NANOS) in the driver testdata; read
-# as long (spark.sql.legacy.parquet.nanosAsLong) and converted to µs
-# TimestampType here so downstream operators see a real timestamp.
-_NANOS_TS_COLUMNS = {"events": ("ts",)}
+# Event-time columns in the driver testdata whose parquet physical type is
+# not stable across testdata generations: TIMESTAMP(NANOS) in some drops
+# (rejected by a vanilla session → read as long via nanosAsLong, ÷1000 to
+# µs), TIMESTAMP(MICROS) without timezone in others (inferred as
+# TIMESTAMP_NTZ → cast to session-tz TIMESTAMP, value-preserving under the
+# engine's pinned UTC session and required for watermarks/window()).
+_EVENT_TS_COLUMNS = {"events": ("ts",)}
+
+
+def _normalize_event_ts(df: DataFrame, col: str) -> DataFrame:
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # Integer division — float division would lose ns precision
+        # (2^53 < 1e18) and shift the resulting microsecond.
+        return df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table.
 
-    Self-sufficient on ANY session (not just ``session.get_spark()``): the
-    testdata ``events.parquet`` stores TIMESTAMP(NANOS), which a vanilla
-    SparkSession rejects outright (PARQUET_TYPE_ILLEGAL). The legacy conf
-    below is runtime-settable and idempotent. It is set ONLY for tables
-    listed in ``_NANOS_TS_COLUMNS`` — other reads never touch session
-    state. For those tables the conf does stay set on the session
-    afterwards (deliberately: the returned DataFrame is lazy, and Spark
-    may consult the conf again when the scan executes, so an eager
-    set/restore could flip it back mid-plan); any later TIMESTAMP(NANOS)
-    parquet read on the same session therefore also comes back as long.
+    Self-sufficient on ANY session (not just ``session.get_spark()``):
+    TIMESTAMP(NANOS) testdata is rejected outright by a vanilla
+    SparkSession (PARQUET_TYPE_ILLEGAL). The legacy conf below is
+    runtime-settable and idempotent. It is set ONLY for tables listed in
+    ``_EVENT_TS_COLUMNS`` — other reads never touch session state. For
+    those tables the conf does stay set on the session afterwards
+    (deliberately: the returned DataFrame is lazy, and Spark may consult
+    the conf again when the scan executes, so an eager set/restore could
+    flip it back mid-plan); any later TIMESTAMP(NANOS) parquet read on the
+    same session therefore also comes back as long.
     """
-    if name in _NANOS_TS_COLUMNS:
+    if name in _EVENT_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
-            # Integer division — float division would lose ns precision
-            # (2^53 < 1e18) and shift the resulting microsecond.
-            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    for col in _EVENT_TS_COLUMNS.get(name, ()):
+        df = _normalize_event_ts(df, col)
     return df
 
 

@@ -26,29 +26,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet — the streaming twin of
-    ``sources.readers.read_table(..., 'events')``. Streaming sources need
-    an explicit schema; ts arrives as nanos-long (legacy.parquet.nanosAsLong)
-    and is converted to a µs timestamp exactly like the batch reader."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    ``sources.readers.read_table(..., 'events')``.
+
+    Streaming sources need an explicit schema, and the testdata's ``ts``
+    physical type is not stable across generations (TIMESTAMP(NANOS) in
+    some drops, TIMESTAMP(MICROS)-NTZ in others). Hardcoding either is a
+    silent ×1000 timestamp shift (or a watermark type error) when the data
+    flips, so the schema is taken from the parquet footer via a batch
+    reader (metadata-only — no data scan) and ``ts`` is normalized by the
+    same type-dispatched rule as ``read_table``. The nanosAsLong conf is
+    set here, not assumed from a prior batch read, and stays set — the
+    stream is lazy and the scan consults the conf at (re)execution time."""
+    import os
+
+    from datamodel_clinicaldata_spark.sources.readers import _normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    df = (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    return _normalize_event_ts(df, "ts")
 
 
 def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
