@@ -43,6 +43,7 @@ from datamodel_clinicaldata_spark import queries_relational  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_similarity  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_streaming  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_text  # noqa: E402,F401
+from datamodel_clinicaldata_spark import queries_tpch  # noqa: E402,F401
 from datamodel_clinicaldata_spark import queries_trainingdata  # noqa: E402,F401
 
 
