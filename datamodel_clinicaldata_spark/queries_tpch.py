@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from datamodel_clinicaldata_spark.registry import register
 from datamodel_clinicaldata_spark.sources.readers import read_table
 
-_DISC_PRICE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _disc_price():
+    # Built lazily: classic-mode Column construction needs an active
+    # SparkContext, and this module is imported (registry side effects)
+    # before any session exists in bench/driver entrypoints.
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -67,7 +71,7 @@ def agg_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     n = F.broadcast(read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
-    profit = _DISC_PRICE - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    profit = _disc_price() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -182,7 +186,7 @@ def topk_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_DISC_PRICE), 4).alias("total_revenue")
+        F.round(F.sum(_disc_price()), 4).alias("total_revenue")
     )
     top = rev.withColumn(
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
@@ -273,7 +277,7 @@ def agg_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_DISC_PRICE), 4).alias("revenue"))
+        .agg(F.round(F.sum(_disc_price()), 4).alias("revenue"))
     )
 
 
