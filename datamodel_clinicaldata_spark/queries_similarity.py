@@ -237,3 +237,45 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+@register(
+    "similarity_quantized_topk",
+    """
+    WITH codes AS (
+      SELECT vec_id,
+             list_transform(
+               embedding::DOUBLE[],
+               x -> CAST(round(x * (127.0 / greatest(
+                      list_aggregate(list_transform(embedding::DOUBLE[],
+                                                    y -> abs(y)), 'max'),
+                      1e-12))) AS BIGINT)) AS code
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_sum(list_transform(list_zip(c.code, q.code),
+                                     s -> s[1] * s[2])) AS dot_q
+      FROM (SELECT * FROM codes WHERE vec_id < 5) q
+      JOIN codes c ON true
+    )
+    SELECT query_id, vec_id, dot_q, rank FROM (
+      SELECT query_id, vec_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization + exact integer-dot top-10 for query
+    vectors vec_id < 5 — the quantized ANN baseline. Integer scores make
+    the cross-engine check exact (zero float tolerance); the only float
+    step, round(v·scale), is the same IEEE double expression on both
+    engines."""
+    from datamodel_clinicaldata_spark.operators.similarity import quantized_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(e, queries, k=10)

@@ -223,3 +223,45 @@ def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFram
     from datamodel_clinicaldata_spark.operators.timeseries import time_bucket_gapfill
 
     return time_bucket_gapfill(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_user_profile",
+    """
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(sum(CASE WHEN rn = 1 THEN power(0.9, n - 1) * value
+                          ELSE 0.1 * power(0.9, n - rn) * value END), 4)
+             AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+)
+def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator surface (``applyInPandasWithState``): the
+    per-user running profile's batch twin runs the SAME ``_fold_profile``
+    arithmetic the streaming state update executes per micro-batch
+    (streaming mode pinned equal in tests/test_streaming.py). The oracle
+    replays the sequential EWMA recurrence ewma' = α·v + (1-α)·ewma as
+    its closed-form geometric expansion Σ α(1-α)^(n-i)·v_i (first term
+    (1-α)^(n-1)·v_1 — the fold initializes with the first value), which
+    is windowable SQL; the operator itself stays a genuine sequential
+    fold. Rounding to 4 decimals absorbs the recurrence-vs-expansion
+    float association difference (~1e-13 relative)."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.streaming.stateful import batch_user_profile
+
+    return batch_user_profile(read_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("ewma", 4).alias("ewma"),
+    )

@@ -41,6 +41,23 @@ OUTPUT_SCHEMA = T.StructType(
 EWMA_ALPHA = 0.1
 
 
+def _fold_profile(
+    pdf: pd.DataFrame, n: int, total: float, ewma: float | None
+) -> tuple[int, float, float | None]:
+    """Fold one chunk of a user's events (sorted by (ts, event_id) when
+    event_id is present — a deterministic total order even under tied
+    timestamps and nondeterministic shuffle-fetch row order) into the
+    running (count, sum, EWMA) profile. Shared by the streaming state
+    update and the batch twin so both surfaces execute the same fold."""
+    sort_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+    pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    n += len(pdf)
+    total += float(pdf["value"].sum())
+    for v in pdf["value"]:
+        ewma = float(v) if ewma is None else EWMA_ALPHA * float(v) + (1 - EWMA_ALPHA) * ewma
+    return n, total, ewma
+
+
 def _update_user_profile(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
@@ -52,11 +69,7 @@ def _update_user_profile(
     else:
         n, total, ewma = 0, 0.0, None
     for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        for v in pdf["value"]:
-            ewma = float(v) if ewma is None else EWMA_ALPHA * float(v) + (1 - EWMA_ALPHA) * ewma
+        n, total, ewma = _fold_profile(pdf, n, total, ewma)
     state.update((n, total, ewma))
     yield pd.DataFrame(
         {
@@ -73,7 +86,7 @@ def running_user_profile(events: DataFrame) -> DataFrame:
     DataFrame with (user_id, ts, value); output emits one row per user per
     micro-batch with the post-batch state (update mode)."""
     return (
-        events.select("user_id", "ts", "value")
+        events.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_profile,
@@ -82,4 +95,36 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def batch_user_profile(events: DataFrame) -> DataFrame:
+    """Batch twin of ``running_user_profile`` — the SAME fold
+    (``_fold_profile``) over each user's complete history via
+    ``applyInPandas``, so the driver's value-level oracle gate exercises
+    the stateful operator's arithmetic, not a lookalike reimplementation.
+
+    Scale: one shuffle on user_id; the Python hop is Arrow-batched, one
+    call per user — the grouped state pattern's batch cost model. The
+    EWMA is inherently sequential per user (each step depends on the
+    previous), so a window expression can't express the fold itself; the
+    closed-form expansion exists (see the registered oracle) but is the
+    *check*, not the operator."""
+    import pandas as pd  # noqa: F811 — local so the module stays importable without a session
+
+    def fold(pdf: pd.DataFrame):
+        n, total, ewma = _fold_profile(pdf, 0, 0.0, None)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "ewma": [ewma],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, OUTPUT_SCHEMA)
     )

@@ -122,3 +122,29 @@ def test_ivf_topk_recall(spark, sf_dir):
         for r in ivf_topk(e, queries, k=10, n_centroids=16, nprobe=8).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_quantize_int8_bounds_and_extremum(spark, sf_dir):
+    """Quantized codes stay in [-127, 127] and each non-zero vector's
+    largest-|v| component maps to ±127 exactly."""
+    import pyspark.sql.functions as F
+
+    from datamodel_clinicaldata_spark.functions.vectors import quantize_int8
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").limit(200)
+    q = e.select(quantize_int8(F.col("embedding")).alias("code"))
+    stats = q.select(
+        F.aggregate("code", F.lit(0).cast("long"), lambda a, v: F.greatest(a, F.abs(v))).alias("max_abs")
+    ).agg(F.min("max_abs"), F.max("max_abs")).collect()[0]
+    assert stats[0] == 127 and stats[1] == 127
+
+
+def test_quantized_topk_rank1_is_self(spark, sf_dir):
+    """A query vector's nearest quantized neighbor is itself (integer
+    self-dot is maximal for symmetric quantization on this corpus)."""
+    from datamodel_clinicaldata_spark.queries_similarity import similarity_quantized_topk
+
+    rows = similarity_quantized_topk(spark, sf_dir).filter("rank = 1").collect()
+    assert len(rows) == 5
+    assert all(r.query_id == r.vec_id for r in rows)

@@ -132,3 +132,21 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     want = click_purchase_join(read_table(spark, sf_dir, "events"))
     cols = ["click_id", "purchase_id", "user_id", "purchase_value"]
     assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_batch_user_profile_equals_streaming_final(spark, sf_dir, tmp_path):
+    """The applyInPandas batch twin and the applyInPandasWithState stream
+    must land on identical final per-user profiles — same fold, two
+    execution modes (single-batch stream ⇒ final update == full fold)."""
+    from datamodel_clinicaldata_spark.streaming.stateful import batch_user_profile
+
+    stream = running_user_profile(stream_events(spark, sf_dir))
+    _run_stream(stream, "profile_final", tmp_path, "update")
+    got = spark.sql(
+        "SELECT user_id, n_events, round(total_value, 6) tv, round(ewma, 6) e FROM profile_final"
+    )
+    want = batch_user_profile(read_table(spark, sf_dir, "events")).selectExpr(
+        "user_id", "n_events", "round(total_value, 6) tv", "round(ewma, 6) e"
+    )
+    cols = ["user_id", "n_events", "tv", "e"]
+    assert _norm(got, cols) == _norm(want, cols)

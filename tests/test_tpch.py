@@ -1,0 +1,68 @@
+"""TPC-H completion pack: value invariants + plan-shape pins.
+
+The value-level correctness gate is the DuckDB oracle (tools/
+oracle_check.py); these tests pin the *scale-relevant* plan properties
+that a hash comparison cannot see, plus cheap cross-query invariants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datamodel_clinicaldata_spark.queries_tpch import (
+    agg_brand_band_revenue,
+    agg_custdist,
+    agg_idle_customers,
+    topk_supplier_revenue,
+)
+from datamodel_clinicaldata_spark.sources.readers import read_table
+
+
+from datamodel_clinicaldata_spark.plans.audit import physical_plan as _formatted_plan
+
+
+def test_custdist_accounts_for_every_customer(spark, sf_dir):
+    """q13's histogram must partition the customer set: Σ custdist =
+    |customer| (zero-order customers included via the left join)."""
+    dist = agg_custdist(spark, sf_dir).agg(F.sum("custdist")).collect()[0][0]
+    n_cust = read_table(spark, sf_dir, "customer").count()
+    assert dist == n_cust
+
+
+def test_top_supplier_revenue_is_global_max(spark, sf_dir):
+    """Every returned supplier carries the same (maximal) revenue."""
+    rows = topk_supplier_revenue(spark, sf_dir).collect()
+    assert rows, "quarter window selects no lineitem rows"
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1
+
+
+def test_brand_band_part_filter_reaches_scan(spark, sf_dir):
+    """q19's separable dim residue (brand IN … ∧ size ≤ 30) must be pushed
+    into the part parquet scan, not evaluated post-join — at 100 TB this
+    prunes the build side before any shuffle."""
+    plan = _formatted_plan(agg_brand_band_revenue(spark, sf_dir))
+    scan_blocks = [b for b in plan.split("\n\n") if "part.parquet" in b]
+    assert scan_blocks, plan
+    assert any("PushedFilters" in b and "p_brand" in b and "p_size" in b for b in scan_blocks), (
+        "part dim filter not pushed to scan:\n" + plan
+    )
+
+
+def test_idle_customers_uses_anti_join(spark, sf_dir):
+    """q22's NOT EXISTS must plan as a hash anti join (broadcast or
+    shuffled) — never a cartesian/nested-loop shape."""
+    plan = _formatted_plan(agg_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("qname", ["agg_late_suppliers", "agg_small_quantity_revenue"])
+def test_decorrelated_aggregates_single_lineitem_pass_each(spark, sf_dir, qname):
+    """The de-correlated per-group subqueries re-scan lineitem once (two
+    scans total: stats pass + probe pass) — not once per outer row."""
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    plan = _formatted_plan(QUERIES[qname](spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2, plan
