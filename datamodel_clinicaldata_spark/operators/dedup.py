@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.functions.text import word_shingles
+from datamodel_clinicaldata_spark.operators.partitioning import ensure_min_parallelism
 
 
 def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -117,6 +118,7 @@ def ngram_jaccard_pairs(
     Exact while nothing is stop-capped; with a binding ``max_postings``
     cap both c and the candidate set ignore capped (ubiquitous) shingles,
     while sizes still count them — Jaccard is then a lower bound."""
+    df = ensure_min_parallelism(df)
     sizes = df.select(
         F.col(id_col),
         F.size(F.array_distinct(word_shingles(F.col(content_col), k))).alias("n"),
@@ -219,6 +221,7 @@ def minhash_lsh_pairs(
     path.
     """
     r = num_hashes // bands
+    df = ensure_min_parallelism(df)
     docs = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(content_col), k)).alias("shingles"),
@@ -339,7 +342,7 @@ def simhash_band_pairs(
     equal band). Output: (id_a, id_b, hamming), optionally filtered to
     ``hamming ≤ max_hamming`` (the guarantee holds for max_hamming ≤ 3 at
     the default 4×15-bit banding). ``hash_mode`` — see ``simhash64``."""
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col), simhash64(F.col(content_col), hash_mode=hash_mode).alias("sh")
     )
     banded = sh.select(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.functions.vectors import as_double, cosine, dot, sign_bits
+from datamodel_clinicaldata_spark.operators.partitioning import ensure_min_parallelism
 
 
 def cosine_topk_bruteforce(
@@ -64,20 +65,6 @@ def cosine_topk_bruteforce(
     )
 
 
-def _ensure_parallel(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input has fewer partitions
-    than the session's parallelism. A small-file corpus (one parquet file
-    → one scan partition) would otherwise run every downstream
-    projection — sign-bucket hashing, pair emission, verify dot products
-    — on a single core while broadcast joins never introduce a shuffle to
-    spread it. On a real cluster scan (many splits) this is a no-op, so
-    the extra exchange is never paid where it isn't needed."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def cosine_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -103,7 +90,7 @@ def cosine_neardup_pairs(
         planes_all = planes
     tables = [planes_all[t * bits : (t + 1) * bits] for t in range(n_tables)]
 
-    df = _ensure_parallel(df)
+    df = ensure_min_parallelism(df)
 
     # Candidate generation stays NARROW: bucket rows carry only (id,
     # table, bucket), so the self-join emits 16-byte id pairs and the
