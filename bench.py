@@ -50,6 +50,13 @@ HEADLINE = [
     # round 3: remaining heavy extension ops get regression baselines
     "similarity_neardup_lsh",
     "dedup_simhash_bands",
+    # round 3 widening: TPC-H completion pack representatives, the
+    # stateful-profile batch twin, and quantized ANN
+    "agg_custdist",
+    "agg_late_suppliers",
+    "agg_product_type_profit",
+    "stream_user_profile",
+    "similarity_quantized_topk",
 ]
 
 

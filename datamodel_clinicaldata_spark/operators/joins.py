@@ -110,8 +110,10 @@ def asof_join(
     struct forward with ``last(..., ignoreNulls)`` — per-row O(1), no
     intermediate blow-up, the shape that survives 100 TB.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     backward = direction == "backward"
 
     key_type = left.schema[left_key].dataType
@@ -123,6 +125,13 @@ def asof_join(
             for c in out_right
         ]
     )
+
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, left_key, right_key, left_ts, right_ts,
+            right_cols, how, key_type, ts_type, out_right, rv,
+        )
+
     rsel = right.select(
         F.col(right_key).cast(key_type).alias(left_key),
         F.col(right_ts).cast(ts_type).alias("__ats"),
@@ -178,3 +187,80 @@ def asof_join(
         *[F.col("__pick")[c].alias(c) for c in out_right],
     )
     return out
+
+
+def _asof_nearest(
+    left, right, left_key, right_key, left_ts, right_ts,
+    right_cols, how, key_type, ts_type, out_right, rv,
+):
+    """``direction='nearest'``: whichever of the backward/forward matches
+    is closer in event time wins; an exact |Δt| tie goes to the BACKWARD
+    (most-recent) row, matching the common market-data convention.
+
+    One union, ONE shuffle on the key, two window picks (ascending and
+    descending running frames — both incrementally maintained, O(n) per
+    partition; the two opposite in-partition sorts are the whole extra
+    cost over a single-direction as-of)."""
+    from pyspark.sql import types as T
+
+    rsel = right.select(
+        F.col(right_key).cast(key_type).alias(left_key),
+        F.col(right_ts).cast(ts_type).alias("__ats"),
+        rv.alias("__rv"),
+        F.lit(0).alias("__side"),
+    )
+    rv_type = rsel.schema["__rv"].dataType
+    lsel = left.select(
+        "*",
+        F.col(left_ts).alias("__ats"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+        F.lit(1).alias("__side"),
+    )
+    u = lsel.unionByName(rsel, allowMissingColumns=True)
+
+    # Right rows sort before the left row at equal ts in BOTH traversals
+    # (side 0 < 1 regardless of ts direction) — both bounds inclusive,
+    # and the same-ts tie among right rows resolves to the max
+    # right_cols[0] under `last` exactly like the single-direction paths.
+    tie = F.col("__rv")[right_cols[0]].asc_nulls_first()
+    w_back = (
+        Window.partitionBy(left_key)
+        .orderBy(F.col("__ats").asc_nulls_last(), F.col("__side").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(left_key)
+        .orderBy(F.col("__ats").desc_nulls_first(), F.col("__side").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("__pb", F.last("__rv", ignorenulls=True).over(w_back))
+        .withColumn("__pf", F.last("__rv", ignorenulls=True).over(w_fwd))
+        .filter(F.col("__side") == 1)
+    )
+
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        def num(c):
+            return F.unix_micros(c.cast("timestamp"))
+    else:
+        def num(c):
+            return c.cast("double")
+
+    anchor = num(F.col(left_ts).cast(ts_type))
+    back_dt = anchor - num(F.col("__pb")[right_ts])
+    fwd_dt = num(F.col("__pf")[right_ts]) - anchor
+    pick = (
+        F.when(F.col("__pb").isNull(), F.col("__pf"))
+        .when(F.col("__pf").isNull(), F.col("__pb"))
+        .when(fwd_dt < back_dt, F.col("__pf"))
+        .otherwise(F.col("__pb"))
+    )
+    matched = matched.withColumn("__pick", pick).drop(
+        "__ats", "__rv", "__side", "__pb", "__pf"
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__pick").isNotNull())
+    return matched.select(
+        *[c for c in left.columns],
+        *[F.col("__pick")[c].alias(c) for c in out_right],
+    )

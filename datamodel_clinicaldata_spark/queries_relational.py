@@ -253,6 +253,64 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate", "o_custkey", "event_id", "ts")
 
 
+@register(
+    "join_asof_nearest",
+    """
+    WITH b AS (
+      SELECT o_orderkey, event_id, ts FROM (
+        SELECT o.o_orderkey, e.event_id, e.ts,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+      ) WHERE rn = 1
+    ), f AS (
+      SELECT o_orderkey, event_id, ts FROM (
+        SELECT o.o_orderkey, e.event_id, e.ts,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY e.ts ASC, e.event_id DESC) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ) WHERE rn = 1
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_custkey,
+           CASE WHEN b.event_id IS NULL THEN f.event_id
+                WHEN f.event_id IS NULL THEN b.event_id
+                WHEN epoch_us(f.ts) - epoch_us(o.o_orderdate)
+                     < epoch_us(o.o_orderdate) - epoch_us(b.ts) THEN f.event_id
+                ELSE b.event_id END AS event_id,
+           CASE WHEN b.ts IS NULL THEN f.ts
+                WHEN f.ts IS NULL THEN b.ts
+                WHEN epoch_us(f.ts) - epoch_us(o.o_orderdate)
+                     < epoch_us(o.o_orderdate) - epoch_us(b.ts) THEN f.ts
+                ELSE b.ts END AS ts
+    FROM orders o
+    LEFT JOIN b ON b.o_orderkey = o.o_orderkey
+    LEFT JOIN f ON f.o_orderkey = o.o_orderkey
+    WHERE b.event_id IS NOT NULL OR f.event_id IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, nearest direction: for each order, the customer's
+    closest event in either time direction; |Δt| ties go to the backward
+    (most-recent) row. One shuffle, two O(n) running-frame picks
+    (``operators.joins._asof_nearest``)."""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey"
+    )
+    return asof_join(
+        o,
+        e,
+        left_key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_cols=["event_id"],
+        direction="nearest",
+    ).select("o_orderkey", "o_orderdate", "o_custkey", "event_id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Sorts / distinct (O1, O2)
 # ---------------------------------------------------------------------------

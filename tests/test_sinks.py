@@ -202,3 +202,36 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
 
     got = spark.read.parquet(out)
     assert got.count() == read_table(spark, sf_dir, "events").count()
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    """nearest as-of: closer side wins, exact |Δt| tie goes backward,
+    one-sided anchors fall back to the populated side."""
+    import datetime as dt
+
+    from datamodel_clinicaldata_spark.operators.joins import asof_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "closer_back"), (1, ts(20), "tie"), (1, ts(1), "only_fwd"),
+         (2, ts(10), "no_events")],
+        "k int, at timestamp, label string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 100), (1, ts(12), 200), (1, ts(25), 300), (1, ts(15), 400)],
+        "k int, rts timestamp, rid int",
+    )
+    out = {
+        r.label: (r.rid, r.rts)
+        for r in asof_join(
+            left, right, "k", "k", "at", "rts", ["rid"], direction="nearest"
+        ).collect()
+    }
+    assert out["closer_back"][0] == 100          # Δ back 1 min < Δ fwd 2 min
+    assert out["tie"][0] == 400                  # 15 vs 25: back Δ5 == fwd Δ5 → backward
+    assert out["only_fwd"][0] == 100             # nothing at/before 1 min → forward
+    assert "no_events" not in out                # inner drops unmatched keys
