@@ -1445,3 +1445,47 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(disc), 4).alias("total_volume"),
         )
     )
+
+
+@register(
+    "retention_cohort_matrix",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.activity_week) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by first-activity week,
+    counted per week-offset of later activity. The canonical
+    product-analytics rollup at event-log scale: one user-grain
+    aggregate (cohort assignment), one distinct over (user, week), a
+    user-key join that reuses the same hash partitioning, and a final
+    small aggregate on (cohort, offset). Week truncations are
+    Monday-aligned in both engines, so day deltas are exact multiples of
+    7 and the /7 is exact (no float rounding divergence)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = e.distinct().withColumnRenamed("w", "activity_week")
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
