@@ -66,3 +66,36 @@ def test_decorrelated_aggregates_single_lineitem_pass_each(spark, sf_dir, qname)
 
     plan = _formatted_plan(QUERIES[qname](spark, sf_dir))
     assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_ensure_min_parallelism_noop_when_wide(spark, sf_dir):
+    """Already-parallel inputs pass through untouched (no extra exchange);
+    single-partition inputs spread to the session parallelism."""
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = read_table(spark, sf_dir, "embeddings")
+    assert narrow.rdd.getNumPartitions() < target  # single-file testdata
+    widened = ensure_min_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    already = widened
+    assert ensure_min_parallelism(already) is already
+
+
+def test_retention_matrix_offset_zero_totality(spark, sf_dir):
+    """Every cohort's offset-0 cell counts exactly its cohort members
+    (each user is active in their own first week by construction), and
+    offsets are non-negative."""
+    from datamodel_clinicaldata_spark.queries_relational import (
+        retention_cohort_matrix,
+    )
+
+    rows = retention_cohort_matrix(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(zero.values()) == n_users
