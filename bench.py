@@ -57,6 +57,8 @@ HEADLINE = [
     "agg_product_type_profit",
     "stream_user_profile",
     "similarity_quantized_topk",
+    "join_asof_nearest",
+    "retention_cohort_matrix",
 ]
 
 
