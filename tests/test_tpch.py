@@ -99,3 +99,32 @@ def test_retention_matrix_offset_zero_totality(spark, sf_dir):
         read_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert sum(zero.values()) == n_users
+
+
+def test_supplier_part_counts_denylist_is_anti_join(spark, sf_dir):
+    """q16's NOT IN denylist must plan as a (broadcast) anti join."""
+    from datamodel_clinicaldata_spark.queries_tpch import agg_supplier_part_counts
+
+    plan = _formatted_plan(agg_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_important_stock_threshold_is_broadcast(spark, sf_dir):
+    """q11's global-threshold scalar joins in as a broadcast single row —
+    never a shuffle keyed on nothing."""
+    from datamodel_clinicaldata_spark.queries_tpch import agg_important_stock
+
+    plan = _formatted_plan(agg_important_stock(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_min_cost_supplier_window_is_part_partitioned(spark, sf_dir):
+    """q2's de-correlated min runs partitioned by part — no global sort."""
+    from datamodel_clinicaldata_spark.plans.audit import audit
+    from datamodel_clinicaldata_spark.queries_tpch import agg_min_cost_supplier
+
+    a = audit(agg_min_cost_supplier(spark, sf_dir))
+    assert a.windows == 1
+    assert a.unpartitioned_windows == 0
