@@ -176,3 +176,89 @@ def clinical_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return typed.unionByName(untyped).dropDuplicates()
+
+
+@register(
+    "jsonl_roundtrip_documents",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source round trip under the value-level gate: the
+    documents table is written to line-delimited JSON and read back with
+    the explicit-schema reader (``sources.readers.read_jsonl`` — no
+    inference pass), then aggregated per language with byte-exact content
+    measures (octet length survives JSON string escaping unchanged). The
+    oracle computes the same aggregate straight from parquet, so any
+    loss/corruption in either direction of the JSON hop flips the hash."""
+    import tempfile
+
+    from datamodel_clinicaldata_spark.sources.readers import read_jsonl, read_table
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_docs_{abs(hash(os.path.abspath(sf_dir)))%10**9}",
+    )
+    read_table(spark, sf_dir, "documents").write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.octet_length("text")).cast("long").alias("total_bytes"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+@register(
+    "orc_roundtrip_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice), 4) AS sum_price,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY 1, 2
+    """,
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round trip: a keyed slice of lineitem is written
+    to ORC and read back (``sources.readers.read_orc``), then aggregated
+    with the module float policy. Doubles round-trip bit-exactly through
+    ORC, so the oracle (same aggregate from parquet) hash-matches iff the
+    format hop is lossless."""
+    import tempfile
+
+    from datamodel_clinicaldata_spark.sources.readers import read_orc, read_table
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_li_{abs(hash(os.path.abspath(sf_dir)))%10**9}",
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    ).select("l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
+    li.write.mode("overwrite").orc(out)
+    back = read_orc(spark, out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
