@@ -131,7 +131,17 @@ def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     result). bits=4 × 16 tables → per-pair miss ≈ (1−0.65⁴)¹⁶ ≈ 4% at
     cos 0.45; recall is asserted against the exact pairs in tests. The
     planes are a deterministic LCG, so the oracle replays the EXACT
-    bucketing (not just the verified pairs) from inlined plane literals."""
+    bucketing (not just the verified pairs) from inlined plane literals.
+
+    Bench interpretation: at these recall-driven parameters on the
+    near-orthogonal corpus, blocking barely blocks — 6.2M pre-dedup
+    candidates, 1.14M distinct pairs out of C(2000,2) ≈ 2.0M at sf0.1 —
+    so this row measures a ~57%-of-all-pairs exact verify (~6 s ≈ 4 µs
+    per pair including the narrow-pair dedup and broadcast join-back),
+    not the production blocking regime. A real 0.9-threshold near-dup
+    corpus with bits=8 blocks to a small fraction of pairs; the plan
+    (narrow candidate dedup, per-vector precompute, full-parallel
+    verify) is the same either way and scales linearly in candidates."""
     e = read_table(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(e, threshold=0.45, n_tables=16, bits=4)
 
