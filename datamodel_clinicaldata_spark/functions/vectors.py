@@ -56,15 +56,23 @@ def sign_bits(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def quantize_int8(vec: Column) -> Column:
-    """Symmetric per-vector int8 quantization: q_i = round(v_i · 127/max|v|)
+    """Symmetric per-vector int8 quantization: q_i = ⌊v_i · 127/max|v| + ½⌋
     ∈ [-127, 127]. The scale is per-vector (no global calibration pass —
     at 100 TB a global max would be a full extra scan), and the whole
     expression is built-in HOFs inside codegen. Emitted as ``array<long>``
-    so downstream integer dot products cannot overflow (64·127² ≪ 2⁶³)."""
+    so downstream integer dot products cannot overflow (64·127² ≪ 2⁶³).
+
+    Rounding is ``floor(x + 0.5)`` (half-toward-+∞), NOT ``round``: Spark
+    rounds doubles through BigDecimal.valueOf (shortest decimal string,
+    HALF_UP on the decimal rendering) while DuckDB rounds the raw binary
+    double, so the two can legitimately disagree when x·scale lands near
+    a .5 boundary. ``floor`` of a bit-identical IEEE double is
+    engine-independent — the same fixed-point doctrine as
+    operators/timeseries.py's gapfill grid."""
     dv = as_double(vec)
     max_abs = F.aggregate(dv, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
     scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
-    return F.transform(dv, lambda x: F.round(x * scale, 0).cast("long"))
+    return F.transform(dv, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
 
 
 def int_dot(a: Column, b: Column) -> Column:

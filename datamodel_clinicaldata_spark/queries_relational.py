@@ -1303,18 +1303,25 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested_collect_sorted",
     """
     SELECT o_orderpriority,
-           list_sort(list_distinct(array_agg(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(array_agg(o_orderstatus))),
+                           '|') AS statuses,
            CAST(count(*) AS BIGINT) AS n
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def nested_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-type aggregation: per-group sorted distinct array.
-    collect_set + array_sort — the only deterministic way to hash a
-    collected array (bare collect_list order is partition-dependent)."""
+    """Nested-type aggregation: per-group sorted distinct collection.
+    collect_set + array_sort — the only deterministic way to compare a
+    collected array (bare collect_list order is partition-dependent) —
+    then array_join'd to a '|'-delimited string so the driver's pandas
+    canonicalizer can hash it (raw list-typed columns are unhashable in
+    its sort; the r3 row died with TypeError there, not in the query).
+    The array-typed variant stays pinned in tests/test_relational.py."""
     o = read_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), "|").alias(
+            "statuses"
+        ),
         F.count("*").cast("long").alias("n"),
     )
 

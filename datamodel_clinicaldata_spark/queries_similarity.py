@@ -256,10 +256,10 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              list_transform(
                embedding::DOUBLE[],
-               x -> CAST(round(x * (127.0 / greatest(
+               x -> CAST(floor(x * (127.0 / greatest(
                       list_aggregate(list_transform(embedding::DOUBLE[],
                                                     y -> abs(y)), 'max'),
-                      1e-12))) AS BIGINT)) AS code
+                      1e-12)) + 0.5) AS BIGINT)) AS code
       FROM embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -280,8 +280,10 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization + exact integer-dot top-10 for query
     vectors vec_id < 5 — the quantized ANN baseline. Integer scores make
     the cross-engine check exact (zero float tolerance); the only float
-    step, round(v·scale), is the same IEEE double expression on both
-    engines."""
+    step, floor(v·scale + 0.5), is the same IEEE double expression on
+    both engines (``round`` is NOT — Spark rounds via BigDecimal string
+    rendering, DuckDB on the raw binary double; see
+    functions/vectors.py:quantize_int8)."""
     from datamodel_clinicaldata_spark.operators.similarity import quantized_topk
 
     e = read_table(spark, sf_dir, "embeddings")

@@ -384,12 +384,24 @@ def agg_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partsupp-dependent TPC-H shapes (q2/q11/q16/q20) run against one derived
 # from lineitem — supply cost := min observed unit price, availability :=
 # total shipped quantity — built by the IDENTICAL grouped aggregate in both
-# engines (unit price is one IEEE double division; the min is rounded at
-# the source so every downstream equality compares identical doubles).
+# engines. The unit price is one IEEE double division (bit-identical across
+# engines) and min over identical doubles is order-independent, so the
+# 4-dp supply cost is fixed-pointed at the source as
+# ``ps_cost_e4 = floor(min(unit) * 1e4 + 0.5)`` (BIGINT). ``round(x, 4)``
+# is NOT engine-independent (Spark rounds through BigDecimal's shortest
+# decimal string, DuckDB rounds the raw binary double), but floor of a
+# bit-identical double is — the same doctrine as the gapfill grid
+# (operators/timeseries.py). ps_supplycost (double, for display/equality)
+# is the single exact division ps_cost_e4 / 1e4; downstream value sums
+# (q11) stay in the integer e4 domain so they are exact and
+# accumulation-order-free.
 # ---------------------------------------------------------------------------
 _PS_SQL = """ps AS (
       SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-             round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost,
+             CAST(floor(min(l_extendedprice / l_quantity) * 10000.0 + 0.5)
+                  AS BIGINT) AS ps_cost_e4,
+             floor(min(l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0
+               AS ps_supplycost,
              sum(l_quantity) AS ps_qty
       FROM lineitem GROUP BY 1, 2
     )"""
@@ -397,13 +409,15 @@ _PS_SQL = """ps AS (
 
 def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
+    cost_e4 = F.floor(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000.0 + 0.5
+    )
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "ps_supplycost"
-        ),
+        cost_e4.cast("long").alias("ps_cost_e4"),
+        (cost_e4 / 10000.0).alias("ps_supplycost"),
         F.sum("l_quantity").alias("ps_qty"),
     )
 
@@ -465,23 +479,30 @@ def agg_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_important_stock",
     f"""
     WITH {_PS_SQL}, natps AS (
-      SELECT ps_partkey, ps_supplycost * ps_qty AS value
+      SELECT ps_partkey,
+             ps_cost_e4 * CAST(ps_qty AS BIGINT) AS value_e4
       FROM ps JOIN supplier ON s_suppkey = ps_suppkey
       JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
     )
-    SELECT ps_partkey, round(sum(value), 4) AS stock_value
+    SELECT ps_partkey,
+           CAST(sum(value_e4) AS DOUBLE) / 10000.0 AS stock_value
     FROM natps
     GROUP BY 1
-    HAVING round(sum(value), 4) >
-           (SELECT round(sum(value) * 0.001, 4) FROM natps)
+    HAVING sum(value_e4) * 1000 > (SELECT sum(value_e4) FROM natps)
     """,
 )
 def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11 (important stock): per-part inventory value within one
     nation, kept when above a fraction of the national total. The global
-    scalar is a one-row aggregate broadcast in; both comparison sides are
-    rounded so the threshold predicate never compares raw accumulation
-    noise. Two passes over the (already nation-filtered) ps frame — the
+    scalar is a one-row aggregate broadcast in. All value arithmetic is
+    BIGINT fixed-point (cost in e4 units × integral quantity), so sums
+    are exact and accumulation-order-free, and the HAVING fraction
+    ``sum > total·0.001`` is the pure integer predicate
+    ``sum·1000 > total`` — zero float rounding anywhere in the
+    comparison path (the r3 hash mismatch was ``round(sum(double),4)``
+    disagreeing between engines at a half boundary). The displayed
+    stock_value is one exact int→double division (values ≪ 2⁵³). Two
+    passes over the (already nation-filtered) ps frame — the
     de-correlated plan the reference optimizer also picks."""
     ps = _derived_partsupp(spark, sf_dir)
     su = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -493,15 +514,21 @@ def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     natps = (
         ps.join(su, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
-        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_qty")).alias("value"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_e4") * F.col("ps_qty").cast("long")).alias("value_e4"),
+        )
     )
-    total = natps.agg(F.round(F.sum("value") * 0.001, 4).alias("threshold"))
+    total = natps.agg(F.sum("value_e4").alias("total_e4"))
     return (
         natps.groupBy("ps_partkey")
-        .agg(F.round(F.sum("value"), 4).alias("stock_value"))
+        .agg(F.sum("value_e4").alias("sum_e4"))
         .join(F.broadcast(total))
-        .filter(F.col("stock_value") > F.col("threshold"))
-        .select("ps_partkey", "stock_value")
+        .filter(F.col("sum_e4") * 1000 > F.col("total_e4"))
+        .select(
+            "ps_partkey",
+            (F.col("sum_e4").cast("double") / 10000.0).alias("stock_value"),
+        )
     )
 
 

@@ -19,11 +19,25 @@ import pandas as pd
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Order-insensitive canonical form: columns sorted by name, floats
-    rounded, timestamps stringified, rows sorted."""
+    rounded, timestamps stringified, rows sorted.
+
+    Raw list/array-typed columns are REJECTED, matching the driver's
+    stricter canonicalizer (its pandas sort factorizes object columns and
+    dies with ``TypeError: unhashable type: 'list'``). Stringifying here
+    would make local green over-promise driver green — the r3
+    ``nested_collect_sorted`` failure was exactly this divergence.
+    Queries that emit collections must ``array_join`` them to strings."""
     out = df.copy()
     out = out[sorted(out.columns)]
     for c in out.columns:
         s = out[c]
+        if s.dtype == object and s.map(
+            lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__array__")
+        ).any():
+            raise TypeError(
+                f"column {c!r} holds raw list/array values — the driver's "
+                "canonicalizer cannot hash these; array_join to a string"
+            )
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(s):
@@ -72,7 +86,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        s, d = normalize(sdf), normalize(ddf)
+        try:
+            s, d = normalize(sdf), normalize(ddf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: canonicalize: {e}")
+            continue
         status = []
         if len(s) != len(d):
             status.append(f"rowcount {len(s)} vs {len(d)}")
