@@ -18,6 +18,22 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def round_fixed(x: Column, digits: int) -> Column:
+    """Engine-independent half-up rounding: ⌊x·10^d + ½⌋ / 10^d.
+
+    ``F.round`` is NOT engine-independent even on bit-identical input —
+    Spark rounds through BigDecimal.valueOf's shortest decimal string
+    (HALF_UP on the rendering) while DuckDB rounds the raw binary double,
+    so a value whose shortest repr sits exactly on a half boundary flips
+    between engines. floor of a bit-identical IEEE double is the same
+    everywhere; use this for any rounded value that feeds a PREDICATE or
+    ORDER/rank key in an oracle-paired query (oracle twin:
+    ``floor(x * 1e{d} + 0.5) / 1e{d}``). Input magnitude must keep
+    x·10^d inside long range (cosines/norms: trivially yes)."""
+    p = F.lit(float(10**digits))
+    return F.floor(x * p + F.lit(0.5)) / p
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (same accumulation order as DuckDB's
     list_inner_product)."""

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datamodel_clinicaldata_spark.functions.vectors import as_double, cosine, dot, sign_bits
+from datamodel_clinicaldata_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    round_fixed,
+    sign_bits,
+)
 from datamodel_clinicaldata_spark.operators.partitioning import ensure_min_parallelism
 
 
@@ -51,7 +57,7 @@ def cosine_topk_bruteforce(
     scored = corpus.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        round_fixed(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
     )
     order = [F.col("cos_sim").desc(), F.col(id_col).asc()]
     w_local = Window.partitionBy(query_id_col, F.spark_partition_id()).orderBy(*order)
@@ -152,7 +158,7 @@ def cosine_neardup_pairs(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(cos_sim, 6).alias("cos_sim"))
+        .select("id_a", "id_b", round_fixed(cos_sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -297,7 +303,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(q), "__cid").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        round_fixed(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()

@@ -1,9 +1,12 @@
 """Similarity-search queries over ``embeddings`` + DuckDB oracles.
 
-Brute-force cosine top-k and exact threshold pairs are oracle-matched
-(identical expression shape + round(6) on both engines). The LSH and IVF
-approximate paths have no SQL twin (rows-only driver check; recall is
-asserted against the brute-force baseline in tests/test_similarity.py).
+All cosine scores are rounded with the engine-independent fixed-point
+form floor(x*1e6 + 0.5)/1e6 on BOTH engines (``round_fixed``) because
+cos_sim feeds threshold predicates and rank ORDER BY keys — SQL round()
+and Spark's BigDecimal-string round can disagree on a half-boundary
+double. LSH/IVF bucketing is replayed exactly by the oracles (LCG plane
+literals / lowest-id seeds); recall vs brute force is asserted in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -19,9 +22,14 @@ from datamodel_clinicaldata_spark.operators.similarity import (
 from datamodel_clinicaldata_spark.registry import register
 from datamodel_clinicaldata_spark.sources.readers import read_table
 
+# Engine-independent 6-dp rounding (floor(x*1e6 + 0.5)/1e6): cos_sim feeds
+# threshold predicates and rank ORDER BY keys, where SQL round() vs Spark's
+# BigDecimal-string round can flip a half-boundary value between engines —
+# see functions/vectors.py:round_fixed.
 _COS = (
-    "round(list_inner_product(a.v, b.v) / "
-    "sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6)"
+    "floor(list_inner_product(a.v, b.v) / "
+    "sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) "
+    "* 1000000.0 + 0.5) / 1000000.0"
 )
 
 
@@ -64,7 +72,7 @@ def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.45 (threshold chosen to be non-trivial on
     the testdata distribution, max observed ≈ 0.51)."""
     e = read_table(spark, sf_dir, "embeddings")
-    from datamodel_clinicaldata_spark.functions.vectors import cosine
+    from datamodel_clinicaldata_spark.functions.vectors import cosine, round_fixed
 
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
@@ -73,7 +81,7 @@ def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            round_fixed(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.45)
     )
@@ -115,9 +123,9 @@ def _lsh_planes_sql() -> str:
     )
     SELECT id_a, id_b, cos_sim FROM (
       SELECT c.id_a, c.id_b,
-             round(list_inner_product(x.v, y.v) /
-                   sqrt(list_inner_product(x.v, x.v) * list_inner_product(y.v, y.v)),
-                   6) AS cos_sim
+             floor(list_inner_product(x.v, y.v) /
+                   sqrt(list_inner_product(x.v, x.v) * list_inner_product(y.v, y.v))
+                   * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
       FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
     ) WHERE cos_sim >= 0.45
     """,
@@ -147,8 +155,9 @@ def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_COS_XQ = (
-    "round(list_inner_product(co.v, qp.qv) / "
-    "sqrt(list_inner_product(co.v, co.v) * list_inner_product(qp.qv, qp.qv)), 6)"
+    "floor(list_inner_product(co.v, qp.qv) / "
+    "sqrt(list_inner_product(co.v, co.v) * list_inner_product(qp.qv, qp.qv)) "
+    "* 1000000.0 + 0.5) / 1000000.0"
 )
 
 

@@ -125,3 +125,46 @@ def test_connected_components_vs_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in expected_nodes}
     assert got == expected
+
+
+def test_connected_components_star_path_graph(spark):
+    """Large-star/small-star contraction labels a 1000-node path graph —
+    the adversarial diameter where min-label propagation needs 1000
+    rounds — within its O(log² d) round budget, every node → 0."""
+    from datamodel_clinicaldata_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 1000
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Star contraction and min-label propagation agree on a mixed graph
+    (clusters + chain + ring), and the label path falls back to star —
+    instead of raising — when a chain exhausts its round budget."""
+    from datamodel_clinicaldata_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)]
+        + [(i, i + 1) for i in range(100, 140)]  # 41-node chain
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    star = {r["node"]: r["component_id"] for r in connected_components_star(df).collect()}
+    label = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+    assert star == label
+
+    # diameter 40 > max_iter 5 → automatic star fallback, same answer
+    fallback = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df, max_iter=5).collect()
+    }
+    assert fallback == label
