@@ -59,6 +59,10 @@ HEADLINE = [
     "similarity_quantized_topk",
     "join_asof_nearest",
     "retention_cohort_matrix",
+    # round 4: the LSH production blocking regime (clustered corpus,
+    # tau=0.9, bits=10x8 tables) next to the recall-regime row above —
+    # candidate volumes for both are logged under "lsh_candidates"
+    "similarity_neardup_lsh_prod",
 ]
 
 
@@ -109,18 +113,33 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 4)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    # Candidate-volume instrumentation for the LSH rows (verdict r3 #4):
+    # shows whether blocking blocks — the recall-regime row verifies a
+    # large fraction of all pairs by design; the prod-regime row must
+    # show candidates ≪ all-pairs.
+    lsh_stats = {}
+    try:
+        from datamodel_clinicaldata_spark.queries_similarity import (
+            lsh_candidate_stats,
         )
-    )
+
+        for name in ("similarity_neardup_lsh", "similarity_neardup_lsh_prod"):
+            if name in names:
+                lsh_stats[name] = lsh_candidate_stats(spark, sf_dir, name)
+    except Exception:  # noqa: BLE001 — instrumentation must not fail the bench
+        pass
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if lsh_stats:
+        out["lsh_candidates"] = lsh_stats
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

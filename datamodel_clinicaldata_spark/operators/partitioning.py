@@ -21,7 +21,15 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     spreads downstream projections across cores for one narrow shuffle
     of the raw rows. Call it at the top of operators whose per-row
     compute dominates (signature hashing, vector math) — not on cheap
-    scans, where the exchange would cost more than it saves."""
+    scans, where the exchange would cost more than it saves.
+
+    CONTRACT: pass BARE SCAN inputs only. The partition probe
+    (``df.rdd.getNumPartitions()``) finalizes the physical plan, which
+    under AQE can eagerly execute upstream shuffle stages of a derived
+    DataFrame (silently doubling work) and is unsupported under Spark
+    Connect. Post-shuffle frames already carry shuffle-partition
+    parallelism — skip this helper for them (operators that accept
+    derived inputs expose an ``ensure_parallelism=False`` switch)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

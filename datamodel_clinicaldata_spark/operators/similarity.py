@@ -71,32 +71,33 @@ def cosine_topk_bruteforce(
     )
 
 
-def cosine_neardup_pairs(
+def neardup_candidate_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.9,
     planes: list[list[float]] | None = None,
     n_tables: int = 4,
     bits: int = 8,
     dim: int = 64,
     seed: int = 13,
+    ensure_parallelism: bool = True,
 ) -> DataFrame:
-    """cosine ≥ threshold pairs via multi-table hyperplane LSH blocking.
+    """LSH candidate id-pairs only — the blocking stage of
+    ``cosine_neardup_pairs``, exposed separately so callers (bench
+    instrumentation, recall analysis) can measure candidate volume vs
+    all-pairs without running the exact verify.
 
-    Each of ``n_tables`` independent plane sets hashes every vector to a
-    ``bits``-bit sign bucket; candidates = pairs sharing a bucket in ANY
-    table; exact cosine verifies. Miss probability per pair is
-    ((1-(1-θ/π)^bits))^tables — small for near-dup thresholds.
-    Planes are a deterministic LCG sample (reproducible, no numpy state).
-    """
+    ``ensure_parallelism=False`` for DERIVED (post-shuffle) corpora —
+    the helper's partition probe is scan-input-only (see
+    ``partitioning.ensure_min_parallelism``)."""
     if planes is None:
         planes_all = _lcg_planes(n_tables * bits, dim, seed)
     else:
         planes_all = planes
     tables = [planes_all[t * bits : (t + 1) * bits] for t in range(n_tables)]
 
-    df = ensure_min_parallelism(df)
+    if ensure_parallelism:
+        df = ensure_min_parallelism(df)
 
     # Candidate generation stays NARROW: bucket rows carry only (id,
     # table, bucket), so the self-join emits 16-byte id pairs and the
@@ -121,7 +122,7 @@ def cosine_neardup_pairs(
 
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
@@ -135,6 +136,39 @@ def cosine_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    n_tables: int = 4,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+    ensure_parallelism: bool = True,
+) -> DataFrame:
+    """cosine ≥ threshold pairs via multi-table hyperplane LSH blocking.
+
+    Each of ``n_tables`` independent plane sets hashes every vector to a
+    ``bits``-bit sign bucket; candidates = pairs sharing a bucket in ANY
+    table; exact cosine verifies. Miss probability per pair is
+    ((1-(1-θ/π)^bits))^tables — small for near-dup thresholds.
+    Planes are a deterministic LCG sample (reproducible, no numpy state).
+    """
+    cand = neardup_candidate_pairs(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        planes=planes,
+        n_tables=n_tables,
+        bits=bits,
+        dim=dim,
+        seed=seed,
+        ensure_parallelism=ensure_parallelism,
+    )
+
     # Exact verify: join the deduped pairs back to per-vector precomputed
     # (double-cast vector, squared norm) — each vector's cast and
     # self-dot happen ONCE, not once per pair per cosine() call. The
@@ -143,7 +177,8 @@ def cosine_neardup_pairs(
     # not product of sqrts), so results are bit-identical to the
     # unoptimized form and hash-stable vs the oracle.
     dv = as_double(F.col(vec_col))
-    side = df.select(
+    side_in = ensure_min_parallelism(df) if ensure_parallelism else df
+    side = side_in.select(
         F.col(id_col),
         dv.alias("__v"),
         dot(dv, dv).alias("__n2"),
@@ -317,15 +352,29 @@ def ivf_topk(
 
 
 def _lcg_planes(n: int, dim: int, seed: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes via a 64-bit LCG — stable
-    across runs/engines without numpy RNG state."""
-    state = seed & 0xFFFFFFFFFFFFFFFF
+    """Deterministic pseudo-random hyperplanes — stable across
+    runs/engines without numpy RNG state.
+
+    Generator is SplitMix64 (counter → avalanche finalizer). The
+    previous raw LCG carried a sign-bias defect: ``(state >> 33)`` is a
+    31-bit value, so ``/2³¹ − 1`` mapped every component into [-1, 0) —
+    ALL planes sat in the negative orthant with pairwise cos ≈ 0.75
+    (measured 0.736), collapsing a 10-bit bucket to ~2 effective bits
+    (≈10% per-table collisions on an isotropic corpus instead of 2⁻¹⁰)
+    and silently inflating every LSH candidate set. Correct scaling
+    takes 32 bits → [0, 2) − 1 → [-1, 1); with it, planes land
+    near-orthogonal (mean |cos| ≈ 1/√dim ≈ 0.1 at dim=64) and per-table
+    collisions match the 2^-bits theory."""
+    mask = 0xFFFFFFFFFFFFFFFF
     planes = []
-    for _ in range(n):
+    for i in range(n):
         p = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
-            p.append(((state >> 33) / float(1 << 31)) - 1.0)  # uniform [-1, 1)
+        for j in range(dim):
+            z = (seed + (i * dim + j + 1) * 0x9E3779B97F4A7C15) & mask
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z ^= z >> 31
+            p.append(((z >> 32) / float(1 << 31)) - 1.0)  # uniform [-1, 1)
         planes.append(p)
     return planes
 

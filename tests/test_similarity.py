@@ -148,3 +148,45 @@ def test_quantized_topk_rank1_is_self(spark, sf_dir):
     rows = similarity_quantized_topk(spark, sf_dir).filter("rank = 1").collect()
     assert len(rows) == 5
     assert all(r.query_id == r.vec_id for r in rows)
+
+
+def test_neardup_lsh_prod_blocks_and_recalls(spark, sf_dir):
+    """The production LSH regime (clustered corpus, τ=0.9, bits=10 × 8
+    tables) must actually BLOCK — candidate pairs a small fraction of
+    all pairs (the recall-regime row verifies ~57% of all pairs by
+    design; this row must not) — while recovering ≥85% of the exact
+    cosine ≥ 0.9 pairs (deterministic LCG planes → a fixed outcome, no
+    flake; expected miss ≈ 1–8% depending on twin-norm spread)."""
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        neardup_candidate_pairs,
+    )
+    from datamodel_clinicaldata_spark.queries_similarity import (
+        _clustered_corpus,
+        similarity_neardup_lsh_prod,
+    )
+
+    corpus = _clustered_corpus(read_table(spark, sf_dir, "embeddings"))
+    n = corpus.count()
+    cand = neardup_candidate_pairs(
+        corpus, n_tables=8, bits=10, ensure_parallelism=False
+    ).count()
+    assert cand / (n * (n - 1) // 2) < 0.05, "prod regime must block"
+
+    sa = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    sb = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from datamodel_clinicaldata_spark.functions.vectors import cosine
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sa.join(sb, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= 0.9)
+        .collect()
+    }
+    assert exact, "clustered corpus must contain cosine ≥ 0.9 twin pairs"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_neardup_lsh_prod(spark, sf_dir).collect()
+    }
+    assert not (got - exact), "LSH must not invent pairs (exact verify)"
+    assert len(got & exact) / len(exact) >= 0.85
