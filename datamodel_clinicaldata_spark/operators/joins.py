@@ -242,6 +242,11 @@ def _asof_nearest(
     if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
         def num(c):
             return F.unix_micros(c.cast("timestamp"))
+    elif isinstance(ts_type, T.DateType):
+        # DateType can't cast to double (backward/forward don't need a
+        # numeric distance, but nearest does) — day ordinal is exact.
+        def num(c):
+            return F.unix_date(c)
     else:
         def num(c):
             return c.cast("double")

@@ -178,6 +178,22 @@ def clinical_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(untyped).dropDuplicates()
 
 
+def _roundtrip_dir(tag: str, sf_dir: str) -> str:
+    """Stable temp output path for a sink round-trip query: keyed by an
+    md5 of the input dir, NOT Python's salted ``hash`` — the salt changes
+    every interpreter run (PYTHONHASHSEED), so the old scheme wrote a
+    fresh full copy per run and never reclaimed any: unbounded /tmp
+    growth and a name that wasn't the stable identifier it implied. A
+    deterministic digest makes re-runs overwrite the same directory (the
+    writers use mode("overwrite")), bounding disk use to one copy per
+    (query, input-dir)."""
+    import hashlib
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{digest}")
+
+
 @register(
     "jsonl_roundtrip_documents",
     """
@@ -198,14 +214,9 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures (octet length survives JSON string escaping unchanged). The
     oracle computes the same aggregate straight from parquet, so any
     loss/corruption in either direction of the JSON hop flips the hash."""
-    import tempfile
-
     from datamodel_clinicaldata_spark.sources.readers import read_jsonl, read_table
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_jsonl_docs_{abs(hash(os.path.abspath(sf_dir)))%10**9}",
-    )
+    out = _roundtrip_dir("jsonl_docs", sf_dir)
     read_table(spark, sf_dir, "documents").write.mode("overwrite").json(out)
     schema = T.StructType(
         [
@@ -244,14 +255,9 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the module float policy. Doubles round-trip bit-exactly through
     ORC, so the oracle (same aggregate from parquet) hash-matches iff the
     format hop is lossless."""
-    import tempfile
-
     from datamodel_clinicaldata_spark.sources.readers import read_orc, read_table
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_orc_li_{abs(hash(os.path.abspath(sf_dir)))%10**9}",
-    )
+    out = _roundtrip_dir("orc_li", sf_dir)
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 100 == 0
     ).select("l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")

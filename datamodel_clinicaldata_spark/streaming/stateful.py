@@ -76,8 +76,18 @@ def _update_user_profile(
         n, total, ewma = state.get
     else:
         n, total, ewma = 0, 0.0, None
-    for pdf in pdfs:
-        n, total, ewma = _fold_profile(pdf, n, total, ewma)
+    # Concatenate ALL of this micro-batch's Arrow chunks before folding:
+    # a group larger than arrow.maxRecordsPerBatch arrives as several
+    # pdfs in nondeterministic shuffle-fetch order, so folding per chunk
+    # would apply the (ts, event_id) total order only WITHIN chunks and
+    # the cross-chunk EWMA order would be arbitrary. One concat + one
+    # sort restores the claimed total order for any group size (the
+    # batch twin sees the whole group in a single pdf either way).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        n, total, ewma = _fold_profile(
+            pd.concat(chunks, ignore_index=True), n, total, ewma
+        )
     state.update((n, total, ewma))
     yield pd.DataFrame(
         {

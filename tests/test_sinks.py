@@ -235,3 +235,30 @@ def test_asof_nearest_direction_and_ties(spark):
     assert out["tie"][0] == 400                  # 15 vs 25: back Δ5 == fwd Δ5 → backward
     assert out["only_fwd"][0] == 100             # nothing at/before 1 min → forward
     assert "no_events" not in out                # inner drops unmatched keys
+
+
+def test_asof_nearest_date_typed(spark):
+    """nearest on DateType as-of columns: the numeric fallback can't cast
+    dates to double, so the distance uses the exact day ordinal
+    (unix_date) — previously this failed at plan time even though
+    backward/forward handled dates fine."""
+    import datetime as dt
+
+    from datamodel_clinicaldata_spark.operators.joins import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 10), "mid"), (1, d(2024, 1, 2), "early")],
+        "k int, at date, label string",
+    )
+    right = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 10), (1, d(2024, 1, 13), 20)],
+        "k int, rts date, rid int",
+    )
+    out = {
+        r.label: r.rid
+        for r in asof_join(
+            left, right, "k", "k", "at", "rts", ["rid"], direction="nearest"
+        ).collect()
+    }
+    assert out == {"mid": 20, "early": 10}  # Δ3 < Δ9; Δ1 < Δ11
