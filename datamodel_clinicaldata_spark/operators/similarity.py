@@ -26,7 +26,7 @@ from datamodel_clinicaldata_spark.functions.vectors import (
     cosine,
     dot,
     round_fixed,
-    sign_bits,
+    sign_bits_expr,
 )
 from datamodel_clinicaldata_spark.operators.partitioning import ensure_min_parallelism
 
@@ -105,6 +105,11 @@ def neardup_candidate_pairs(
     # (Skewed buckets — clustered corpora collapse into few sign
     # buckets — made the previous vector-carrying dedup shuffle ~35×
     # heavier than necessary, measured 22 s for this stage at sf0.1.)
+    # Bucket ids come from sign_bits_expr (one parsed SQL string per
+    # table): with n_tables×bits×dim plane literals, per-Column assembly
+    # spent ~9 s of PYTHON time per DataFrame construction — which the
+    # bench times — at 80×64; the parsed form is bit-identical (pinned
+    # by tests) and ~100× cheaper to build.
     buckets = df.select(
         F.col(id_col),
         F.explode(
@@ -112,7 +117,7 @@ def neardup_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        sign_bits(F.col(vec_col), tables[t]).alias("bucket"),
+                        sign_bits_expr(vec_col, tables[t]).alias("bucket"),
                     )
                     for t in range(len(tables))
                 ]

@@ -190,3 +190,23 @@ def test_neardup_lsh_prod_blocks_and_recalls(spark, sf_dir):
     }
     assert not (got - exact), "LSH must not invent pairs (exact verify)"
     assert len(got & exact) / len(exact) >= 0.85
+
+
+def test_sign_bits_expr_matches_column_form(spark, sf_dir):
+    """sign_bits_expr (one parsed SQL string per table — the fast-to-
+    construct form the LSH operators use) is bit-identical to the
+    per-Column sign_bits: same literals, same fold order, same CASE."""
+    from datamodel_clinicaldata_spark.functions.vectors import (
+        sign_bits,
+        sign_bits_expr,
+    )
+    from datamodel_clinicaldata_spark.operators.similarity import _lcg_planes
+
+    e = read_table(spark, sf_dir, "embeddings")
+    planes = _lcg_planes(80, 64, 13)
+    for t in range(0, 8, 3):
+        tbl = planes[t * 10 : (t + 1) * 10]
+        old = e.select("vec_id", sign_bits(F.col("embedding"), tbl).alias("b"))
+        new = e.select("vec_id", sign_bits_expr("embedding", tbl).alias("b"))
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
