@@ -88,10 +88,14 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
             )
         )
-        changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
-        labels = new_labels.select(
-            "node", F.col("new_lbl").alias("lbl")
-        ).localCheckpoint()
+        # Checkpoint BEFORE the convergence count: the count and the
+        # checkpoint are both actions, and counting the un-materialized
+        # frame would execute the round's join+agg twice (measured ~2×
+        # per-round cost). The count then reads the materialized
+        # partitions for pennies.
+        mat = new_labels.localCheckpoint()
+        changed = mat.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = mat.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             sym.unpersist()
             return labels.select("node", F.col("lbl").alias("component_id"))
