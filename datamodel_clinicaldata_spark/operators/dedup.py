@@ -182,7 +182,12 @@ def minhash_signature(content: Column, k: int, num_hashes: int) -> Column:
     hashes = F.transform(
         F.array_distinct(word_shingles(content, k)), lambda s: F.xxhash64(s)
     )
-    consts = F.array(*[F.lit(c).cast("long") for c in _lcg_longs(num_hashes)])
+    # One parsed SQL literal array, not 128 F.lit Column objects: the
+    # per-Column form spent ~0.5 s of Python/py4j time per query BUILD
+    # (which the bench times) — same values, same plan.
+    consts = F.expr(
+        "array(" + ",".join(f"{c}L" for c in _lcg_longs(num_hashes)) + ")"
+    )
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
     return F.aggregate(
         hashes,

@@ -488,7 +488,7 @@ def agg_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(value_e4) AS DOUBLE) / 10000.0 AS stock_value
     FROM natps
     GROUP BY 1
-    HAVING sum(value_e4) * 1000 > (SELECT sum(value_e4) FROM natps)
+    HAVING sum(value_e4) * 10000 > (SELECT sum(value_e4) FROM natps)
     """,
 )
 def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,8 +497,10 @@ def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar is a one-row aggregate broadcast in. All value arithmetic is
     BIGINT fixed-point (cost in e4 units × integral quantity), so sums
     are exact and accumulation-order-free, and the HAVING fraction
-    ``sum > total·0.001`` is the pure integer predicate
-    ``sum·1000 > total`` — zero float rounding anywhere in the
+    ``sum > total·0.0001`` is the pure integer predicate
+    ``sum·10000 > total`` (TPC-H q11's SF-scaled fraction intent: the
+    0.001 fraction returned 0 rows at sf0.1 where no single part holds
+    0.1% of 20k parts' stock) — zero float rounding anywhere in the
     comparison path (the r3 hash mismatch was ``round(sum(double),4)``
     disagreeing between engines at a half boundary). The displayed
     stock_value is one exact int→double division (values ≪ 2⁵³). Two
@@ -524,7 +526,7 @@ def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         natps.groupBy("ps_partkey")
         .agg(F.sum("value_e4").alias("sum_e4"))
         .join(F.broadcast(total))
-        .filter(F.col("sum_e4") * 1000 > F.col("total_e4"))
+        .filter(F.col("sum_e4") * 10000 > F.col("total_e4"))
         .select(
             "ps_partkey",
             (F.col("sum_e4").cast("double") / 10000.0).alias("stock_value"),
