@@ -156,6 +156,30 @@ _CC_ORACLE = f"""
     """
 
 
+@register("dedup_cluster_components_star", _CC_ORACLE)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure as ``dedup_cluster_components`` computed by
+    alternating large-star/small-star contraction
+    (``graph.connected_components_star``, Kiveris et al. SoCC'14) instead
+    of min-label propagation — the path for adversarial component
+    diameters where propagation needs O(d) rounds. Identical contract and
+    oracle (components are algorithm-independent), so this row pins the
+    contraction's end-to-end correctness under the driver's value gate,
+    not just the unit tests."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components_star(edges).select("node", "component_id")
+
+
 @register("dedup_cluster_components", _CC_ORACLE)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → keep-groups: exact-Jaccard ≥ 0.2 pairs as the edge

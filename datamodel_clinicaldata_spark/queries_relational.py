@@ -1300,6 +1300,36 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-busting salted equi-join under the value gate: the fact side
+    gets a deterministic row-hash salt in [0, 8), the dim side is
+    replicated ×8, and the join key becomes (key, salt) so one hot key's
+    rows spread over 8 reducers (``operators.joins.salted_join`` — the
+    tool when a single KEY is hot, which AQE's partition-splitting cannot
+    spread for a sort-merge join). Salting is semantically transparent,
+    so the oracle is the plain join + aggregate; the display sum is
+    grid-anchored money (COVERAGE.md rounding rule 2)."""
+    from datamodel_clinicaldata_spark.operators.joins import salted_join
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(o, c, "o_custkey", "c_custkey", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@register(
     "nested_collect_sorted",
     """
     SELECT o_orderpriority,
