@@ -203,6 +203,21 @@ def cosine_neardup_pairs(
     )
 
 
+def _centroid_array_expr(cents: list[list[float]]) -> "F.Column":
+    """Broadcast centroid constant as ONE parsed SQL literal —
+    array<struct<cid:int, cvec:array<double>>> — instead of
+    n_centroids×dim F.lit Column objects (~2 s of Python/py4j build time
+    at 16×64, charged to every query construction). repr round-trips the
+    doubles, so values are bit-identical to the Column form."""
+    rows = ",".join(
+        "named_struct('cid', {}, 'cvec', array({}))".format(
+            i, ",".join(f"{float(x)!r}D" for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return F.expr(f"array({rows})")
+
+
 def kmeans_refine(
     corpus: DataFrame,
     seeds: list[list[float]],
@@ -222,15 +237,7 @@ def kmeans_refine(
     cents = [list(map(float, s)) for s in seeds]
     dim = len(cents[0])
     for _ in range(iters):
-        cent_array = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("cid"),
-                    F.array(*[F.lit(x) for x in c]).alias("cvec"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
+        cent_array = _centroid_array_expr(cents)
         assigned = corpus.select(
             F.slice(
                 F.array_sort(
@@ -313,13 +320,7 @@ def ivf_topk(
     seeds = [r["__cvec"] for r in sampled.collect()]  # ≤ n_centroids vecs
     if refine_iters > 0:
         seeds = kmeans_refine(corpus, seeds, vec_col=vec_col, iters=refine_iters)
-    cent_rows = [{"centroid_id": i, "__cvec": v} for i, v in enumerate(seeds)]
-    cent_array = F.array(
-        *[
-            F.struct(F.lit(r["centroid_id"]).alias("cid"), F.array(*[F.lit(float(x)) for x in r["__cvec"]]).alias("cvec"))
-            for r in cent_rows
-        ]
-    )
+    cent_array = _centroid_array_expr([list(map(float, v)) for v in seeds])
 
     def nearest(vec, topn):
         scored = F.transform(
