@@ -19,10 +19,44 @@ from pyspark.sql import DataFrame, SparkSession
 from datamodel_clinicaldata_spark.registry import register
 from datamodel_clinicaldata_spark.sources.readers import read_table
 from datamodel_clinicaldata_spark.streaming.windows import (
+    dedup_events_stream,
     session_windows,
     sliding_event_avg,
     tumbling_event_counts,
 )
+
+
+@register(
+    "stream_dedup_events",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-side exactly-once dedup under the value gate: the events
+    table UNIONed with itself simulates at-least-once redelivery (every
+    event exactly twice), then ``dedup_events_stream`` drops the
+    re-deliveries — on a stream via ``dropDuplicatesWithinWatermark``
+    (bounded key state: kept only until the watermark passes), here via
+    its batch degenerate form. Duplicates are exact copies, so any
+    survivor row is identical and the aggregate is deterministic; the
+    oracle is DISTINCT-by-key straight off the base table (redelivered
+    copies must contribute nothing). The streaming execution of the same
+    function is pinned in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    redelivered = e.unionByName(e)
+    deduped = dedup_events_stream(redelivered, keys=("event_id",), ts_col="ts")
+    return deduped.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_unique"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
 
 
 @register(
