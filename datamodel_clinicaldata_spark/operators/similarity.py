@@ -181,6 +181,11 @@ def cosine_neardup_pairs(
     # operation sequence as functions.vectors.cosine (sqrt of product,
     # not product of sqrts), so results are bit-identical to the
     # unoptimized form and hash-stable vs the oracle.
+    # Measured dead end (r4): expanding the pair dot as a 64-term
+    # element_at sum to escape interpreted HOF lambdas made the verify
+    # ~4× SLOWER (14.9 s vs 3.3 s at sf0.1) — the giant flat expression
+    # bloats the task binary (~1.4 MB broadcast) and falls out of
+    # whole-stage codegen; the interpreted fold is the better shape here.
     dv = as_double(F.col(vec_col))
     side_in = ensure_min_parallelism(df) if ensure_parallelism else df
     side = side_in.select(
