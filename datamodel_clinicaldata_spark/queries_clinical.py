@@ -128,3 +128,91 @@ def clinical_cohort_week_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
         max_age=74,
         clinic_id=5,
     )
+
+# ---------------------------------------------------------------------------
+# SQL face of the flagship (SURVEY.md §7.1: "the same pipeline registered as
+# temp views + one spark.sql cohort query"). Same window semantics as the
+# DataFrame engine, expressed as ONE Spark SQL text; registered against the
+# SAME oracle as clinical_cohort_week, so the driver pins DataFrame face ≡
+# SQL face ≡ DuckDB restatement (a three-way differential).
+# ---------------------------------------------------------------------------
+_SPARK_FULL = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+_SPARK_COHORT_WEEK_SQL = f"""
+WITH joined AS (
+  SELECT u.UID, u.Name, u.Gender, u.Age, u.ClinicID, u.c_acctbal,
+         w.Weight, w.CreatedDate AS Wts_CreatedDate,
+         w.UpdatedDate AS Wts_UpdatedDate,
+         t.TreatmentTypeID, t.StartDate AS Tmt_StartDate
+  FROM cl_users u
+  LEFT JOIN cl_weights w ON u.UID = w.MasterUserID
+  LEFT JOIN cl_treatments t ON u.UID = t.MasterUserID
+), bucketed AS (
+  SELECT *,
+         CAST(floor(datediff(Wts_CreatedDate, Tmt_StartDate) / 30.417D) AS INT)
+           AS month,
+         CAST(floor(datediff(Wts_CreatedDate, Tmt_StartDate) / 7) AS INT)
+           AS week
+  FROM joined
+), m1 AS (
+  SELECT *,
+         count(Wts_UpdatedDate) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week
+           ORDER BY {_SIGMA} {_SPARK_FULL}) AS WIR,
+         first_value(Weight) OVER (
+           PARTITION BY UID ORDER BY {_SIGMA_PAT} {_SPARK_FULL}) AS PSW,
+         first_value(Weight) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate
+           ORDER BY {_SIGMA} {_SPARK_FULL}) AS TSW,
+         last_value(Weight) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate
+           ORDER BY {_SIGMA} {_SPARK_FULL}) AS TEW,
+         first_value(Weight) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week
+           ORDER BY {_SIGMA} {_SPARK_FULL}) AS first_w
+  FROM bucketed
+), m2 AS (
+  SELECT *,
+         first_w - lead(first_w) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY {_SIGMA}
+         ) AS wgt_diff
+  FROM m1
+), m3 AS (
+  SELECT *,
+         max(wgt_diff) OVER (
+           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week
+           ORDER BY {_SIGMA} {_SPARK_FULL}) AS patient_TBWL
+  FROM m2
+)
+SELECT DISTINCT
+  UID, Name, Gender, Age, ClinicID, c_acctbal,
+  Weight, Wts_CreatedDate, Wts_UpdatedDate,
+  TreatmentTypeID, Tmt_StartDate,
+  month, week, WIR, PSW, TSW,
+  TEW - TSW AS treatment_TBWL,
+  patient_TBWL
+FROM m3
+WHERE Age BETWEEN 15 AND 74
+"""
+
+
+@register("clinical_cohort_week_sqlface", _flagship_oracle("week"))
+def clinical_cohort_week_sqlface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship weekly cohort pipeline as ONE ``spark.sql`` text over
+    temp views (the engine's own stand-in frames registered as
+    ``cl_users``/``cl_weights``/``cl_treatments``) — SURVEY.md §7.1's SQL
+    surface. Window specs, σ tiebreakers, bucket arithmetic (``30.417D``
+    forces double division, matching the DataFrame face's float divisor),
+    and filter-after-window placement mirror the engine exactly; Catalyst
+    compiles both faces to the same physical shape. Registered against
+    the same DuckDB oracle as ``clinical_cohort_week``, so the driver's
+    hash gate pins DataFrame face ≡ SQL face ≡ ANSI restatement."""
+    from datamodel_clinicaldata_spark.pipeline import (
+        clinical_standins_from_testdata,
+    )
+
+    users, weights, treatments = clinical_standins_from_testdata(spark, sf_dir)
+    users.createOrReplaceTempView("cl_users")
+    weights.createOrReplaceTempView("cl_weights")
+    treatments.createOrReplaceTempView("cl_treatments")
+    return spark.sql(_SPARK_COHORT_WEEK_SQL)
