@@ -20,46 +20,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_order(names: list[str]) -> list[str]:
-    """Order the inventory so queries without a prior driver correctness
-    row come first.
+    """Order the inventory for the driver's first-N sample: never-green
+    first, then green-but-modified-since-green, then fresh greens.
 
     This file is the driver adapter, so the driver's sampling policy (it
     checks only the first N entries per round) is handled here, not in
-    the library registry: names without a fully-green row (rows/schema/
-    hash all matching) in any past round's ``CORRECTNESS_r*.json``
-    (written by the driver next to this file) are listed first,
-    family-interleaved so any prefix still spans all query families;
-    already-green names follow. Over successive rounds this rotates
-    every query into the green set. Computed lazily per call, so late
-    registrations are included.
+    the library registry. Three tiers, each family-interleaved so any
+    prefix still spans all query families:
+
+    1. names without a fully-green row (rows/schema/hash all matching)
+       in any past round's ``CORRECTNESS_r*.json``;
+    2. names whose green row predates a code change — detected by
+       digesting the query's defining module (plus first-level
+       intra-package imports) at the git rev the driver evaluated vs the
+       working tree (``tools/green_digests.py``; verdict r4 #4: a green
+       earned by old code is not evidence about the current code);
+    3. still-green, unmodified names.
+
+    Over successive rounds this rotates every query into a CURRENT green.
+    Computed lazily per call, so late registrations are included; any
+    failure of the staleness probe degrades to the r4 two-tier order.
     """
-    import glob
-    import json
     import os
+    import sys
 
-    from datamodel_clinicaldata_spark.registry import interleaved_by_family
+    from datamodel_clinicaldata_spark.registry import (
+        QUERIES,
+        interleaved_by_family,
+    )
 
-    checked: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                checked.add(name)
-    unchecked = [n for n in names if n not in checked]
-    rest = [n for n in names if n in checked]
-    return interleaved_by_family(unchecked) + interleaved_by_family(rest)
+    sys.path.insert(0, os.path.join(here, "tools"))
+    try:
+        from green_digests import last_green_rounds, stale_greens
+
+        greens = set(last_green_rounds())
+        stale = stale_greens(dict(QUERIES))
+    except Exception:  # noqa: BLE001 — ordering must never break the driver
+        greens, stale = set(), set()
+
+    never = [n for n in names if n not in greens]
+    modified = [n for n in names if n in greens and n in stale]
+    fresh = [n for n in names if n in greens and n not in stale]
+    return (
+        interleaved_by_family(never)
+        + interleaved_by_family(modified)
+        + interleaved_by_family(fresh)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

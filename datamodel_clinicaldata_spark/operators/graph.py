@@ -141,6 +141,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 60,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14 §3) —
@@ -170,7 +171,9 @@ def connected_components_star(
             F.col("src").alias("node"), F.col("dst").alias("component_id")
         )
 
+    rounds_used = 0
     for _ in range(max_rounds):
+        rounds_used += 1
         sym = directed.union(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -188,6 +191,9 @@ def connected_components_star(
             f"< 2^sqrt({max_rounds}); the edge set is likely mutating "
             "between actions (non-deterministic node ids?)"
         )
+
+    if stats is not None:
+        stats["rounds"] = rounds_used
 
     # Fixpoint = disjoint stars centred on component minima: every
     # non-root points at its root; roots appear only as dst.

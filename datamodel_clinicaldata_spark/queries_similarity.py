@@ -227,8 +227,9 @@ def similarity_neardup_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking actually blocks. Expected candidate volume: an unrelated
     pair (cos ≈ 0) collides per table with prob 2^-10, so candidates ≈
     8/1024 ≈ 0.8% of all pairs — vs the recall-regime row
-    (``similarity_neardup_lsh``) whose bench parameters verify ~57% of
-    all pairs. A twin pair (θ ≈ 14°) survives a table with prob
+    (``similarity_neardup_lsh``) whose bench parameters verify ~64% of
+    all pairs (0.6386 measured post the SplitMix64 plane fix, BENCH_r04
+    ``lsh_candidates``). A twin pair (θ ≈ 14°) survives a table with prob
     (1−θ/π)^10 ≈ 0.44, so per-pair miss ≈ (1−0.44)^8 ≈ 0.9% — recall is
     pinned in tests/test_similarity.py; the LCG planes are replayed as
     SQL literals so the oracle checks the EXACT bucketing. Bench logs
@@ -400,8 +401,11 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             list_sum(list_transform(list_zip(c.code, q.code),
-                                     s -> s[1] * s[2])) AS dot_q
+             -- DuckDB list_sum over BIGINT[] returns HUGEINT, which pandas
+             -- materializes as float64 ("205138.0") and the driver's value
+             -- hash then disagrees with Spark's int64 — CAST back to BIGINT.
+             CAST(list_sum(list_transform(list_zip(c.code, q.code),
+                                          s -> s[1] * s[2])) AS BIGINT) AS dot_q
       FROM (SELECT * FROM codes WHERE vec_id < 5) q
       JOIN codes c ON true
     )

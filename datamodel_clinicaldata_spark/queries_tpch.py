@@ -488,6 +488,9 @@ def agg_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(value_e4) AS DOUBLE) / 10000.0 AS stock_value
     FROM natps
     GROUP BY 1
+    -- fixed fraction 0.0001 (q11 intent is 0.0001/SF; SF-scaling returned
+    -- 0 rows at these test SFs); sum(BIGINT) is HUGEINT here so the
+    -- multiply is 128-bit exact, matching Spark's decimal(38,0) compare
     HAVING sum(value_e4) * 10000 > (SELECT sum(value_e4) FROM natps)
     """,
 )
@@ -526,7 +529,14 @@ def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         natps.groupBy("ps_partkey")
         .agg(F.sum("value_e4").alias("sum_e4"))
         .join(F.broadcast(total))
-        .filter(F.col("sum_e4") * 10000 > F.col("total_e4"))
+        # decimal(38,0) comparison: sum_e4·10000 can exceed int64 at very
+        # large SF (silent wraparound under non-ANSI overflow) while the
+        # DuckDB oracle's sum(BIGINT) promotes to 128-bit HUGEINT — widen to
+        # decimal so both engines compare exactly at any scale factor.
+        .filter(
+            F.col("sum_e4").cast("decimal(38,0)") * 10000
+            > F.col("total_e4").cast("decimal(38,0)")
+        )
         .select(
             "ps_partkey",
             (F.col("sum_e4").cast("double") / 10000.0).alias("stock_value"),

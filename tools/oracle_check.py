@@ -98,6 +98,22 @@ def main() -> int:
         if list(s.columns) != list(d.columns):
             status.append(f"schema {list(s.columns)} vs {list(d.columns)}")
         if not status:
+            # Driver parity: its value hash is over canonical strings, so an
+            # int64 `205138` vs float64 `205138.0` column IS a mismatch even
+            # when the values agree to 1e-6 (r4's similarity_quantized_topk
+            # survived locally for exactly this reason). Fail int-vs-float
+            # dtype splits outright; keep rtol only for genuinely-float pairs.
+            for c in s.columns:
+                si = pd.api.types.is_integer_dtype(s[c])
+                di = pd.api.types.is_integer_dtype(d[c])
+                sf_ = pd.api.types.is_float_dtype(s[c])
+                df_ = pd.api.types.is_float_dtype(d[c])
+                if (si and df_) or (sf_ and di):
+                    status.append(
+                        f"dtype split on {c!r}: spark {s[c].dtype} vs "
+                        f"oracle {d[c].dtype} — driver hash would differ"
+                    )
+        if not status:
             try:
                 pd.testing.assert_frame_equal(
                     s, d, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
