@@ -263,12 +263,50 @@ def stale_greens(queries: dict) -> set[str]:
     return stale
 
 
+def coverage_table() -> str:
+    """Markdown two-column shadow map for COVERAGE.md: every registered
+    query → latest fully-green driver round (``rN``, with ``*`` when the
+    code changed since that green) or ``local`` (never driver-green;
+    passing the identical gate in tools/oracle_check.py)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    greens = last_green_rounds()
+    stale = stale_greens(dict(QUERIES))
+
+    def cell(name: str) -> str:
+        if name not in greens:
+            return "local"
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", greens[name])
+        tag = f"r{int(m.group(1))}" if m else "r?"
+        return tag + ("\\*" if name in stale else "")
+
+    names = sorted(QUERIES)
+    half = (len(names) + 1) // 2
+    left, right = names[:half], names[half:]
+    lines = ["| query | latest green | query | latest green |", "|---|---|---|---|"]
+    for i in range(half):
+        l = f"| {left[i]} | {cell(left[i])} "
+        r = (
+            f"| {right[i]} | {cell(right[i])} |"
+            if i < len(right)
+            else "| | |"
+        )
+        lines.append(l + r)
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
     import sys
 
     sys.path.insert(0, REPO)
     from datamodel_clinicaldata_spark.registry import QUERIES
 
+    if "--coverage-table" in sys.argv:
+        print(coverage_table())
+        raise SystemExit(0)
     greens = last_green_rounds()
     stale = stale_greens(dict(QUERIES))
     never = [n for n in QUERIES if n not in greens]
