@@ -1162,6 +1162,94 @@ def quantiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_theta_sketch_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         ty AS (SELECT DISTINCT event_type FROM events)
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           CAST((SELECT count(*) FROM tu WHERE tu.event_type = ta.event_type)
+                AS BIGINT) AS users_a,
+           CAST((SELECT count(*) FROM tu WHERE tu.event_type = tb.event_type)
+                AS BIGINT) AS users_b,
+           CAST((SELECT count(*) FROM tu x JOIN tu y ON x.user_id = y.user_id
+                 WHERE x.event_type = ta.event_type
+                   AND y.event_type = tb.event_type) AS BIGINT) AS users_both,
+           TRUE AS sketch_ok
+    FROM ty ta JOIN ty tb ON ta.event_type < tb.event_type
+    """,
+)
+def agg_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types via Theta
+    sketches — the set-algebra sketch family: unlike HLL, theta sketches
+    support INTERSECTION and DIFFERENCE, so "users who did A and B" needs
+    one sketch per type (constant memory, mergeable map-side) instead of
+    a user-level distinct + self-join. At 100 TB the self-join shuffles
+    |distinct users| rows per pair; the sketch path shuffles one 4 KB
+    blob per type and intersects on the driver side of the agg — the
+    standard audience/reach architecture (Apache DataSketches).
+
+    Sketch BYTES are engine-specific, so like the HLL/GK rows the oracle
+    checks exact cardinalities (scaffolding self-join) plus ``sketch_ok``:
+    every estimate within 3·rsd bands (rsd = 1/√2¹² for lgK=12; the
+    intersection band scales with the UNION size per DataSketches error
+    analysis). At the test SFs the per-type sets are under the 4096-entry
+    nominal, so the sketches run in exact mode and the boolean is exactly
+    deterministic; estimation mode is the 100 TB path."""
+    e = read_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id, 12)").alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_users").alias("users_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_users").alias("users_b"),
+    )
+    # ≤ handful of event types: broadcast pair enumeration, never a shuffle
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    # exact overlap scaffolding (the oracle's ground truth)
+    tu = e.select("event_type", "user_id").distinct()
+    both = (
+        tu.alias("x")
+        .join(tu.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("users_both"))
+    )
+    rsd = 3 * (1.0 / (2**12) ** 0.5)
+    est_a = F.expr("theta_sketch_estimate(sk_a)")
+    est_b = F.expr("theta_sketch_estimate(sk_b)")
+    est_both = F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+    est_union = F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))")
+    union_exact = F.col("users_a") + F.col("users_b") - F.col("users_both")
+    return (
+        pairs.join(both, ["type_a", "type_b"], "left")
+        .withColumn("users_both", F.coalesce(F.col("users_both"), F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "users_both",
+            (
+                (F.abs(est_a - F.col("users_a")) <= F.lit(rsd) * F.col("users_a"))
+                & (F.abs(est_b - F.col("users_b")) <= F.lit(rsd) * F.col("users_b"))
+                & (F.abs(est_both - F.col("users_both")) <= F.lit(rsd) * union_exact)
+                & (F.abs(est_union - union_exact) <= F.lit(rsd) * union_exact)
+            ).alias("sketch_ok"),
+        )
+    )
+
+
+@register(
     "agg_statistical_moments",
     """
     SELECT l_returnflag,
