@@ -1162,6 +1162,73 @@ def quantiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_kll_sketch",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_kll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL sketch percentiles of l_extendedprice per return flag — the
+    modern mergeable quantile sketch (Karnin-Lang-Liberty, FOCS'16; Apache
+    DataSketches): unlike GK it is fully mergeable with no accuracy loss,
+    so partial aggregation stays map-side and a 100 TB rollup can keep
+    per-partition sketches and merge them in the reduce, or persist them
+    for later cross-dataset merging (the property GK lacks).
+
+    Same oracle contract as ``quantiles_approx_sketch``: sketch bytes are
+    engine-specific, so the check is the rank interval
+    ``[count(<v)+1, count(<=v)]`` overlapping the target band
+    ``(p ± ε)·n`` with ε = 2.66%·1.5 (k=200 normalized rank error at
+    ~99% confidence per the DataSketches error table, with headroom —
+    KLL is randomized internally but Spark seeds it deterministically
+    per input) plus the ±1-row rank-definition cushion."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    eps = 0.0266 * 1.5
+    pq = li.groupBy("l_returnflag").agg(
+        F.expr("kll_sketch_agg_double(l_extendedprice, 200)").alias("sk")
+    )
+    pq = pq.select(
+        "l_returnflag",
+        F.expr(
+            "kll_sketch_get_quantile_double(sk, array(0.25D, 0.5D, 0.75D))"
+        ).alias("pq"),
+    )
+    j = li.join(F.broadcast(pq), "l_returnflag")
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            s
+            for i in range(3)
+            for s in (
+                F.sum(
+                    (F.col("l_extendedprice") < F.col("pq")[i]).cast("long")
+                ).alias(f"__lt{i}"),
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col("pq")[i]).cast("long")
+                ).alias(f"__le{i}"),
+            )
+        ],
+    )
+
+    def ok(i: int, p: float):
+        lo = (F.lit(p - eps) * F.col("n")) - F.lit(1.0)
+        hi = (F.lit(p + eps) * F.col("n")) + F.lit(1.0)
+        return (F.col(f"__le{i}") >= lo) & ((F.col(f"__lt{i}") + 1) <= hi)
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        ok(0, 0.25).alias("p25_ok"),
+        ok(1, 0.50).alias("p50_ok"),
+        ok(2, 0.75).alias("p75_ok"),
+    )
+
+
+@register(
     "agg_theta_sketch_overlap",
     """
     WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
