@@ -137,11 +137,16 @@ def test_connected_components_star_path_graph(spark):
 
     n = 1000
     df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    stats: dict = {}
     got = {
         r["node"]: r["component_id"]
-        for r in connected_components_star(df).collect()
+        for r in connected_components_star(df, stats=stats).collect()
     }
     assert got == {i: 0 for i in range(n)}
+    # O(log² d) bound, concretely: log₂(1000) ≈ 10; measured 18 on a 100k
+    # path (bench cc_rounds). 2·log₂(d) + slack pins a convergence-rate
+    # regression without flaking on the constant factor.
+    assert stats["rounds"] <= 25, f"path-1000 took {stats['rounds']} rounds"
 
 
 def test_connected_components_star_matches_label(spark):
