@@ -20,10 +20,43 @@ from datamodel_clinicaldata_spark.registry import register
 from datamodel_clinicaldata_spark.sources.readers import read_table
 from datamodel_clinicaldata_spark.streaming.windows import (
     dedup_events_stream,
+    enrich_events_dim,
     session_windows,
     sliding_event_avg,
     tumbling_event_counts,
 )
+
+
+@register(
+    "stream_enrich_static_dim",
+    """
+    SELECT c.c_nationkey AS nation, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch face: events decorated with
+    the customer dimension (user_id → c_custkey), rolled up per
+    (nation, event_type). ``enrich_events_dim`` is the unified transform
+    — the same function runs under ``readStream`` in
+    tests/test_streaming.py, where the static side re-plans per
+    micro-batch and the join is stateless (no watermark, no state store).
+    Sum is on 2-dp inputs so round(·,4) sits on exact grid points."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events")
+    dim = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        enrich_events_dim(e, dim)
+        .groupBy(F.col("c_nationkey").alias("nation"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
 
 
 @register(

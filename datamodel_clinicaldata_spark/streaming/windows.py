@@ -200,3 +200,27 @@ def click_purchase_join(
     ).select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def enrich_events_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    left_key: str = "user_id",
+    right_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join: every event decorated with its
+    dimension row (user → customer attributes). The missing streaming
+    shape next to windows/dedup/stream-stream join — at ingest, events
+    are enriched against a slowly-changing dimension before landing.
+
+    Unified-model transform: on a batch frame it is a plain broadcast
+    left join; on a streaming frame Spark re-plans the static side per
+    micro-batch (so a refreshed dim table is picked up) and the join is
+    STATELESS — no watermark, no state store, because the static side is
+    fully available every batch. Dimension broadcast: at 100 TB the fact
+    stream never shuffles for this join; only the dim (bounded) ships.
+    Left join keeps unmatched events (late dim arrival must not drop
+    facts — the standard ingest contract)."""
+    return events.join(
+        F.broadcast(dim), F.col(left_key) == F.col(right_key), "left"
+    ).drop(right_key)

@@ -150,3 +150,29 @@ def test_batch_user_profile_equals_streaming_final(spark, sf_dir, tmp_path):
     )
     cols = ["user_id", "n_events", "tv", "e"]
     assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, tmp_path):
+    """The stream-static enrichment join runs stateless under readStream
+    (static dim re-planned per micro-batch, no watermark required) and its
+    rolled-up result matches the batch execution of the same transform."""
+    from datamodel_clinicaldata_spark.streaming.windows import enrich_events_dim
+
+    dim = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def rollup(events):
+        return (
+            enrich_events_dim(events, dim)
+            .groupBy(F.col("c_nationkey").alias("nation"), "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+
+    streaming = rollup(stream_events(spark, sf_dir))
+    _run_stream(streaming, "enrich_static", tmp_path, "complete")
+    got = spark.sql("SELECT * FROM enrich_static")
+    want = rollup(read_table(spark, sf_dir, "events"))
+    cols = ["nation", "event_type", "n_events", "total_value"]
+    assert _norm(got, cols) == _norm(want, cols)
