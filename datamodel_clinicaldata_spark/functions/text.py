@@ -31,6 +31,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs Java regex and RE2
+# (DuckDB) evaluate identically: contraction suffixes, space-prefixed
+# letter/digit runs, space-prefixed punctuation runs, whitespace runs. The
+# original's `\s+(?!\S)` lookahead is RE2-incompatible and only affects
+# how trailing-vs-interior whitespace splits, which a COUNT cannot see.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments — the
+    standard quick estimate of LLM token cost (actual BPE merges only
+    split segments further, so this lower-bounds and tracks the real
+    count). One JVM regexp pass, no UDF."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-token shingles joined with single spaces — the unit for n-gram
     Jaccard / MinHash. Array expression, no explode until the caller needs

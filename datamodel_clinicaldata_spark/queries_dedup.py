@@ -199,6 +199,118 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component_id")
 
 
+@register(
+    "dedup_incremental_against_corpus",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, md5(text) AS dig, {_SHINGLES} AS sh FROM documents
+    ), corpus AS (
+      SELECT * FROM docs WHERE doc_id % 5 <> 4
+    ), inc AS (
+      SELECT * FROM docs WHERE doc_id % 5 = 4
+    ), ex AS (
+      SELECT i.doc_id, CAST(min(c.doc_id) AS BIGINT) AS match_id
+      FROM inc i JOIN corpus c ON i.dig = c.dig GROUP BY 1
+    ), idx AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), cand AS (
+      SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS cor_id
+      FROM idx i JOIN idx c ON i.s = c.s
+      WHERE i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+    ), near AS (
+      SELECT inc_id AS doc_id, CAST(min(cor_id) AS BIGINT) AS match_id
+      FROM cand
+      JOIN docs di ON di.doc_id = inc_id
+      JOIN docs dc ON dc.doc_id = cor_id
+      WHERE len(list_intersect(di.sh, dc.sh))
+              / (len(di.sh) + len(dc.sh) - len(list_intersect(di.sh, dc.sh)))
+            >= 0.2
+      GROUP BY 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           coalesce(ex.match_id, near.match_id, CAST(-1 AS BIGINT)) AS match_id
+    FROM inc i
+    LEFT JOIN ex ON ex.doc_id = i.doc_id
+    LEFT JOIN near ON near.doc_id = i.doc_id
+    """,
+)
+def dedup_incremental_against_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dedup: classify an INCOMING batch (doc_id ≡ 4 mod 5,
+    ~20%) against the EXISTING corpus (the rest) — the ingest-time shape
+    of dedup, distinct from batch self-dedup: a new crawl drop must be
+    screened against 100 TB of already-kept documents, never against
+    itself here. Each incoming doc gets ``status`` exact_dup (digest
+    match in corpus) / near_dup (3-gram Jaccard ≥ 0.2 with any corpus
+    doc) / new, plus the smallest matching corpus doc_id.
+
+    Scale shape: the exact screen joins incoming digests against the
+    corpus digest INDEX (16-byte rows — at 100 TB this index is a
+    bucketed table, so the join is shuffle-free on the corpus side); the
+    near screen is the same inverted shingle-postings join as
+    ``dedup_ngram_jaccard`` restricted to incoming×corpus pairs — the
+    postings for the corpus are likewise a maintained index in
+    production, so per-drop cost scales with the DROP, not the corpus.
+    Candidate verification reuses the exact-Jaccard path (cited:
+    operators/dedup.py ngram_jaccard_pairs)."""
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % 5 == 4
+    docs = d.select("doc_id", "text", F.md5("text").alias("dig"))
+    inc = docs.filter(is_inc)
+    corpus = docs.filter(~is_inc)
+
+    ex = (
+        inc.select("doc_id", "dig")
+        .join(
+            corpus.select(F.col("dig"), F.col("doc_id").alias("cor_id")),
+            "dig",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cor_id").cast("long").alias("ex_match"))
+    )
+
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    )
+    # ngram_jaccard_pairs emits id_a < id_b over the whole frame; keep only
+    # pairs crossing the corpus/incoming split, oriented incoming→corpus
+    crossing = pairs.select(
+        F.when(F.col("id_a") % 5 == 4, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("inc_id"),
+        F.when(F.col("id_a") % 5 == 4, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("cor_id"),
+        ((F.col("id_a") % 5 == 4) != (F.col("id_b") % 5 == 4)).alias("__x"),
+    ).filter(F.col("__x"))
+    near = (
+        crossing.groupBy(F.col("inc_id").alias("doc_id"))
+        .agg(F.min("cor_id").cast("long").alias("near_match"))
+    )
+
+    return (
+        inc.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("ex_match", "near_match", F.lit(-1).cast("long")).alias(
+                "match_id"
+            ),
+        )
+    )
+
+
 def cc_round_stats(spark: SparkSession, chain_nodes: int = 100_000) -> dict:
     """Adversarial-regime instrumentation for the star-contraction CC
     (verdict r4 #6): a single path graph of ``chain_nodes`` nodes —

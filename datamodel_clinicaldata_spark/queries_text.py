@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.functions.text import (
+    BPE_SPLIT_PATTERN,
     LANG_MARKERS,
     STOPWORDS_EN,
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     quality_struct,
@@ -32,6 +34,32 @@ def _sql_list(words: list[str]) -> str:
 
 def _hits(words: list[str]) -> str:
     return f"len(list_filter({_TOKS}, t -> list_contains({_sql_list(words)}, t)))"
+
+
+@register(
+    "text_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '{BPE_SPLIT_PATTERN.replace("'", "''")}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting next to the whitespace count — the quick
+    LLM-token-cost estimate (pre-tokenizer segment count; actual BPE
+    merges only split segments further). The pattern is restricted to
+    constructs Java regex (Spark) and RE2 (DuckDB) evaluate identically,
+    so the oracle replays the exact same split — see
+    ``functions.text.BPE_SPLIT_PATTERN``. One JVM regexp pass per doc,
+    embarrassingly parallel, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
 
 
 @register(
