@@ -70,6 +70,10 @@ HEADLINE = [
     "pack_sequences_greedy",
     "stream_click_purchase_join",
     "dedup_cluster_components_star",
+    # round 5 additions: ingest-path representatives — incremental dedup of
+    # a drop against the corpus, stream-static dim enrichment
+    "dedup_incremental_against_corpus",
+    "stream_enrich_static_dim",
 ]
 
 
