@@ -183,10 +183,13 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("dedup_cluster_components", _CC_ORACLE)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → keep-groups: exact-Jaccard ≥ 0.2 pairs as the edge
-    list, then iterative min-label connected components (the transitive
-    closure that turns pairwise matches into dedup survivor groups;
-    ``component_id`` = smallest doc_id in the cluster). Oracle replays the
-    closure with a recursive CTE."""
+    list, then connected components (the transitive closure that turns
+    pairwise matches into dedup survivor groups; ``component_id`` =
+    smallest doc_id in the cluster). Execution is adaptive: single-task
+    union-find when the edge set is small (dup-family graphs are tiny
+    even on huge corpora), distributed min-label fixpoint with star
+    fallback otherwise — see ``operators.graph.connected_components``.
+    Oracle replays the closure with a recursive CTE."""
     from pyspark.sql import functions as F
 
     from datamodel_clinicaldata_spark.operators.graph import connected_components

@@ -98,13 +98,20 @@ def test_minhash_lsh_on_testdata(spark, sf_dir):
 
 
 def test_connected_components_vs_union_find(spark):
-    """Iterative min-label CC equals a driver-side union-find, including a
-    path graph (worst diameter for propagation) and disjoint clusters."""
+    """Min-label CC equals a driver-side union-find, including a path
+    graph (worst diameter for propagation) and disjoint clusters — on
+    BOTH execution paths: the small-graph single-task union-find (default
+    threshold) and the distributed fixpoint (local_threshold=0)."""
     from datamodel_clinicaldata_spark.operators.graph import connected_components
 
     edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (22, 20), (30, 30)]
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+    distributed = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got == distributed
 
     parent: dict[int, int] = {}
 
@@ -168,8 +175,10 @@ def test_connected_components_star_matches_label(spark):
     assert star == label
 
     # diameter 40 > max_iter 5 → automatic star fallback, same answer
+    # (local_threshold=0 forces past the small-graph union-find so the
+    # budget-exhaustion path is actually exercised)
     fallback = {
         r["node"]: r["component_id"]
-        for r in connected_components(df, max_iter=5).collect()
+        for r in connected_components(df, max_iter=5, local_threshold=0).collect()
     }
     assert fallback == label
