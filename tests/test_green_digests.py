@@ -102,3 +102,25 @@ def test_reachable_reduction_drops_everything_unreferenced():
     reduced = _reachable_reduction(HELPERS, tokens)
     assert "def " not in reduced
     assert '"""ops module"""' in reduced  # module-level code stays
+
+
+def test_strip_comments_and_docstrings():
+    from green_digests import _strip_comments_docstrings
+
+    a = '"""module doc"""\n\ndef f(x):\n    """doc v1"""\n    # comment v1\n    return x + 1\n'
+    b = '"""module doc CHANGED"""\n\ndef f(x):\n    """doc v2 much longer"""\n    # other comment\n    return x + 1\n'
+    c = a.replace("x + 1", "x + 2")
+    norm = lambda t: "".join(
+        l for l in _strip_comments_docstrings(t).splitlines(keepends=True) if l.strip()
+    )
+    assert norm(a) == norm(b)  # doc/comment edits invisible
+    assert norm(a) != norm(c)  # code edits visible
+
+
+def test_strip_keeps_oracle_sql_decorator_strings():
+    from green_digests import _strip_comments_docstrings
+
+    src = '@register("q", "SELECT 1 AS x")\ndef q(s, d):\n    """doc"""\n    return 1\n'
+    out = _strip_comments_docstrings(src)
+    assert "SELECT 1 AS x" in out
+    assert "doc" not in out

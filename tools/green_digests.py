@@ -140,6 +140,46 @@ def _drop_functions(text: str, drop: set[str]) -> str:
 _TOKEN_RE = re.compile(r"[A-Za-z_]\w*")
 
 
+def _strip_comments_docstrings(text: str) -> str:
+    """Drop ``#`` comments and docstrings before hashing: a doc-only edit
+    must not mark a query stale (it cannot change behavior), or polish
+    burns driver re-verification slots. Oracle SQL is NOT a docstring —
+    it is a decorator argument — so it stays in the digest. Comments go
+    via tokenize (string-literal-safe); docstrings via ast (the leading
+    constant-string statement of a module/function/class body). Falls
+    back to the unstripped text on any parse failure."""
+    import ast
+    import io
+    import tokenize
+
+    try:
+        toks = [
+            t
+            for t in tokenize.generate_tokens(io.StringIO(text).readline)
+            if t.type != tokenize.COMMENT
+        ]
+        text = tokenize.untokenize(toks)
+        tree = ast.parse(text)
+    except (SyntaxError, tokenize.TokenError, ValueError, IndexError):
+        return text
+    lines = text.splitlines(keepends=True)
+    kill: set[int] = set()
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(
+                node,
+                (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            )
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            kill.update(range(body[0].lineno - 1, body[0].end_lineno))
+    return "".join(l for i, l in enumerate(lines) if i not in kill)
+
+
 def _reachable_reduction(text: str, tokens: set[str]) -> str:
     """Reduce an imported helper module to the top-level functions
     transitively referenced from ``tokens`` (identifiers appearing in the
@@ -197,6 +237,7 @@ def _digest(
         text = reduced[p]
         if p != main and main_tokens:
             text = _reachable_reduction(text, main_tokens)
+        text = _strip_comments_docstrings(text)
         # blank-line normalization: deleted segments leave their separator
         # blank lines behind, which would make an appended unrelated
         # function move the digest
