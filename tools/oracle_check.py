@@ -120,6 +120,25 @@ def main() -> int:
                 )
             except AssertionError as e:
                 status.append(f"values: {str(e)[:400]}")
+        if not status:
+            # Signed zeros: assert_frame_equal passes -0.0 == 0.0, a
+            # string-hash canonicalizer does not ("-0.0" != "0.0").
+            import numpy as np
+
+            for c in s.columns:
+                if pd.api.types.is_float_dtype(s[c]) and pd.api.types.is_float_dtype(
+                    d[c]
+                ):
+                    sv, dv = s[c].to_numpy(), d[c].to_numpy()
+                    both_zero = (sv == 0) & (dv == 0)
+                    if (
+                        both_zero.any()
+                        and (np.signbit(sv[both_zero]) != np.signbit(dv[both_zero])).any()
+                    ):
+                        status.append(
+                            f"signed-zero split on {c!r}: one engine emits "
+                            "-0.0 where the other emits 0.0"
+                        )
         if status:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(status)}")
