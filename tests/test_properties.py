@@ -207,14 +207,29 @@ edge_lists = st.lists(
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edge_lists)
 def test_connected_components_property(spark, edges):
-    """Random graphs: spark CC == driver union-find."""
-    from datamodel_clinicaldata_spark.operators.graph import connected_components
+    """Random graphs: all three CC execution paths (single-task
+    union-find fast path, distributed min-label fixpoint, star
+    contraction) produce the identical labeling, equal to a driver
+    union-find."""
+    from datamodel_clinicaldata_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
 
     real = [(a, b) for a, b in edges if a != b]
     if not real:
         return
     df = spark.createDataFrame(real, "src long, dst long")
     got = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+    dist = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    star = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == dist == star
 
     parent: dict[int, int] = {}
 
