@@ -53,8 +53,9 @@ def _local_union_find(sym: DataFrame) -> DataFrame:
     each node with its component minimum in O(E·α). The right plan when
     the graph fits one task: the iterative fixpoints pay ~4 actions +
     2 shuffles PER ROUND in fixed overhead, which dwarfs the actual work
-    below a few million edges (measured: 2.1 s → 0.4 s on the sf0.1
-    dedup graph's few hundred edges)."""
+    below a few million edges (measured on the sf0.1 dedup query: 2.26 s
+    → 1.94 s end-to-end; the CC stage itself collapses from ~5 shuffle
+    rounds to one Arrow task)."""
     import pandas as pd
 
     def uf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -159,10 +160,8 @@ def connected_components(
         changed = mat.filter(F.col("new_lbl") != F.col("old_lbl")).count()
         labels = mat.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
-            sym.unpersist()
             return labels.select("node", F.col("lbl").alias("component_id"))
 
-    sym.unpersist()
     # Diameter exceeded the propagation budget — hand the graph to the
     # shape-insensitive contraction instead of failing the run.
     return connected_components_star(edges, src, dst)
