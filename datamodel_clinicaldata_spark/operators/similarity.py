@@ -362,6 +362,73 @@ def ivf_topk(
     )
 
 
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-SQ: IVF partition pruning composed with int8 scalar
+    quantization — the standard memory-bound ANN configuration (FAISS
+    ``IVF,SQ8``): centroid assignment and probe selection run on the
+    float vectors (cosine, as in ``ivf_topk``), but the in-bucket scan
+    ranks by the exact INTEGER dot of per-vector symmetric-quantized
+    codes (``functions.vectors.quantize_int8``). At 100 TB the bucketed
+    corpus stores 4× smaller codes, the scan prunes
+    (1 − nprobe/n_centroids) of the data, and the integer scores are
+    deterministic and float-noise-free across engines.
+
+    Seeding is ``seed_by='lowest'`` (the n_centroids lowest ids) so an
+    ANSI oracle can replay assignment, probing, quantization, and
+    scoring exactly."""
+    from datamodel_clinicaldata_spark.functions.vectors import int_dot, quantize_int8
+
+    sampled = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+    )
+    seeds = [r["__cvec"] for r in sampled.collect()]  # ≤ n_centroids vecs
+    cent_array = _centroid_array_expr([list(map(float, v)) for v in seeds])
+
+    def nearest(vec, topn):
+        scored = F.transform(
+            cent_array,
+            lambda c: F.struct(
+                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, topn)
+
+    assigned = corpus.select(
+        F.col(id_col),
+        nearest(F.col(vec_col), 1)[0]["cid"].alias("__cid"),
+        quantize_int8(F.col(vec_col)).alias("__code"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        quantize_int8(F.col(vec_col)).alias("__qcode"),
+        F.explode(
+            F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])
+        ).alias("__cid"),
+    )
+    scored = assigned.join(F.broadcast(q), "__cid").select(
+        query_id_col,
+        id_col,
+        int_dot(F.col("__code"), F.col("__qcode")).alias("dot_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot_q").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def _lcg_planes(n: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes — stable across
     runs/engines without numpy RNG state.

@@ -354,6 +354,88 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_quantized_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cvec
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_inner_product(e.v, s.cvec) /
+                          sqrt(list_inner_product(e.v, e.v) *
+                               list_inner_product(s.cvec, s.cvec)) DESC,
+                          s.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, s.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_inner_product(q.v, s.cvec) /
+                          sqrt(list_inner_product(q.v, q.v) *
+                               list_inner_product(s.cvec, s.cvec)) DESC,
+                          s.cid ASC
+               ) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN seeds s
+      ) WHERE rn <= 4
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(
+               embedding::DOUBLE[],
+               x -> CAST(floor(x * (127.0 / greatest(
+                      list_aggregate(list_transform(embedding::DOUBLE[],
+                                                    y -> abs(y)), 'max'),
+                      1e-12)) + 0.5) AS BIGINT)) AS code
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT qp.query_id, a.vec_id,
+             CAST(list_sum(list_transform(list_zip(cc.code, qc.code),
+                                          s -> s[1] * s[2])) AS BIGINT) AS dot_q
+      FROM qprobe qp
+      JOIN assign a ON a.cid = qp.cid
+      JOIN codes cc ON cc.vec_id = a.vec_id
+      JOIN codes qc ON qc.vec_id = qp.query_id
+    )
+    SELECT query_id, vec_id, dot_q, rank FROM (
+      SELECT query_id, vec_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ (FAISS ``IVF,SQ8`` shape): IVF centroid pruning (nprobe=4
+    of 16, lowest-id seeding) with int8-quantized INTEGER scoring in the
+    probed buckets — 4× smaller stored codes, (1−nprobe/n)·scan pruned,
+    and scores with zero float accumulation so the cross-engine check is
+    exact end-to-end. Assignment/probing reuse the ``similarity_ivf_topk``
+    oracle CTEs; scoring reuses the ``similarity_quantized_topk``
+    quantization (incl. the r4 lesson: BIGINT cast on the oracle's
+    ``list_sum`` — DuckDB returns HUGEINT, pandas would float64 it)."""
+    from datamodel_clinicaldata_spark.operators.similarity import ivf_quantized_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_quantized_topk(
+        e, queries, k=10, n_centroids=16, nprobe=4
+    )
+
+
+@register(
     "embedding_norm_stats",
     """
     WITH n AS (
