@@ -409,3 +409,65 @@ def dedup_keep_first(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def substring_span_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Substring-level duplication stats: every length-``k`` token window
+    ("span") of every document, counted corpus-wide; per document, how
+    many of its span positions are duplicated anywhere in the corpus.
+
+    This is the scalable reduction of exact substring deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the paper's suffix-array pass finds duplicated substrings of
+    ≥ k tokens; restricting matches to token-window alignment turns it
+    into hash-groupBy over rolling k-gram windows — the form that
+    distributes. Shuffle discipline: spans are reduced to 64-bit
+    ``xxhash64`` keys BEFORE the shuffle, so the exchange carries
+    (doc_id, int64) instead of k-token strings (collisions: ~m²·2⁻⁶⁵ for
+    m corpus spans — negligible even at 100 TB, same trade Lee et al.
+    make). Plan: explode windows → ONE shuffle on the span hash (window
+    count over the hash partition) → second shuffle on doc_id for the
+    per-doc rollup. No joins, no driver-side state.
+
+    Documents shorter than ``k`` tokens have no spans and drop out (the
+    oracle's ``unnest`` of an empty list does the same).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") >= k)
+    )
+    spans = d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, k), " ")),
+            )
+        ).alias("__h"),
+    )
+    counted = spans.withColumn(
+        "__cnt", F.count("*").over(Window.partitionBy("__h"))
+    )
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    return (
+        counted.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("__cnt") > 1).cast("long")).alias("n_dup_spans"),
+            F.max("__cnt").cast("long").alias("max_span_freq"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            "max_span_freq",
+            round_fixed(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )

@@ -349,3 +349,45 @@ def cc_round_stats(spark: SparkSession, chain_nodes: int = 100_000) -> dict:
         "n_components": agg["n_comp"],
         "min_component_id": agg["min_id"],
     }
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 5
+    ), sp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n - 5 + 2),
+                    i -> array_to_string(toks[i : i + 4], ' '))) AS span
+      FROM d
+    ), cnt AS (
+      SELECT span, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY 1
+    )
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(max(cnt.c) AS BIGINT) AS max_span_freq,
+           floor(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS dup_frac
+    FROM sp JOIN cnt USING (span)
+    GROUP BY sp.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (span) duplication profile of the corpus: per
+    document, the count and fraction of its 5-token windows that occur
+    more than once corpus-wide — the alignment-restricted form of exact
+    substring dedup (Lee et al. 2022). See
+    ``operators.dedup.substring_span_stats`` for the plan shape.
+
+    The oracle counts raw span strings where Spark counts their xxhash64
+    images; identical up to 64-bit collisions (~10⁻¹⁵ at this corpus)."""
+    from datamodel_clinicaldata_spark.operators.dedup import substring_span_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return substring_span_stats(d, "text", "doc_id", k=5)

@@ -182,3 +182,30 @@ def test_connected_components_star_matches_label(spark):
         for r in connected_components(df, max_iter=5, local_threshold=0).collect()
     }
     assert fallback == label
+
+
+def test_substring_span_stats(spark):
+    from datamodel_clinicaldata_spark.operators.dedup import substring_span_stats
+
+    rows = [
+        # docs 1/2 share the 5-token prefix "a b c d e"; doc 3 is disjoint
+        Row(doc_id=1, text="a b c d e x1 x2 x3"),
+        Row(doc_id=2, text="a b c d e y1 y2 y3"),
+        Row(doc_id=3, text="p q r s t u v w"),
+        Row(doc_id=4, text="too short"),  # < k tokens: no spans, dropped
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_span_stats(
+            spark.createDataFrame(rows), "text", "doc_id", k=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # 8 tokens → 4 windows each; only the shared prefix window duplicates
+    for i in (1, 2):
+        assert out[i]["n_spans"] == 4
+        assert out[i]["n_dup_spans"] == 1
+        assert out[i]["max_span_freq"] == 2
+        assert out[i]["dup_frac"] == 0.25
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["max_span_freq"] == 1
