@@ -197,3 +197,91 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+def _cms_rows_sql() -> str:
+    """VALUES rows of the exact (hash_row, multiplier, addend) constants
+    the Spark sketch uses (``operators.sketches.CMS_ROWS``)."""
+    from datamodel_clinicaldata_spark.operators.sketches import CMS_ROWS
+
+    return ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_ROWS))
+
+
+@register(
+    "text_cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ), th AS (
+      SELECT token,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(token, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM tok
+    ), hr(j, mult, add) AS (VALUES {_cms_rows_sql()}),
+    sk AS (
+      SELECT hr.j, ((th.h * hr.mult + hr.add) % 1000000007) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS counter
+      FROM th CROSS JOIN hr
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY 1
+    ), top AS (
+      SELECT token, exact_cnt, rank FROM (
+        SELECT token, exact_cnt,
+               CAST(row_number() OVER (ORDER BY exact_cnt DESC, token ASC)
+                    AS BIGINT) AS rank
+        FROM exact) WHERE rank <= 20
+    ), est AS (
+      SELECT u.token, min(s.counter) AS cms_est
+      FROM (SELECT DISTINCT token, h FROM th) u
+      JOIN top USING (token)
+      CROSS JOIN hr
+      JOIN sk s ON s.j = hr.j
+              AND s.bucket = ((u.h * hr.mult + hr.add) % 1000000007) % 256
+      GROUP BY 1
+    )
+    SELECT top.token, top.exact_cnt, est.cms_est,
+           est.cms_est - top.exact_cnt AS overest, top.rank
+    FROM top JOIN est USING (token)
+    """,
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation with a count-min sketch built from groupBy
+    primitives (``operators.sketches``): the corpus token stream folds
+    into d=4 × w=256 integer counters (shuffle bounded by d·w at ANY
+    corpus size), then the exact top-20 tokens are point-queried against
+    the sketch — ``overest ≥ 0`` by the CMS guarantee, and the whole
+    cascade is integer math on a portable rolling hash, so the oracle
+    replays it exactly. The exact counts are oracle scaffolding; at
+    100 TB only the kilobyte sketch would be kept. The global top-20
+    window runs on the post-agg vocabulary, not the token stream."""
+    from pyspark.sql import Window
+
+    from datamodel_clinicaldata_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    sketch = cms_build(tok, "token", depth=4, width=256)
+    exact = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+    top = (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+    est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=256)
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+        "rank",
+    )

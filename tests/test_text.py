@@ -104,3 +104,27 @@ def test_greedy_pack_invariants(spark, sf_dir):
             totals.setdefault(r["bin_id"], []).append(r["n_tokens"])
         for sizes in totals.values():
             assert sum(sizes) <= _PACK_BUDGET or len(sizes) == 1
+
+
+def test_cms_never_underestimates(spark):
+    """CMS point estimates are upper bounds on true counts; with a
+    near-empty sketch (few distinct keys vs 4×256 counters) they are
+    exact."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = spark.createDataFrame(
+        [Row(w=x) for x in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]]
+    )
+    sketch = cms_build(items, "w")
+    keys = spark.createDataFrame([Row(w=x) for x in "abcd"])
+    est = {r["w"]: r["cms_est"] for r in cms_estimate(sketch, keys, "w").collect()}
+    truth = {"a": 5, "b": 3, "c": 2, "d": 1}
+    for k, t in truth.items():
+        assert est[k] >= t
+    # 4 keys in 1024 counters: collision-free, so estimates are exact
+    assert est == truth
