@@ -1710,3 +1710,61 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "sessionize_events_batch",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user gap-based sessions (new session
+    when > 6h since the previous event) via the classic lag → running-sum
+    pattern — ONE shuffle on user_id serves the lag, the running sum and
+    the final per-session rollup (all three share the partitioning, so
+    Catalyst plans a single exchange). Ordering ties on (epoch_us, event_id)
+    keep lag deterministic when two events share a timestamp. The
+    streaming twin is ``stream_session_windows``; this is the batch
+    (backfill) path of the same semantics."""
+    e = read_table(spark, sf_dir, "events")
+    order = [F.unix_micros("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_us = 6 * 3600 * 1_000_000
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    s = e.select("user_id", "event_id", "ts", "value").withColumn(
+        "session_seq",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
