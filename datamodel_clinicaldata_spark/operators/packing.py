@@ -87,3 +87,56 @@ def greedy_pack_bins(
 
     slim = df.select(order_col, group_col, F.col(size_col).cast("long").alias(size_col))
     return slim.groupBy(group_col).applyInPandas(pack, schema=out_schema)
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    size_col: str,
+    id_col: str,
+    boundaries: tuple[int, ...] = (64, 128, 256, 512),
+    token_budget: int = 4096,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Length-bucketed batching: group documents of similar token length
+    into fixed-count batches so per-batch padding (to the longest member)
+    wastes the least compute — the dynamic-batching strategy of every
+    sequence trainer. Bucket b spans [boundaries[b-1], boundaries[b]);
+    its batch size is ``token_budget / upper_bound`` (longer sequences →
+    smaller batches → roughly constant padded tokens per batch).
+
+    Scale shape: batch formation needs a sequential row_number within a
+    bucket, so each bucket is first split into ``n_shards`` deterministic
+    shards (``id % n_shards``) and batches form within (bucket, shard) —
+    parallelism = buckets × shards instead of a serial scan per bucket,
+    the standard sharded-batching layout. One shuffle, carrying only
+    (id, n_tokens); per-batch stats aggregate on the same partitioning.
+    """
+    ups = list(boundaries) + [None]  # last bucket open-ended
+    bucket = F.lit(len(boundaries)).cast("long")
+    for b in range(len(boundaries) - 1, -1, -1):
+        bucket = F.when(F.col(size_col) < boundaries[b], F.lit(b).cast("long")).otherwise(bucket)
+    # batch size per bucket: budget over the bucket's padding target (its
+    # upper bound; the open tail bucket uses 2x the last boundary)
+    bsize = F.lit(max(1, token_budget // (boundaries[-1] * 2))).cast("long")
+    for b in range(len(boundaries) - 1, -1, -1):
+        bsize = F.when(
+            F.col("bucket_id") == b, F.lit(max(1, token_budget // ups[b])).cast("long")
+        ).otherwise(bsize)
+
+    slim = df.select(
+        F.col(id_col), F.col(size_col).cast("long").alias(size_col)
+    ).withColumn("bucket_id", bucket).withColumn(
+        "shard", (F.col(id_col) % n_shards).cast("long")
+    )
+    w = Window.partitionBy("bucket_id", "shard").orderBy(
+        F.col(size_col).asc(), F.col(id_col).asc()
+    )
+    assigned = slim.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "batch_idx", ((F.col("__rn") - 1) / bsize).cast("long")
+    )
+    return assigned.groupBy("bucket_id", "shard", "batch_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("sum_tokens"),
+        F.max(size_col).cast("long").alias("max_tokens"),
+        (F.max(size_col) * F.count(F.lit(1))).cast("long").alias("padded_tokens"),
+    )

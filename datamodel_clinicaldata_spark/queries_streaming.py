@@ -241,6 +241,31 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_click_purchase_left",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER attribution join: every click, matched purchases where
+    they exist, NULL purchase columns where they don't — the variant that
+    measures UNattributed traffic. Streaming semantics note in
+    ``streaming.windows.click_purchase_join``: outer NULLs emit only
+    after the watermark proves no match can arrive; batch (this
+    execution) has no such delay."""
+    from datamodel_clinicaldata_spark.streaming.windows import click_purchase_join
+
+    return click_purchase_join(read_table(spark, sf_dir, "events"), how="left")
+
+
+@register(
     "timeseries_gapfill_interpolate",
     """
     WITH b AS (

@@ -349,3 +349,125 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_col="n_tokens", order_col="doc_id", group_col="source",
         budget=_PACK_BUDGET,
     )
+
+
+@register(
+    "pack_length_buckets",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens < 64 THEN 0 WHEN n_tokens < 128 THEN 1
+                       WHEN n_tokens < 256 THEN 2 WHEN n_tokens < 512 THEN 3
+                       ELSE 4 END AS BIGINT) AS bucket_id,
+             CAST(doc_id % 8 AS BIGINT) AS shard
+      FROM d
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket_id, shard
+                                   ORDER BY n_tokens, doc_id) AS rn,
+             CASE bucket_id WHEN 0 THEN 64 WHEN 1 THEN 32 WHEN 2 THEN 16
+                            WHEN 3 THEN 8 ELSE 4 END AS bsize
+      FROM b
+    )
+    SELECT bucket_id, shard, CAST((rn - 1) // bsize AS BIGINT) AS batch_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_tokens,
+           floor((max(n_tokens) * count(*) - sum(n_tokens))
+                 / (max(n_tokens) * count(*)) * 1e6 + 0.5) / 1e6 AS padding_waste
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching: similar-length documents batch
+    together (batch size scaled so padded tokens per batch stay near the
+    4096 budget), reporting per-batch padding waste — the quantity this
+    strategy exists to minimize. Sharded within buckets so batch
+    formation parallelizes (see ``operators.packing.length_bucket_batches``)."""
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+    from datamodel_clinicaldata_spark.operators.packing import length_bucket_batches
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    out = length_bucket_batches(d, "n_tokens", "doc_id")
+    return out.withColumn(
+        "padding_waste",
+        round_fixed(
+            (F.col("padded_tokens") - F.col("sum_tokens")) / F.col("padded_tokens"), 6
+        ),
+    )
+
+
+@register(
+    "mixture_temperature_schedule",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1e6) AS BIGINT)
+               AS sqrt_e6
+      FROM d GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(sqrt_e6) AS BIGINT) AS total_sqrt_e6
+      FROM src
+    )
+    SELECT source, n_docs, src_tokens,
+           floor(src_tokens / total_tokens * 1e6 + 0.5) / 1e6 AS share,
+           floor(sqrt_e6 / total_sqrt_e6 * 1e6 + 0.5) / 1e6 AS p_target,
+           floor((sqrt_e6 / total_sqrt_e6) * total_tokens / src_tokens * 1e6 + 0.5)
+             / 1e6 AS repeat_factor
+    FROM src CROSS JOIN tot
+    """,
+)
+def mixture_temperature_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-training recipe,
+    e.g. XLM-R: sample source i with p_i ∝ share_i^α): α = 0.5 so the
+    weight is sqrt (bit-identical IEEE in both engines, unlike pow), and
+    the cross-source sum runs over FIXED-POINT ⌊√tokens·1e6⌋ integers so
+    it is exact and order-independent — a raw float sum would make the
+    denominator depend on partial-aggregation order and break the value
+    hash. Output: observed share, target probability, and the repeat
+    (epoch) factor p_i·N/n_i each source needs to hit the target.
+    Plan: one narrow agg to ≤ |sources| rows, broadcast scalar totals."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("src_tokens"),
+    ).withColumn(
+        "sqrt_e6",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1e6).cast("long"),
+    )
+    tot = src.agg(
+        F.sum("src_tokens").cast("long").alias("total_tokens"),
+        F.sum("sqrt_e6").cast("long").alias("total_sqrt_e6"),
+    )
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    j = src.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        round_fixed(F.col("src_tokens") / F.col("total_tokens"), 6).alias("share"),
+        round_fixed(F.col("sqrt_e6") / F.col("total_sqrt_e6"), 6).alias("p_target"),
+        round_fixed(
+            (F.col("sqrt_e6") / F.col("total_sqrt_e6"))
+            * F.col("total_tokens")
+            / F.col("src_tokens"),
+            6,
+        ).alias("repeat_factor"),
+    )

@@ -162,7 +162,7 @@ def dedup_events_stream(
 
 
 def click_purchase_join(
-    events: DataFrame, max_gap: str = "30 minutes"
+    events: DataFrame, max_gap: str = "30 minutes", how: str = "inner"
 ) -> DataFrame:
     """Stream-stream event-time interval join: each purchase matched to
     every click by the same user in the preceding ``max_gap`` window
@@ -174,6 +174,15 @@ def click_purchase_join(
     waits for a purchase (without the time bound, stream-stream join state
     grows forever — the interval predicate is the state-eviction contract,
     not just a filter).
+
+    ``how="left"`` preserves unattributed clicks with NULL purchase
+    columns. Streaming caveat (inherent to the model, not this code): a
+    left-outer NULL row can only emit once the watermark has passed the
+    click's join window — it is the watermark that PROVES no matching
+    purchase can still arrive — so the NULL rows of the final in-flight
+    window stay in state until a later micro-batch advances the
+    watermark. Batch execution has no such delay; the matched subset is
+    identical in both modes (pinned in tests/test_streaming.py).
 
     Scale notes: the join shuffles on user_id; the interval condition is
     evaluated post-match per user partition. Clicks and purchases are
@@ -196,7 +205,7 @@ def click_purchase_join(
         (F.col("user_id") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
-        "inner",
+        how,
     ).select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
     )

@@ -263,3 +263,28 @@ def test_knuth_sampler_ansi_safe_at_huge_keys(spark):
         for r in df.select("doc_id", knuth_mod("doc_id", 100).alias("m")).collect()
     }
     assert got == {k: (k * KNUTH) % 100 for k in keys}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=1500),  # token lengths across buckets
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_length_bucket_batching_property(spark, lengths):
+    """Random length streams: every doc lands in exactly one batch, batch
+    members share a bucket, no batch exceeds its bucket's batch size, and
+    padded_tokens = max * count within the batch."""
+    from datamodel_clinicaldata_spark.operators.packing import length_bucket_batches
+
+    rows = [(i, n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = length_bucket_batches(df, "n_tokens", "doc_id").collect()
+    bsize = {0: 64, 1: 32, 2: 16, 3: 8, 4: 4}
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    for r in out:
+        assert r["n_docs"] <= bsize[r["bucket_id"]]
+        assert r["padded_tokens"] == r["max_tokens"] * r["n_docs"]
+        assert r["sum_tokens"] <= r["padded_tokens"]

@@ -176,3 +176,24 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir, tmp_path):
     want = rollup(read_table(spark, sf_dir, "events"))
     cols = ["nation", "event_type", "n_events", "total_value"]
     assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_stream_stream_left_join_matched_subset(spark, sf_dir, tmp_path):
+    """The LEFT OUTER interval join under readStream: its matched rows
+    equal the inner join's, and everything it emits is a subset of the
+    batch left join. (The NULL rows of the final in-flight window are
+    withheld until a later micro-batch advances the watermark — inherent
+    to streaming outer joins, so exact batch≡stream equality holds only
+    for the matched subset.)"""
+    from datamodel_clinicaldata_spark.streaming.windows import click_purchase_join
+
+    ev = stream_events(spark, sf_dir)
+    streaming = click_purchase_join(with_watermark(ev, delay="2 hours"), how="left")
+    _run_stream(streaming, "cp_left", tmp_path, "append")
+    got = spark.sql("SELECT * FROM cp_left")
+    cols = ["click_id", "purchase_id", "user_id", "purchase_value"]
+    batch_left = click_purchase_join(read_table(spark, sf_dir, "events"), how="left")
+    batch_inner = click_purchase_join(read_table(spark, sf_dir, "events"))
+    got_matched = _norm(got.filter(F.col("purchase_id").isNotNull()), cols)
+    assert got_matched == _norm(batch_inner, cols)
+    assert set(_norm(got, cols)) <= set(_norm(batch_left, cols))
