@@ -74,6 +74,12 @@ HEADLINE = [
     # a drop against the corpus, stream-static dim enrichment
     "dedup_incremental_against_corpus",
     "stream_enrich_static_dim",
+    # round 5 widening: the explode-heaviest new op (rolling k-gram span
+    # dedup), the projection+rerank ANN cascade, and batch sessionization
+    # (lag -> running sum -> rollup in one exchange)
+    "dedup_substring_spans",
+    "similarity_projection_rerank",
+    "sessionize_events_batch",
 ]
 
 

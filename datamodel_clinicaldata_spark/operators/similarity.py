@@ -551,20 +551,23 @@ def projection_topk_rerank(
     planes = _lcg_planes(proj_dim, dim, seed)
     proj = _projection_expr(vec_col, planes)
 
+    # Per-row norms precomputed BEFORE the pair join (each vector's
+    # self-dot happens once, not once per pair); dot/sqrt sequence is
+    # unchanged so scores stay bit-identical to the oracle's
+    # sqrt-of-product form.
     corpus_p = ensure_min_parallelism(corpus).select(
         F.col(id_col), proj.alias("__p")
     )
+    corpus_p = corpus_p.withColumn("__pn2", dot(F.col("__p"), F.col("__p")))
     queries_p = queries.select(F.col(query_id_col), proj.alias("__qp"))
+    queries_p = queries_p.withColumn("__qn2", dot(F.col("__qp"), F.col("__qp")))
 
     coarse = corpus_p.crossJoin(F.broadcast(queries_p)).select(
         query_id_col,
         id_col,
         round_fixed(
             dot(F.col("__p"), F.col("__qp"))
-            / F.sqrt(
-                dot(F.col("__p"), F.col("__p"))
-                * dot(F.col("__qp"), F.col("__qp"))
-            ),
+            / F.sqrt(F.col("__pn2") * F.col("__qn2")),
             6,
         ).alias("__coarse"),
     )
