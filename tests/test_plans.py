@@ -212,3 +212,35 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Batch sessionization: lag, running sum and the session rollup all
+    share ONE hash exchange on user_id; both windows partitioned."""
+    a = audit(QUERIES["sessionize_events_batch"](spark, sf_dir))
+    assert a.exchanges == 1
+    assert a.unpartitioned_windows == 0
+
+
+def test_substring_spans_plan(spark, sf_dir):
+    """Span dedup: two exchanges (span-hash window, doc rollup), no joins
+    anywhere — the count-over-hash-partition shape, not a self-join."""
+    a = audit(QUERIES["dedup_substring_spans"](spark, sf_dir))
+    assert a.exchanges == 2
+    assert a.sort_merge_joins == 0 and a.broadcast_hash_joins == 0
+    assert a.unpartitioned_windows == 0
+
+
+def test_cms_sketch_joins_broadcast(spark, sf_dir):
+    """CMS heavy hitters: the d*w-bounded sketch and the top-k key set
+    join only as broadcasts — no sort-merge join may appear."""
+    a = audit(QUERIES["text_cms_heavy_hitters"](spark, sf_dir))
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins >= 1
+
+
+def test_mixture_schedule_broadcast_totals(spark, sf_dir):
+    """Temperature mixing: per-source agg rows cross-join the scalar
+    totals via broadcast; no sort-merge join."""
+    a = audit(QUERIES["mixture_temperature_schedule"](spark, sf_dir))
+    assert a.sort_merge_joins == 0
