@@ -610,3 +610,79 @@ def projection_topk_rerank(
         rer.withColumn("rank", F.row_number().over(w_final).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-similar SAME-label vector (positive) and the most-similar
+    DIFFERENT-label vector (the hard negative — the pair that contributes
+    the largest loss), with the margin between them.
+
+    Plan shape: anchors broadcast against one corpus scan; both the
+    positive and the negative are per-(anchor, side) top-1s taken with
+    the same two-phase rank as ``cosine_topk_bruteforce`` (local rank per
+    scan partition → global rank over ≤ n_partitions survivors), so no
+    anchor's full scored set ever serializes through one task. Ties break
+    on ascending corpus id; scores carry ``round_fixed`` so rank keys are
+    engine-independent.
+    """
+    q = anchors.select(
+        F.col(anchor_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    dv = as_double(F.col(vec_col))
+    side = corpus.select(
+        F.col(id_col), F.col(label_col), dv.alias("__v"), dot(dv, dv).alias("__n2")
+    )
+    qv = as_double(F.col("__qv"))
+    scored = side.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(anchor_id_col)
+    )
+    scored = scored.select(
+        anchor_id_col,
+        id_col,
+        (F.col(label_col) == F.col("__ql")).alias("__same"),
+        round_fixed(
+            dot(F.col("__v"), qv) / F.sqrt(F.col("__n2") * dot(qv, qv)), 6
+        ).alias("__sim"),
+    )
+    order = [F.col("__sim").desc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(
+        anchor_id_col, "__same", F.spark_partition_id()
+    ).orderBy(*order)
+    w_global = Window.partitionBy(anchor_id_col, "__same").orderBy(*order)
+    best = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") == 1)
+        .withColumn("__r", F.row_number().over(w_global))
+        .filter(F.col("__r") == 1)
+    )
+    pos = best.filter(F.col("__same")).select(
+        anchor_id_col,
+        F.col(id_col).alias("pos_id"),
+        F.col("__sim").alias("pos_sim"),
+    )
+    neg = best.filter(~F.col("__same")).select(
+        anchor_id_col,
+        F.col(id_col).alias("neg_id"),
+        F.col("__sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, anchor_id_col)
+        .select(
+            anchor_id_col,
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            round_fixed(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+    )

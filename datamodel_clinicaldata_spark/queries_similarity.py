@@ -591,3 +591,47 @@ def similarity_projection_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return projection_topk_rerank(e, queries, k=10, m=200, proj_dim=32)
+
+
+@register(
+    "similarity_contrastive_triplets",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS ql, v AS qv FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT a.anchor_id, c.vec_id, (c.label = a.ql) AS same,
+             floor(list_inner_product(c.v, a.qv) /
+                   sqrt(list_inner_product(c.v, c.v) *
+                        list_inner_product(a.qv, a.qv))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM a JOIN e c ON c.vec_id <> a.anchor_id
+    ), best AS (
+      SELECT anchor_id, vec_id, same, sim,
+             row_number() OVER (PARTITION BY anchor_id, same
+                                ORDER BY sim DESC, vec_id ASC) AS r
+      FROM scored
+    )
+    SELECT p.anchor_id, p.vec_id AS pos_id, p.sim AS pos_sim,
+           n.vec_id AS neg_id, n.sim AS neg_sim,
+           floor((p.sim - n.sim) * 1000000.0 + 0.5) / 1000000.0 AS margin
+    FROM best p JOIN best n ON p.anchor_id = n.anchor_id
+    WHERE p.same AND p.r = 1 AND (NOT n.same) AND n.r = 1
+    """,
+)
+def similarity_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id < 20), the most-similar same-label vector (positive), the
+    most-similar different-label vector (the hard negative) and the
+    margin between them — the triplet selection step of every
+    metric-learning data pipeline. See
+    ``operators.similarity.contrastive_triplets`` for the broadcast +
+    two-phase-rank scale shape."""
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    return contrastive_triplets(e, anchors)

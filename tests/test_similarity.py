@@ -238,3 +238,24 @@ def test_projection_rerank_recall(spark, sf_dir):
         key = (r["query_id"], r["vec_id"])
         if key in exact_sim:
             assert r["cos_sim"] == exact_sim[key]
+
+
+def test_contrastive_triplets_label_constraints(spark, sf_dir):
+    """Positives share the anchor's label, hard negatives never do, and
+    neither ever equals the anchor itself."""
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = contrastive_triplets(e, anchors).collect()
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    assert len(out) == 20
+    for r in out:
+        assert r["pos_id"] != r["anchor_id"] and r["neg_id"] != r["anchor_id"]
+        assert labels[r["pos_id"]] == labels[r["anchor_id"]]
+        assert labels[r["neg_id"]] != labels[r["anchor_id"]]
+        assert abs((r["pos_sim"] - r["neg_sim"]) - r["margin"]) < 2e-6
