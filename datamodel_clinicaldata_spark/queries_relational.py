@@ -1768,3 +1768,107 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration_us"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "agg_hll_merge_rollup",
+    """
+    WITH per_type AS (
+      SELECT event_type, count(DISTINCT user_id) AS u FROM events GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(u) AS BIGINT) AS sum_type_users,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_total_users,
+           TRUE AS merged_ok
+    FROM per_type
+    """,
+)
+def agg_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    rollup architecture: per-event-type HLL sketches are unioned into a
+    corpus-wide distinct-user estimate WITHOUT re-reading events
+    (`hll_union_agg` over the per-type sketch column). Sum-of-per-type
+    counts overcounts shared users; the merged sketch does not — the row
+    emits both so the gap is visible. Same oracle contract as the other
+    sketch rows: exact cardinalities plus an in-band boolean (3·rsd,
+    rsd ≈ 1.04/√2¹² for lgK=12; deterministic for a given input)."""
+    e = read_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("u"),
+    )
+    exact_total = e.select(
+        F.count_distinct("user_id").cast("long").alias("exact_total_users")
+    )
+    rsd = 3 * (1.04 / (2**12) ** 0.5)
+    merged = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("u").cast("long").alias("sum_type_users"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__est"),
+    )
+    return merged.crossJoin(F.broadcast(exact_total)).select(
+        "n_types",
+        "sum_type_users",
+        "exact_total_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_total_users"))
+            <= F.lit(rsd) * F.col("exact_total_users")
+        ).alias("merged_ok"),
+    )
+
+
+@register(
+    "pattern_consecutive_click_purchase",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, event_id AS click_id, next_id AS purchase_id,
+           ts AS click_ts, next_ts AS purchase_ts,
+           CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS gap_us
+    FROM o
+    WHERE event_type = 'click' AND next_type = 'purchase'
+      AND epoch_us(next_ts) - epoch_us(ts) <= 600000000
+    """,
+)
+def pattern_consecutive_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): a click
+    IMMEDIATELY followed by a purchase in the same user's ordered event
+    stream, within 10 minutes — adjacency via lead() so no self-join
+    touches the stream (the interval-join twin
+    ``stream_click_purchase_join`` matches ANY following purchase; this
+    matches only the next event). One shuffle on user_id; ordering ties
+    break on (epoch_us, event_id) as everywhere."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    o = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return o.filter(
+        (F.col("event_type") == "click")
+        & (F.col("next_type") == "purchase")
+        & (F.unix_micros("next_ts") - F.unix_micros("ts") <= 600_000_000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("next_id").alias("purchase_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("next_ts").alias("purchase_ts"),
+        (F.unix_micros("next_ts") - F.unix_micros("ts"))
+        .cast("long")
+        .alias("gap_us"),
+    )
