@@ -1872,3 +1872,107 @@ def pattern_consecutive_click_purchase(spark: SparkSession, sf_dir: str) -> Data
         .cast("long")
         .alias("gap_us"),
     )
+
+
+@register(
+    "agg_argmax_customer_per_nation",
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, (CAST(c_acctbal * 100 AS BIGINT) + 1000000)
+                           * 1000000000000 + c_custkey) AS richest,
+           max(c_acctbal) AS max_acctbal,
+           arg_min(c_name, (CAST(c_acctbal * 100 AS BIGINT) + 1000000)
+                           * 1000000000000 + c_custkey) AS poorest,
+           min(c_acctbal) AS min_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by``/``min_by`` (argmax/argmin) aggregates — the single-pass
+    alternative to a rank-window + filter for "the row achieving the
+    group extremum" (no sort, partial-agg friendly: the shuffle carries
+    one candidate per group per partition). Ties on acctbal are real
+    (two-decimal values collide), and neither engine defines which row
+    arg_max returns on a tie — so the ordering key is a composite BIGINT
+    ``(acctbal_e2 + 10⁶)·10¹² + custkey`` (offset clears negatives,
+    custkey disambiguates; DuckDB's arg_max takes no composite keys, so
+    the encoding IS the cross-engine contract)."""
+    c = read_table(spark, sf_dir, "customer")
+    key = (
+        (F.col("c_acctbal") * 100).cast("long") + 1_000_000
+    ) * 1_000_000_000_000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+
+
+@register(
+    "diag_join_key_skew",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+    ), r AS (
+      SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n_keys
+      FROM c
+    )
+    SELECT max(n_keys) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           max(cnt) AS max_cnt,
+           CAST(max(CASE WHEN rk = CAST(ceil(n_keys * 0.5) AS BIGINT)
+                         THEN cnt END) AS BIGINT) AS p50_cnt,
+           CAST(max(CASE WHEN rk = CAST(ceil(n_keys * 0.9) AS BIGINT)
+                         THEN cnt END) AS BIGINT) AS p90_cnt,
+           floor(max(cnt) / max(CASE WHEN rk = CAST(ceil(n_keys * 0.5) AS BIGINT)
+                                     THEN cnt END) * 1e6 + 0.5) / 1e6
+             AS skew_ratio
+    FROM r
+    """,
+)
+def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight check before shuffling
+    100 TB on a key: per-key cardinality profile (max / p50 / p90 and the
+    max:median ratio) of ``events.user_id``. A ratio ≫ 1 says the biggest
+    partition will straggle and the key needs salting
+    (``operators.joins.salted_join``) or AQE skew splitting. Rank-based
+    exact percentiles (deterministic: ties ordered by key) on the
+    POST-AGG key-count set — the global window sorts |keys| rows, not the
+    event stream."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = c.select(
+        "user_id",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").asc(), F.col("user_id").asc()))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_keys"),
+    )
+    p50 = F.max(
+        F.when(
+            F.col("rk") == F.ceil(F.col("n_keys") * 0.5).cast("long"), F.col("cnt")
+        )
+    )
+    p90 = F.max(
+        F.when(
+            F.col("rk") == F.ceil(F.col("n_keys") * 0.9).cast("long"), F.col("cnt")
+        )
+    )
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    return r.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        p50.cast("long").alias("p50_cnt"),
+        p90.cast("long").alias("p90_cnt"),
+        round_fixed(F.max("cnt") / p50, 6).alias("skew_ratio"),
+    )
