@@ -1976,3 +1976,35 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         p90.cast("long").alias("p90_cnt"),
         round_fixed(F.max("cnt") / p50, 6).alias("skew_ratio"),
     )
+
+
+@register(
+    "feature_zscore_by_group",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def feature_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the feature-engineering step
+    that standardizes a metric within its segment before modeling. Group
+    moments reduce to ≤ |event_type| rows and BROADCAST back onto the
+    stream (no row-level shuffle at all; the window-function alternative
+    would shuffle every event on event_type). round(4) on both engines
+    absorbs the sub-ulp spread of differently-ordered float sums, same
+    doctrine as ``agg_statistical_moments``."""
+    e = read_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return e.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 4).alias("value"),
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+    )

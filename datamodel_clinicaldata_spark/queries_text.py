@@ -285,3 +285,121 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
         "rank",
     )
+
+
+@register(
+    "text_bm25_rank",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len) AS BIGINT) AS total_len
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks
+      WHERE term IN ('spark', 'table', 'join') GROUP BY 1
+    ), contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (dl.len / (CAST(stats.total_len AS DOUBLE) / stats.n))))
+               AS c
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id,
+             floor((coalesce(max(CASE WHEN term = 'spark' THEN c END), 0.0)
+                    + coalesce(max(CASE WHEN term = 'table' THEN c END), 0.0)
+                    + coalesce(max(CASE WHEN term = 'join' THEN c END), 0.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS bm25
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, rank FROM (
+      SELECT doc_id, bm25,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson-Sparck Jones, k1=1.2, b=0.75) of the corpus
+    for a 3-term query — the classic IR relevance score over tf, df and
+    length normalization. Determinism care: the per-term contributions
+    are summed in FIXED expression order (conditional-max pivot, not a
+    float SUM whose partial-agg order varies), and the score is
+    fixed-point-rounded before it becomes a rank key. Plan: token stream
+    filtered to the query terms BEFORE any shuffle; df (3 rows) and the
+    corpus stats scalar broadcast; the final top-10 ranks |matching docs|
+    rows."""
+    from pyspark.sql import Window
+
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    terms = ["spark", "table", "join"]
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("len").cast("long").alias("total_len"),
+    )
+    qtoks = toks.filter(F.col("term").isin(terms))
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = qtoks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        1.0
+                        - 0.75
+                        + 0.75
+                        * (
+                            F.col("len")
+                            / (
+                                F.col("total_len").cast("double") / F.col("n")
+                            )
+                        )
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    pick = lambda t: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        round_fixed(pick("spark") + pick("table") + pick("join"), 6).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
