@@ -80,6 +80,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "similarity_projection_rerank",
     "sessionize_events_batch",
+    # late round 5: hard-negative triplet mining (broadcast + two-phase
+    # rank) and BM25 ranking (filtered token stream, fixed-order scoring)
+    "similarity_contrastive_triplets",
+    "text_bm25_rank",
 ]
 
 

@@ -197,3 +197,28 @@ def test_stream_stream_left_join_matched_subset(spark, sf_dir, tmp_path):
     got_matched = _norm(got.filter(F.col("purchase_id").isNotNull()), cols)
     assert got_matched == _norm(batch_inner, cols)
     assert set(_norm(got, cols)) <= set(_norm(batch_left, cols))
+
+
+def test_stream_cms_build_equals_batch(spark, sf_dir, tmp_path):
+    """The count-min sketch build is a plain streaming aggregation
+    (groupBy hash_row/bucket → count, update mode): its final counters
+    equal the batch build over the same events — sketches are
+    ingest-time-maintainable, not batch-only."""
+    from datamodel_clinicaldata_spark.operators.sketches import cms_build
+
+    ev = stream_events(spark, sf_dir).select(
+        F.col("event_type").alias("item")
+    )
+    _run_stream(cms_build(ev, "item"), "cms_stream", tmp_path, "update")
+    got = spark.sql(
+        "SELECT hash_row, bucket, max(counter) AS counter FROM cms_stream "
+        "GROUP BY hash_row, bucket"
+    )
+    want = cms_build(
+        read_table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("item")
+        ),
+        "item",
+    )
+    cols = ["hash_row", "bucket", "counter"]
+    assert _norm(got, cols) == _norm(want, cols)
