@@ -391,3 +391,74 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return substring_span_stats(d, "text", "doc_id", k=5)
+
+
+_PR_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN docs da ON da.doc_id = id_a
+      JOIN docs db ON db.doc_id = id_b
+      WHERE len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= 0.2
+    ), edges AS MATERIALIZED (
+      -- MATERIALIZED: the recursive term below joins edges every
+      -- iteration; inlined, DuckDB would re-run the whole shingle
+      -- pair-generation chain per iteration (measured 35 s vs ~1 s).
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ), nn AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM edges
+    ), pr(iter, node, v) AS (
+      SELECT 0, src, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+      FROM (SELECT DISTINCT src FROM edges)
+      UNION ALL
+      SELECT pr.iter + 1, e.dst,
+             CAST((SELECT 150000000000 // n FROM nn) AS BIGINT)
+               + CAST(sum((pr.v * 85) // (100 * deg.d)) AS BIGINT)
+      FROM pr JOIN edges e ON e.src = pr.node JOIN deg ON deg.src = pr.node
+      WHERE pr.iter < 10
+      GROUP BY pr.iter, e.dst
+    )
+    SELECT node, v AS pr_e12,
+           CAST(row_number() OVER (ORDER BY v DESC, node ASC) AS BIGINT) AS rank
+    FROM pr WHERE iter = 10
+"""
+
+
+@register("graph_pagerank_dup_hubs", _PR_ORACLE)
+def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph — ranks the HUB documents of each
+    duplication family (the doc most transitively entangled with others,
+    a better canonical-survivor candidate than min-id when families
+    merge). Ten fixed iterations of e12 FIXED-POINT integer arithmetic
+    (``(v·85) div (100·deg)``): float neighbour sums vary with
+    partial-agg order and the spread compounds per iteration, so integer
+    math is what makes an iterative rank hash-exact across engines. See
+    ``operators.graph.pagerank_fixedpoint``; oracle replays the identical
+    recursion with a recursive CTE."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.graph import pagerank_fixedpoint
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pr = pagerank_fixedpoint(edges, iters=10)
+    w = Window.orderBy(F.col("pr_e12").desc(), F.col("node").asc())
+    return pr.select(
+        "node", "pr_e12", F.row_number().over(w).cast("long").alias("rank")
+    )

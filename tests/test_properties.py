@@ -288,3 +288,26 @@ def test_length_bucket_batching_property(spark, lengths):
         assert r["n_docs"] <= bsize[r["bucket_id"]]
         assert r["padded_tokens"] == r["max_tokens"] * r["n_docs"]
         assert r["sum_tokens"] <= r["padded_tokens"]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+def test_pagerank_local_equals_distributed(spark, edges):
+    """The single-task fast path and the distributed fixed-point loop
+    replay the identical e12 integer arithmetic — bit-equal results on
+    random graphs (and both mass-conserving up to floor truncation)."""
+    from datamodel_clinicaldata_spark.operators.graph import pagerank_fixedpoint
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        (r["node"], r["pr_e12"])
+        for r in pagerank_fixedpoint(df, iters=4).collect()
+    }
+    dist = {
+        (r["node"], r["pr_e12"])
+        for r in pagerank_fixedpoint(df, iters=4, local_threshold=0).collect()
+    }
+    assert local == dist
