@@ -84,6 +84,9 @@ HEADLINE = [
     # rank) and BM25 ranking (filtered token stream, fixed-order scoring)
     "similarity_contrastive_triplets",
     "text_bm25_rank",
+    # fixed-point integer PageRank over the dup graph (adaptive local /
+    # distributed execution, same family as the CC rows)
+    "graph_pagerank_dup_hubs",
 ]
 
 
