@@ -2008,3 +2008,43 @@ def feature_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value"), 4).alias("value"),
         F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
     )
+
+
+@register(
+    "feature_quantile_bins",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (decile bucketing) of a metric within each
+    segment — the discretization step behind quantile features and
+    monotonic calibration. ntile is count-based (no float percentile
+    estimation), so bins are exact and deterministic once ordering ties
+    break on event_id; per-bin bounds reported rounded. One shuffle on
+    event_type; the per-segment sort is the inherent cost of exact
+    equi-depth (the approximate alternative is the GK/KLL sketch rows)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    b = e.select(
+        "event_type", "value", F.ntile(10).over(w).cast("long").alias("bin")
+    )
+    return b.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
