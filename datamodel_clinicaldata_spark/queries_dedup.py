@@ -462,3 +462,80 @@ def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", "pr_e12", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+_SURVIVOR_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN docs da ON da.doc_id = id_a
+      JOIN docs db ON db.doc_id = id_b
+      WHERE len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= 0.2
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS node, w.lbl AS lbl FROM walk w JOIN edges e ON e.src = w.node
+    ), comp AS (
+      SELECT node, CAST(min(lbl) AS BIGINT) AS component_id
+      FROM walk GROUP BY node
+    ), dt AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS dtoks
+      FROM documents
+    )
+    SELECT component_id,
+           arg_max(node, dt.dtoks * 1000000000000 - node) AS survivor_id,
+           arg_max(dt.dtoks, dt.dtoks * 1000000000000 - node) AS survivor_dtoks,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM comp JOIN dt ON dt.doc_id = comp.node
+    GROUP BY component_id
+"""
+
+
+@register("dedup_survivor_by_quality", _SURVIVOR_ORACLE)
+def dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DECISION pipeline: near-dup pairs → transitive
+    components → per-family survivor chosen by QUALITY (highest
+    distinct-token count) instead of the min-id convention — the policy
+    real curation pipelines want (keep the richest copy, not the
+    earliest). Quality is an integer (distinct-token count) and the
+    argmax key a composite BIGINT ``dtoks·10¹² − doc_id`` (max quality,
+    then min id), so the choice is exact and engine-independent. One
+    max_by pass over the component join; components come from the
+    adaptive CC operator."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    dt = d.select(
+        F.col("doc_id").alias("node"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("dtoks"),
+    )
+    j = comp.join(dt, "node")
+    key = F.col("dtoks") * F.lit(1_000_000_000_000) - F.col("node")
+    return j.groupBy("component_id").agg(
+        F.max_by("node", key).alias("survivor_id"),
+        F.max_by("dtoks", key).alias("survivor_dtoks"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )

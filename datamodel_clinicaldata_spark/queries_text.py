@@ -403,3 +403,92 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), nn AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks
+    ), df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS d FROM toks GROUP BY 1
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS nab
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT tok_a, tok_b, nab, da.d AS na, db.d AS nb,
+             floor(ln(CAST(nab * nn.n AS DOUBLE) / (da.d * db.d))
+                   * 1000000.0 + 0.5) / 1000000.0 AS pmi
+      FROM pairs
+      JOIN df da ON da.tok = tok_a
+      JOIN df db ON db.tok = tok_b
+      CROSS JOIN nn
+      WHERE nab >= 5
+    )
+    SELECT tok_a, tok_b, nab, na, nb, pmi, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, tok_a ASC, tok_b ASC)
+                     AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top document-level token pairs by pointwise
+    mutual information, PMI = ln(P(a,b)/(P(a)P(b))) over exact presence
+    counts — the classic phrase/association miner. The numerator and
+    denominator are exact integer products before ONE double division, so
+    both engines feed ln the identical double (same doctrine as BM25's
+    fixed-order scoring). Pair counts come from the doc-grouped self-join
+    of the distinct presence list; at 100 TB that join is bounded per doc
+    by vocabulary-per-doc², and the df/N sides broadcast."""
+    from pyspark.sql import Window
+
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).distinct()
+    nn = toks.agg(F.count_distinct("doc_id").cast("long").alias("n"))
+    df_ = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = toks.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = toks.select(F.col("doc_id").alias("__db"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("__db")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(df_.select(F.col("tok").alias("tok_a"), F.col("d").alias("na"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(df_.select(F.col("tok").alias("tok_b"), F.col("d").alias("nb"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "tok_a",
+            "tok_b",
+            "nab",
+            "na",
+            "nb",
+            round_fixed(
+                F.log(
+                    (F.col("nab") * F.col("n")).cast("double")
+                    / (F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
