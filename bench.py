@@ -87,6 +87,10 @@ HEADLINE = [
     # fixed-point integer PageRank over the dup graph (adaptive local /
     # distributed execution, same family as the CC rows)
     "graph_pagerank_dup_hubs",
+    # PMI collocations (doc-grouped self-join co-occurrence shape) and
+    # the quality-survivor composition closing the dedup decision path
+    "text_pmi_cooccurrence",
+    "dedup_survivor_by_quality",
 ]
 
 
