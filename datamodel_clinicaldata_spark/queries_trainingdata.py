@@ -471,3 +471,63 @@ def mixture_temperature_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("repeat_factor"),
     )
+
+
+@register(
+    "split_leakage_safe",
+    f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS dig,
+             {knuth_mod_sql("CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)", 10)}
+               AS bucket
+      FROM documents
+    ), s AS (
+      SELECT doc_id, dig,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      FROM d
+    ), leaks AS (
+      SELECT dig, CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+      FROM s GROUP BY dig
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.dig) AS BIGINT) AS n_contents,
+           CAST(sum(CASE WHEN leaks.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaked_docs
+    FROM s JOIN leaks ON leaks.dig = s.dig
+    GROUP BY split
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (80/10/10): the split key is the
+    deterministic Knuth hash of the CONTENT DIGEST, not the doc id — so
+    exact duplicates land in the same split by construction and
+    train→test contamination from dup families is structurally
+    impossible at the exact-dup level (``leaked_docs`` is the audited
+    evidence, 0 in every split; an id-keyed split leaks every dup pair
+    that straddles the boundary). Pure narrow computation — the only
+    shuffles are the audit aggregations."""
+    d = read_table(spark, sf_dir, "documents")
+    key = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    bucket = knuth_mod(key, 10)
+    s = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("dig"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leaks = s.groupBy("dig").agg(
+        F.count_distinct("split").cast("long").alias("n_splits")
+    )
+    return (
+        s.join(leaks, "dig")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("dig").cast("long").alias("n_contents"),
+            F.sum((F.col("n_splits") > 1).cast("long")).alias("leaked_docs"),
+        )
+    )
