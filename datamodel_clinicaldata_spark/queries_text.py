@@ -492,3 +492,105 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM freq
+    )
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-sum(ln(CAST(freq.c AS DOUBLE) / tot.total)) / count(*), 4)
+             AS avg_neg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY toks.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per document, the mean negative
+    log-probability of its tokens under the corpus unigram distribution —
+    the cheap stand-in for the perplexity filtering of CCNet/CC-Net-style
+    curation (Wenzek et al. 2020): gibberish and boilerplate score high,
+    typical text low. Frequencies are exact integers; each token's
+    ln(c/total) is one double division fed to ln, and the per-doc float
+    sum rounds to 4 (same absorb-the-ulp doctrine as the stddev rows).
+    Plan: token explode → broadcast-joinable freq table → one per-doc agg."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("total"))
+    j = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(tot))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            -F.sum(F.log(F.col("c").cast("double") / F.col("total")))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_neg_logprob"),
+    )
+
+
+@register(
+    "text_source_kl_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ), sc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ), st AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS s_total FROM sc GROUP BY 1
+    ), gc AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM sc GROUP BY 1
+    ), gt AS (
+      SELECT CAST(sum(g) AS BIGINT) AS g_total FROM gc
+    )
+    SELECT sc.source,
+           CAST(max(st.s_total) AS BIGINT) AS n_tokens,
+           round(sum((CAST(sc.c AS DOUBLE) / st.s_total)
+                     * ln((CAST(sc.c AS DOUBLE) / st.s_total)
+                          / (CAST(gc.g AS DOUBLE) / gt.g_total))), 4) AS kl_vs_corpus
+    FROM sc
+    JOIN st USING (source)
+    JOIN gc USING (tok)
+    CROSS JOIN gt
+    GROUP BY sc.source
+    """,
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: KL(source token distribution ‖ corpus
+    distribution) per source — the standard check that one slice of a
+    mixture has drifted from the whole (a spiking KL flags a source whose
+    content changed or was contaminated). Every probability is one double
+    division of exact integer counts; the per-source sum rounds to 4.
+    Plan: two bounded aggregations (per-source-token, per-token) then a
+    broadcast-joined scoring pass — nothing shuffles more than the
+    (source × vocab) count table."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    sc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("s_total"))
+    gc = sc.groupBy("tok").agg(F.sum("c").cast("long").alias("g"))
+    gt = gc.agg(F.sum("g").cast("long").alias("g_total"))
+    p = F.col("c").cast("double") / F.col("s_total")
+    q = F.col("g").cast("double") / F.col("g_total")
+    j = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(gc), "tok")
+        .crossJoin(F.broadcast(gt))
+    )
+    return j.groupBy("source").agg(
+        F.max("s_total").cast("long").alias("n_tokens"),
+        F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"),
+    )
