@@ -539,3 +539,85 @@ def dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("dtoks", key).alias("survivor_dtoks"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
+
+
+@register(
+    "decontaminate_vs_eval",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 5
+    ), sp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n - 5 + 2),
+                    i -> array_to_string(toks[i : i + 4], ' '))) AS span
+      FROM d
+    ), eval_spans AS (
+      SELECT DISTINCT span FROM sp WHERE doc_id % 10 = 0
+    ), train AS (
+      SELECT sp.doc_id, sp.span,
+             (eval_spans.span IS NOT NULL) AS hit
+      FROM sp LEFT JOIN eval_spans USING (span)
+      WHERE sp.doc_id % 10 <> 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+           floor(sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*) * 1e6 + 0.5)
+             / 1e6 AS overlap_frac,
+           (sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*) >= 0.2)
+             AS contaminated
+    FROM train GROUP BY doc_id
+    """,
+)
+def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap screen,
+    Brown et al. 2020 App. C): every training document is checked for
+    5-token-window overlap against the held-out eval slice (docs with
+    id % 10 = 0 stand in for the benchmark); documents whose span overlap
+    exceeds 20% are flagged for removal. The same rolling-window span
+    machinery as ``dedup_substring_spans``; the eval span set joins as a
+    broadcast (eval sets are small by definition — the asymmetry is what
+    makes decontamination cheap at 100 TB: the corpus streams, only the
+    benchmark index is held in memory).
+
+    The contamination predicate compares the RAW ratio in both engines
+    (identical doubles from exact integer division), with the reported
+    fraction fixed-point rounded."""
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        d.select("doc_id", toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") >= 5)
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - 5),
+                lambda i: F.array_join(F.slice("__toks", i + 1, 5), " "),
+            )
+        ).alias("span"),
+    )
+    eval_spans = (
+        spans.filter(F.col("doc_id") % 10 == 0).select("span").distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    train = spans.filter(F.col("doc_id") % 10 != 0).join(
+        F.broadcast(eval_spans), "span", "left"
+    )
+    hits = F.sum(F.col("__hit").isNotNull().cast("long"))
+    n = F.count(F.lit(1))
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    return train.groupBy("doc_id").agg(
+        n.cast("long").alias("n_spans"),
+        hits.alias("n_eval_hits"),
+        round_fixed(hits / n, 6).alias("overlap_frac"),
+        (hits / n >= 0.2).alias("contaminated"),
+    )

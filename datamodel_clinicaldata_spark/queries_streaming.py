@@ -357,3 +357,40 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 4).alias("total_value"),
         F.round("ewma", 4).alias("ewma"),
     )
+
+
+@register(
+    "dedup_idempotency_window",
+    """
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(min(event_id) AS BIGINT) AS first_event_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_idempotency_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded dedup — the idempotency-window semantics of event
+    ingestion: within each (user, event_type, hour) window the FIRST
+    event is canonical and later arrivals are retries/replays to absorb;
+    the same content re-appearing in a later window is legitimately new
+    (unlike corpus-wide ``dedup_exact``, which would wrongly collapse
+    it). One hash aggregation on the bounded window key; the streaming
+    equivalent is ``dropDuplicates`` within a watermark
+    (``stream_dedup_events``) — this is the batch/backfill twin with an
+    explicit window."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        )
+        .agg(
+            F.min("event_id").cast("long").alias("first_event_id"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
