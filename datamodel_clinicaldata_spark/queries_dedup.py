@@ -621,3 +621,36 @@ def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed(hits / n, 6).alias("overlap_frac"),
         (hits / n >= 0.2).alias("contaminated"),
     )
+
+
+@register(
+    "dedup_family_size_histogram",
+    """
+    WITH docs AS (
+      SELECT doc_id, md5(text) AS dig FROM documents
+    ), fam AS (
+      SELECT dig, CAST(count(*) AS BIGINT) AS family_size FROM docs GROUP BY 1
+    )
+    SELECT family_size,
+           CAST(count(*) AS BIGINT) AS n_families,
+           CAST(family_size * count(*) AS BIGINT) AS n_docs
+    FROM fam GROUP BY 1
+    """,
+)
+def dedup_family_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT: histogram of exact-duplicate family sizes (how
+    many content groups have 1, 2, 3… copies, and how many documents
+    each bucket accounts for) — the first number a curation run publishes
+    (duplicate mass = Σ (size−1)·n_families over size>1). Two bounded
+    aggregations: digest groupBy (the dedup shuffle itself) then a
+    ≤ max-family-size rollup."""
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    fam = d.groupBy(F.md5(F.col("text")).alias("dig")).agg(
+        F.count(F.lit(1)).cast("long").alias("family_size")
+    )
+    return fam.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        (F.col("family_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )

@@ -2048,3 +2048,54 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+@register(
+    "funnel_weekly_trend",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (event_type = 'click')    AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT date_trunc('week', t_signup) AS signup_week,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(sum(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM steps
+    WHERE t_signup IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def funnel_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion TREND: the per-user signup→click→purchase funnel
+    rolled up by signup week — the time dimension product teams actually
+    watch (is conversion improving?). Same single conditional-aggregation
+    pass as ``funnel_signup_click_purchase`` (no self-joins), then one
+    bounded rollup on the week bucket; NULL-step users count as
+    unconverted via the CASE (not NULL) so the trend's denominator is
+    every signup."""
+    e = read_table(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    s = e.groupBy("user_id").agg(
+        step("signup").alias("t_signup"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_purchase"),
+    )
+    return (
+        s.filter(F.col("t_signup").isNotNull())
+        .groupBy(F.date_trunc("week", F.col("t_signup")).alias("signup_week"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signups"),
+            F.sum(
+                (
+                    (F.col("t_click") > F.col("t_signup"))
+                    & (F.col("t_purchase") > F.col("t_click"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
