@@ -2099,3 +2099,61 @@ def funnel_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_converted"),
         )
     )
+
+
+@register(
+    "join_temporal_scd2_pointintime",
+    """
+    WITH versions AS (
+      SELECT user_id, ts AS valid_from, round(max(value), 4) AS version_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ), hist AS (
+      SELECT user_id, valid_from, version_value,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM versions
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           h.version_value, h.valid_from
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.ts
+     AND (p.ts < h.valid_to OR h.valid_to IS NULL)
+    """,
+)
+def join_temporal_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join: each purchase is enriched with the
+    SCD2 attribute version valid AT its event time — "what did we know
+    about the user when they bought". Because an SCD2 history's intervals
+    are gapless and non-overlapping, point-in-interval membership is
+    EQUIVALENT to an as-of backward join — and the engine executes it as
+    one (union + ordered-window merge, |L|+|R| rows through one shuffle),
+    not as the interval theta-join the SQL spells, which fans out every
+    (probe × earlier-version) pair before discarding all but one. Click
+    versions collapse to one per (user, ts) first so interval starts are
+    strictly increasing (zero-width intervals would make "valid at ts"
+    ambiguous)."""
+    from datamodel_clinicaldata_spark.operators.joins import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    versions = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(F.round(F.max("value"), 4).alias("version_value"))
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        probes,
+        versions,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["version_value", "valid_from"],
+        direction="backward",
+        how="inner",
+    ).select("event_id", "user_id", "ts", "version_value", "valid_from")
