@@ -2157,3 +2157,62 @@ def join_temporal_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFram
         direction="backward",
         how="inner",
     ).select("event_id", "user_id", "ts", "version_value", "valid_from")
+
+
+@register(
+    "diag_interarrival_histogram",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                                   ORDER BY epoch_us(ts), event_id))
+               AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+                WHEN gap_us < 60000000 THEN '1_lt_1m'
+                WHEN gap_us < 600000000 THEN '2_lt_10m'
+                WHEN gap_us < 3600000000 THEN '3_lt_1h'
+                WHEN gap_us < 21600000000 THEN '4_lt_6h'
+                WHEN gap_us < 86400000000 THEN '5_lt_24h'
+                ELSE '6_ge_24h' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def diag_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency profile per event type — the observability
+    histogram behind session-gap and watermark-delay tuning (pick the
+    sessionization gap / watermark where the mass separates). Buckets are
+    EXACT integer microsecond thresholds (a log2-of-double bucketing
+    would be engine-dependent near powers of two: Spark's log2 is
+    ln(x)/ln(2), not a native log2, so floor can disagree at exact
+    boundaries). One window pass + bounded rollup."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = e.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    bucket = (
+        F.when(F.col("gap_us") < 1_000_000, "0_lt_1s")
+        .when(F.col("gap_us") < 60_000_000, "1_lt_1m")
+        .when(F.col("gap_us") < 600_000_000, "2_lt_10m")
+        .when(F.col("gap_us") < 3_600_000_000, "3_lt_1h")
+        .when(F.col("gap_us") < 21_600_000_000, "4_lt_6h")
+        .when(F.col("gap_us") < 86_400_000_000, "5_lt_24h")
+        .otherwise("6_ge_24h")
+    )
+    return g.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
