@@ -91,6 +91,10 @@ HEADLINE = [
     # the quality-survivor composition closing the dedup decision path
     "text_pmi_cooccurrence",
     "dedup_survivor_by_quality",
+    # prefix-filtered set-similarity join: exact-recall blocking indexing
+    # only each doc's rarest prefix shingles (third algorithm against the
+    # same exact-Jaccard oracle)
+    "dedup_prefix_filter_join",
 ]
 
 

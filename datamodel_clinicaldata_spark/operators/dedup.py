@@ -471,3 +471,76 @@ def substring_span_stats(
             round_fixed(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard ≥ τ pairs via PREFIX FILTERING (Bayardo et al.
+    WWW'07 "Scaling Up All Pairs Similarity Search"; Chaudhuri et al.
+    ICDE'06): order every document's shingles by ascending global
+    document frequency (rarest first, ties on the shingle string) and
+    index only the first ``|sh| − ⌈τ·|sh|⌉ + 1`` of them — the prefix
+    principle guarantees any pair with Jaccard ≥ τ shares at least one
+    PREFIX shingle, so recall is exactly 1 while the index (and the
+    self-join behind it) shrinks by ~τ/(1+τ): the candidate generator
+    skips precisely the common shingles that produce the fattest posting
+    lists. The third independent algorithm oracle-matched to the same
+    exact answer as the inverted-index and MinHash-LSH paths.
+
+    Scale shape: one df-count aggregation, one per-doc rank (partitioned
+    window), the PREFIX-only self-join (the win), then exact
+    array-intersect verification on surviving candidates only."""
+    from pyspark.sql import Window
+
+    df = ensure_min_parallelism(df)
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(content_col), k)).alias("__sh"),
+        )
+        .withColumn("__n", F.size("__sh"))
+        .filter(F.col("__n") > 0)
+    )
+    posts = sh.select(id_col, "__n", F.explode("__sh").alias("shingle"))
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    pre = (
+        posts.join(dfreq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(id_col, "shingle")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xa = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"), F.col("__n").alias("__na")
+    )
+    xb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"), F.col("__n").alias("__nb")
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    return (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

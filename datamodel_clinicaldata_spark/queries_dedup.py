@@ -718,3 +718,21 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_fixed(ed / ml, 6).alias("edit_ratio"),
         )
     )
+
+
+@register("dedup_prefix_filter_join", _exact_jaccard_oracle(0.5))
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join at τ = 0.5 — exact-recall
+    blocking that indexes only each document's rarest
+    ``|sh| − ⌈τ|sh|⌉ + 1`` shingles (the prefix principle: a qualifying
+    pair MUST share a prefix element). Oracle = the exact Jaccard answer,
+    the same oracle the MinHash-LSH row carries — three independent
+    algorithms (full inverted index, MinHash-LSH, prefix filter) now
+    cross-validate against one exact result set. See
+    ``operators.dedup.prefix_filtered_jaccard_pairs``."""
+    d = read_table(spark, sf_dir, "documents")
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    return prefix_filtered_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)

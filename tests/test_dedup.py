@@ -209,3 +209,29 @@ def test_substring_span_stats(spark):
         assert out[i]["dup_frac"] == 0.25
     assert out[3]["n_dup_spans"] == 0
     assert out[3]["max_span_freq"] == 1
+
+
+def test_prefix_filter_matches_inverted_index(spark, sf_dir):
+    """The prefix-filtered join must return EXACTLY the inverted-index
+    exact answer at the same threshold — the prefix principle guarantees
+    recall 1, and the verify stage guarantees precision 1."""
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.5, max_postings=10_000
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filtered_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    assert pref == full
