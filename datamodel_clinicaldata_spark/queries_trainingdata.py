@@ -531,3 +531,60 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_splits") > 1).cast("long")).alias("leaked_docs"),
         )
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+      FROM documents
+    ), pri AS (
+      SELECT doc_id, source, w,
+             ({knuth_mod_sql('doc_id', 1048576)} + 1) / 1048578.0 AS u
+      FROM d
+    ), ranked AS (
+      SELECT doc_id, source, w,
+             floor(ln(u) / w * 1000000.0 + 0.5) / 1000000.0 AS priority
+      FROM pri
+    )
+    SELECT doc_id, source, w, priority, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+                     AS BIGINT) AS rank
+      FROM ranked
+    ) WHERE rank <= 50
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement at scale — the
+    Efraimidis-Spirakis (2006) priority trick: give each item priority
+    u^(1/w) for uniform u and keep the global top-k; here the
+    order-equivalent ln(u)/w is ranked instead (one ln, no pow — pow is
+    not engine-stable) and u is the deterministic Knuth-hash uniform, so
+    the "random" sample is reproducible and oracle-replayable. Weight =
+    token count (longer docs proportionally likelier). The top-k is a
+    rank over per-item priorities — at 100 TB that is the same two-phase
+    pattern as the ANN top-k; the priority computation itself is
+    embarrassingly parallel with no shuffle."""
+    from pyspark.sql import Window
+
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("w"),
+    )
+    u = (knuth_mod("doc_id", 1_048_576) + 1).cast("double") / 1_048_578.0
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "w",
+        round_fixed(F.log(u) / F.col("w"), 6).alias("priority"),
+    )
+    win = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 50)
+    )
