@@ -498,10 +498,19 @@ def prefix_filtered_jaccard_pairs(
     from pyspark.sql import Window
 
     df = ensure_min_parallelism(df)
+    # Shingles travel as xxhash64 LONGS end-to-end (index, rank, verify
+    # arrays): the prefix principle only needs both documents to rank by
+    # the SAME consistent global order, and (df asc, hash asc) is one —
+    # recall stays exactly 1 while postings/arrays shrink from k-token
+    # strings to 8 bytes (collisions ~2⁻⁶⁴, the substring-span trade).
     sh = (
         df.select(
             F.col(id_col),
-            F.array_distinct(word_shingles(F.col(content_col), k)).alias("__sh"),
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col(content_col), k), lambda x: F.xxhash64(x)
+                )
+            ).alias("__sh"),
         )
         .withColumn("__n", F.size("__sh"))
         .filter(F.col("__n") > 0)
