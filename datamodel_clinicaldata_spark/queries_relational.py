@@ -2216,3 +2216,103 @@ def diag_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+@register(
+    "diag_referential_integrity",
+    """
+    SELECT 'orders.o_custkey -> customer' AS relationship,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events.user_id -> customer',
+           CAST((SELECT count(*) FROM events) AS BIGINT),
+           CAST((SELECT count(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = e.user_id))
+                AS BIGINT)
+    """,
+)
+def diag_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the conformance check a warehouse
+    runs after every load: orphan counts for each child→parent
+    relationship, computed as LEFT ANTI joins (the dimension side
+    broadcasts, so each audit is one scan of the child table; the
+    EXISTS-subquery formulation in the oracle plans to the same
+    anti-join). A non-zero orphan count is the signal to quarantine a
+    load before joins silently drop rows."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e = read_table(spark, sf_dir, "events")
+
+    def audit(name, child, key, parent, pkey):
+        orphans = child.join(
+            F.broadcast(parent.select(F.col(pkey).alias(key)).distinct()),
+            key,
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            )
+            .select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        )
+
+    return (
+        audit("orders.o_custkey -> customer", o.select("o_custkey"), "o_custkey", c, "c_custkey")
+        .unionAll(
+            audit("lineitem.l_orderkey -> orders", li.select("l_orderkey"), "l_orderkey", o, "o_orderkey")
+        )
+        .unionAll(
+            audit("events.user_id -> customer", e.select("user_id"), "user_id", c, "c_custkey")
+        )
+    )
+
+
+@register(
+    "diag_json_schema_profile",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid_json,
+           CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def diag_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload conformance: per event type, how many
+    ``props`` payloads parse as JSON, carry the expected key, and the
+    value range of that key — the schema-drift tripwire for a loosely
+    typed ingestion column. All JVM-side (``get_json_object``); one
+    aggregation pass."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.get_json_object(F.col("props"), "$").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_valid_json"),
+        F.sum(F.when(k.isNotNull(), 1).otherwise(0)).cast("long").alias("n_with_k"),
+        F.min(k.cast("long")).alias("min_k"),
+        F.max(k.cast("long")).alias("max_k"),
+    )
