@@ -736,3 +736,56 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return prefix_filtered_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN docs da ON da.doc_id = id_a
+      JOIN docs db ON db.doc_id = id_b
+      WHERE len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= 0.2
+    ), tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_a = e1.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup graph — the clustering-density
+    analytic (dup families are near-cliques, so triangles-per-edge
+    distinguishes tight families from chains). Edges are oriented
+    id_a < id_b, so each triangle is counted exactly once by the
+    two-join wedge-close pattern (the MapReduce formulation of
+    Suri-Vassilvitskii WWW'11; degree-based orientation bounds wedge
+    fan-out on skewed graphs — id-orientation suffices here and keeps
+    the oracle trivially identical). Integer-exact, no floats anywhere."""
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    ).select("id_a", "id_b").localCheckpoint()
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, "b")
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

@@ -594,3 +594,52 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_total").cast("long").alias("n_tokens"),
         F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+             AS zipf_slope,
+           round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+             AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic: the log-log rank-frequency slope of the corpus
+    vocabulary (natural text ≈ −1; a flat slope near 0 means a synthetic
+    or templated vocabulary). This is the statistic that PREDICTS whether
+    frequency-ordered blocking (prefix filtering, stop-shingle caps) will
+    pay: those strategies feed on the Zipf head/tail split, and SCALING.md
+    records the measured consequence of this corpus's flat slope. One
+    bounded vocab aggregation; regression moments round to 4 (float-sum
+    ulp doctrine)."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok").asc()))
+        .alias("r"),
+    )
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 4).alias("fit_r2"),
+    )
