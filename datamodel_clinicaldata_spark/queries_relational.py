@@ -2316,3 +2316,126 @@ def diag_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k.cast("long")).alias("min_k"),
         F.max(k.cast("long")).alias("max_k"),
     )
+
+
+@register(
+    "events_association_lift",
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS u FROM tu GROUP BY 1
+    ), total AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+    ), cooc AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS u_both
+      FROM tu x JOIN tu y ON x.user_id = y.user_id
+      WHERE x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, pa.u AS users_a, pb.u AS users_b, u_both,
+           floor((CAST(u_both AS DOUBLE) * total.n) / (pa.u * pb.u)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM cooc
+    JOIN per pa ON pa.event_type = type_a
+    JOIN per pb ON pb.event_type = type_b
+    CROSS JOIN total
+    """,
+)
+def events_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types — the market-basket statistic
+    lift(a,b) = P(a∧b)/(P(a)·P(b)): >1 means doing A makes doing B more
+    likely than chance, the signal recommendation and cross-sell rules
+    are mined from. Exact integer user counts into one double expression
+    (numerator product first, then a single division — fixed order both
+    engines), fixed-point rounded. The user-pair join is on user_id with
+    per-user event-type sets bounded by |event types|."""
+    e = read_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    per = tu.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("u"))
+    total = e.select(F.count_distinct("user_id").cast("long").alias("n"))
+    both = (
+        tu.alias("x")
+        .join(tu.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("u_both"))
+    )
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    return (
+        both.join(
+            F.broadcast(per.select(F.col("event_type").alias("type_a"), F.col("u").alias("users_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("event_type").alias("type_b"), F.col("u").alias("users_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "u_both",
+            round_fixed(
+                (F.col("u_both").cast("double") * F.col("n"))
+                / (F.col("users_a") * F.col("users_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "agg_revenue_share_window",
+    """
+    WITH rev AS (
+      SELECT n.n_regionkey, c.c_nationkey,
+             round(sum(o.o_totalprice), 2) AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_regionkey, c_nationkey, nation_rev,
+           floor(nation_rev / sum(nation_rev) OVER (PARTITION BY n_regionkey)
+                 * 1000000.0 + 0.5) / 1000000.0 AS region_share
+    FROM rev
+    """,
+)
+def agg_revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): each nation's revenue as a
+    fraction of its region's — the percent-of-parent BI pattern, via a
+    window sum over the POST-AGG nation rollup (≤ |nations| rows shuffle
+    into the window, never order rows). The inner revenue is rounded to
+    2 BEFORE the share division so the window sum adds identical doubles
+    in both engines (≤ 5 values per region — no ulp spread at this
+    fan-in); the share itself is fixed-point rounded."""
+    from pyspark.sql import Window
+
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_rev"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return rev.select(
+        "n_regionkey",
+        "c_nationkey",
+        "nation_rev",
+        round_fixed(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias(
+            "region_share"
+        ),
+    )
