@@ -2439,3 +2439,73 @@ def agg_revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share"
         ),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT user_id,
+             CAST(epoch_us(t_purchase) - epoch_us(t_signup) AS BIGINT) AS lat_us
+      FROM steps
+      WHERE t_signup IS NOT NULL AND t_purchase > t_signup
+    ), r AS (
+      SELECT lat_us,
+             row_number() OVER (ORDER BY lat_us ASC, user_id ASC) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM conv
+    )
+    SELECT max(n) AS n_converted,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p90_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM r
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution: exact rank-based percentiles
+    of first-signup→first-purchase latency over converted users — the
+    funnel family's latency dimension (how LONG conversion takes, next
+    to how OFTEN). Same rank-percentile doctrine as the skew diagnostic
+    (deterministic ties on user_id, percentiles picked by row number on
+    the post-agg per-user set — never a float percentile estimator)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    s = e.groupBy("user_id").agg(
+        step("signup").alias("t_signup"), step("purchase").alias("t_purchase")
+    )
+    conv = s.filter(
+        F.col("t_signup").isNotNull() & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        "user_id",
+        (F.unix_micros("t_purchase") - F.unix_micros("t_signup"))
+        .cast("long")
+        .alias("lat_us"),
+    )
+    r = conv.select(
+        "lat_us",
+        F.row_number()
+        .over(Window.orderBy(F.col("lat_us").asc(), F.col("user_id").asc()))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rk") == F.ceil(F.col("n") * q).cast("long"), F.col("lat_us"))
+    )
+    return r.agg(
+        F.max("n").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        pick(0.5).cast("long").alias("p50_us"),
+        pick(0.9).cast("long").alias("p90_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
