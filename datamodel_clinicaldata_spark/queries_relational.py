@@ -2509,3 +2509,118 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).cast("long").alias("p90_us"),
         F.max("lat_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "timeseries_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ), flag AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), grp AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flag
+    ), merged AS (
+      SELECT user_id, island, min(s) AS ms, max(e) AS me
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(me - ms) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def timeseries_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (gaps-and-islands): each event opens a
+    30-minute activity window; overlapping windows merge, and the query
+    reports per user how many disjoint activity islands remain and the
+    total covered time — the active-time metric naive sum-of-durations
+    double-counts. The sweep is the classic running-max formulation: an
+    interval starts a new island iff its start exceeds the running max
+    of prior ends (one ordered window per user, integer microseconds
+    end-to-end, so the merge is exact in both engines)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 1_800_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("e").asc())
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flag = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+    )
+    grp = flag.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+    )
+
+
+@register(
+    "events_new_vs_returning",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM o GROUP BY 1
+    )
+    SELECT day, n_events, n_new,
+           n_events - n_new AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning decomposition: each user's FIRST event (row 1 of
+    their ordered stream, ties on event_id) marks them new that day;
+    daily rollup plus a running total of acquired users — the growth
+    accounting every product dashboard leads with. The running window
+    runs over the post-agg daily table (≤ |days| rows), not the event
+    stream."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    o = e.select(
+        "user_id", "ts", F.row_number().over(w).alias("rn")
+    )
+    daily = o.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_new"),
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_events",
+        "n_new",
+        (F.col("n_events") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(cum).cast("long").alias("cumulative_users"),
+    )
