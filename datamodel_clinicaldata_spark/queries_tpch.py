@@ -654,3 +654,107 @@ def agg_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@register(
+    "agg_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, r,
+             sum(r) OVER (ORDER BY r DESC, l_partkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_r,
+             sum(r) OVER () AS total_r
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey, r,
+             CASE WHEN cum_r / total_r <= 0.8 THEN 'A'
+                  WHEN cum_r / total_r <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(r), 2) AS class_revenue
+    FROM classed GROUP BY abc
+    """,
+)
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: parts ranked by revenue, classified by
+    cumulative share (A ≤ 80%, B ≤ 95%, C rest) — the 80/20 inventory
+    segmentation. Determinism chain: per-part revenue is DECIMAL-exact
+    and rounded to 2 before ranking; the cumulative sum runs over those
+    identical doubles in a deterministic (r DESC, partkey ASC) order, so
+    both engines accumulate the same sequence; class boundaries compare
+    the same quotient. The ranked window is over the post-agg part table."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("r")
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(w).alias("cum_r"),
+        F.sum("r").over(wt).alias("total_r"),
+    )
+    share = F.col("cum_r") / F.col("total_r")
+    classed = ranked.select(
+        "l_partkey",
+        "r",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("r"), 2).alias("class_revenue"),
+    )
+
+
+@register(
+    "diag_order_total_consistency",
+    """
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS line_total
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(o.o_totalprice - r.line_total) <= 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           round(max(abs(o.o_totalprice - r.line_total)), 2) AS max_abs_diff
+    FROM orders o JOIN recomputed r ON r.l_orderkey = o.o_orderkey
+    """,
+)
+def diag_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table invariant audit: o_totalprice recomputed from its line
+    items (extended price net of discount, gross of tax — the TPC-H
+    generation invariant) and compared within a cent — the load check
+    that catches partial line-item loads or double-applied discounts.
+    DECIMAL arithmetic end-to-end, so sums are exact and order-free; one
+    co-keyed aggregation + join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    rec = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("line_total")
+    )
+    j = o.join(rec, F.col("l_orderkey") == F.col("o_orderkey"))
+    diff = F.abs(F.col("o_totalprice") - F.col("line_total"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((diff <= 0.01).cast("long")).cast("long").alias("n_consistent"),
+        F.round(F.max(diff), 2).alias("max_abs_diff"),
+    )
