@@ -2624,3 +2624,68 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(cum).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "diag_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS v
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS v
+      FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+    )
+    SELECT CAST(sum(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                          AND (a.n <> b.n OR a.v <> b.v)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                          AND a.n = b.n AND a.v = b.v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM a FULL OUTER JOIN b USING (user_id, event_type)
+    """,
+)
+def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: two loads of the same keyed aggregate
+    (here: per-(user, type) stats over disjoint event halves standing in
+    for yesterday/today) diffed into added / removed / changed /
+    unchanged key counts — the data-diff that validates an incremental
+    pipeline against a full recompute. One full-outer join on the
+    aggregate key; both sides reduce before the join so the diff never
+    touches raw rows."""
+    e = read_table(spark, sf_dir, "events")
+
+    def snap(parity):
+        return (
+            e.filter(F.col("event_id") % 2 == parity)
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 4).alias("v"),
+            )
+        )
+
+    a, b = snap(0).alias("a"), snap(1).alias("b")
+    j = a.join(b, ["user_id", "event_type"], "full_outer")
+    in_a = F.col("a.n").isNotNull()
+    in_b = F.col("b.n").isNotNull()
+    return j.agg(
+        F.sum((~in_a).cast("long")).cast("long").alias("n_added"),
+        F.sum((~in_b).cast("long")).cast("long").alias("n_removed"),
+        F.sum(
+            (in_a & in_b & ((F.col("a.n") != F.col("b.n")) | (F.col("a.v") != F.col("b.v")))).cast("long")
+        )
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(
+            (in_a & in_b & (F.col("a.n") == F.col("b.n")) & (F.col("a.v") == F.col("b.v"))).cast("long")
+        )
+        .cast("long")
+        .alias("n_unchanged"),
+    )

@@ -643,3 +643,77 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
         F.round(F.regr_r2(lc, lr), 4).alias("fit_r2"),
     )
+
+
+@register(
+    "text_ctfidf_source_terms",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), af AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1
+    ), ns AS (
+      SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM tf
+    ), scored AS (
+      SELECT tf.source, tf.term,
+             floor(tf.tf * ln(1.0 + (CAST(af.total_tf AS DOUBLE) / ns.n_sources)
+                                    / tf.tf)
+                   * 1000000.0 + 0.5) / 1000000.0 AS ctfidf
+      FROM tf JOIN af USING (term) CROSS JOIN ns
+    )
+    SELECT source, term, ctfidf, rank FROM (
+      SELECT source, term, ctfidf,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY ctfidf DESC, term ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-TF-IDF (the BERTopic/c-TF-IDF formulation): terms that
+    characterize each SOURCE rather than each document — tf within the
+    class weighted by ln(1 + avg-class-frequency / class-tf), the
+    contrast score topic labelers use. Exact integer counts into one
+    fixed-shape double expression per row; rank keys fixed-point rounded
+    with term tie-breaks. Everything aggregates to |sources|×|vocab|
+    before any window."""
+    from pyspark.sql import Window
+
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    af = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("total_tf"))
+    ns = tf.select(F.count_distinct("source").cast("long").alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(af), "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            round_fixed(
+                F.col("tf")
+                * F.log(
+                    1.0
+                    + (F.col("total_tf").cast("double") / F.col("n_sources"))
+                    / F.col("tf")
+                ),
+                6,
+            ).alias("ctfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("ctfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
