@@ -394,3 +394,53 @@ def dedup_idempotency_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "diag_late_arrivals",
+    """
+    WITH o AS (
+      SELECT event_type,
+             greatest(CAST(max(epoch_us(ts)) OVER (ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      - CAST(epoch_us(ts) AS BIGINT), 0) AS late_us
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN late_us = 0 THEN '0_on_time'
+                WHEN late_us < 60000000 THEN '1_lt_1m'
+                WHEN late_us < 3600000000 THEN '2_lt_1h'
+                ELSE '3_ge_1h' END AS lateness,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM o GROUP BY 1, 2
+    """,
+)
+def diag_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting — the empirical input to watermark sizing:
+    treating arrival order as ``event_id``, each event's lateness is how
+    far its event time lags the maximum event time already seen; the
+    lateness histogram says what fraction of data a "10 minutes" vs
+    "1 hour" watermark would drop. Exact integer microseconds against a
+    running max (single global arrival order — by construction a
+    sequential scan, computed over the post-scan projection; the
+    per-key variant partitions by source/shard at scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = F.greatest(
+        F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"), F.lit(0)
+    )
+    o = e.select("event_type", late.alias("late_us"))
+    bucket = (
+        F.when(F.col("late_us") == 0, "0_on_time")
+        .when(F.col("late_us") < 60_000_000, "1_lt_1m")
+        .when(F.col("late_us") < 3_600_000_000, "2_lt_1h")
+        .otherwise("3_ge_1h")
+    )
+    return o.groupBy("event_type", bucket.alias("lateness")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )
