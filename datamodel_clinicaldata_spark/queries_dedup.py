@@ -789,3 +789,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
         pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+@register(
+    "dedup_algorithms_agree",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), exact AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN docs da ON da.doc_id = id_a
+      JOIN docs db ON db.doc_id = id_b
+      WHERE len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_inverted,
+           CAST(count(*) AS BIGINT) AS n_minhash,
+           CAST(count(*) AS BIGINT) AS n_prefix,
+           TRUE AS all_equal
+    FROM exact
+    """,
+)
+def dedup_algorithms_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation meta-row: the three independent exact-Jaccard
+    paths — full inverted index, MinHash-LSH(128,64-band)+verify, and
+    prefix filtering — run side by side at τ = 0.5 and must produce the
+    IDENTICAL pair set (``all_equal`` is computed from the actual
+    symmetric differences, not assumed). The oracle states the ground
+    truth once; three algorithms, one answer, checked end-to-end under
+    the driver's value gate rather than only in unit tests."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    inv = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5, max_postings=10_000
+    ).select("id_a", "id_b")
+    mh = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_hashes=128, bands=64, threshold=0.5
+    ).select("id_a", "id_b")
+    pf = prefix_filtered_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    agree = (
+        inv.exceptAll(mh).isEmpty()
+        and mh.exceptAll(inv).isEmpty()
+        and inv.exceptAll(pf).isEmpty()
+        and pf.exceptAll(inv).isEmpty()
+    )
+    return (
+        inv.agg(F.count(F.lit(1)).cast("long").alias("n_inverted"))
+        .crossJoin(mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash")))
+        .crossJoin(pf.agg(F.count(F.lit(1)).cast("long").alias("n_prefix")))
+        .select(
+            "n_inverted",
+            "n_minhash",
+            "n_prefix",
+            F.lit(bool(agree)).alias("all_equal"),
+        )
+    )
