@@ -2689,3 +2689,38 @@ def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unchanged"),
     )
+
+
+@register(
+    "timeseries_trend_slope",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+             AS slope_per_day,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 4) AS r2
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 10
+    """,
+)
+def timeseries_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trend estimation: the least-squares slope of each
+    user's metric over time (units per day) with its R² — the
+    degradation/growth detector run across millions of series at once
+    (regression moments are single-pass partial-agg state, so one
+    shuffle of constant-size state per series). Time is rescaled to days
+    BEFORE the regression so the slope is readably scaled; moments round
+    to 4 under the float-sum ulp doctrine. Series shorter than 10 points
+    are dropped (slope of noise)."""
+    e = read_table(spark, sf_dir, "events")
+    days = F.unix_micros("ts") / 86_400_000_000.0
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.regr_slope(F.col("value"), days), 4).alias("slope_per_day"),
+            F.round(F.regr_r2(F.col("value"), days), 4).alias("r2"),
+        )
+        .filter(F.col("n_points") >= 10)
+    )

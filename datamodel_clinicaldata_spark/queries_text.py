@@ -717,3 +717,60 @@ def text_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "feature_hashing_trick",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM toks
+    ), bucketed AS (
+      SELECT doc_id, ((h * 2654435761 + 2246822519) % 1000000007) % 1024 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM th GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(sum(c * c) AS BIGINT) AS sq_norm,
+           CAST(max_by(bucket, c * 10000 - bucket) AS BIGINT) AS top_bucket
+    FROM bucketed GROUP BY doc_id
+    """,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): tokens hash into a
+    fixed 1024-dim count vector per document — constant-width features
+    with no vocabulary pass, the featurizer linear models train on at
+    scale. Reuses the CMS rolling hash + affine mixing so buckets are
+    bit-identical across engines; the row emits the vector's summary
+    (nnz, squared L2 norm, argmax bucket) because the driver gate hashes
+    scalars, not arrays; argmax ties encode into the composite BIGINT
+    ``c·10⁴ − bucket`` (max count, then min bucket — the same contract
+    as the per-nation argmax row, since neither engine's max_by takes a
+    composite key)."""
+    from datamodel_clinicaldata_spark.operators.sketches import (
+        cms_bucket,
+        rolling_hash,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    th = toks.select("doc_id", rolling_hash(F.col("tok")).alias("h"))
+    bucketed = th.select(
+        "doc_id", cms_bucket(F.col("h"), 0, 1024).alias("bucket")
+    ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return bucketed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq_norm"),
+        F.max_by("bucket", F.col("c") * 10_000 - F.col("bucket"))
+        .cast("long")
+        .alias("top_bucket"),
+    )
