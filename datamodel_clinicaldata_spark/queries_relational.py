@@ -2724,3 +2724,135 @@ def timeseries_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_points") >= 10)
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           floor(CAST(t.n AS DOUBLE) / tot.row_total * 1000000.0 + 0.5)
+             / 1000000.0 AS p
+    FROM trans t JOIN tot USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov chain: the transition count and probability
+    matrix over consecutive event types per user (ordered with the
+    standard (epoch, event_id) tie-break) — the model behind journey
+    mining and next-action prediction baselines. Exact integer counts,
+    one double division per cell, row totals broadcast; the transition
+    extraction is one lag/lead window pass over the user partition, no
+    self-join."""
+    from pyspark.sql import Window
+
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    o = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = o.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        round_fixed(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
+    )
+
+
+@register(
+    "agg_geometric_mean_price",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geo_mean_price,
+           round(avg(l_extendedprice), 2) AS arith_mean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_geometric_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean via the log-mean identity exp(mean(ln x)) — the
+    right average for multiplicative/skewed quantities (ratios, prices,
+    growth factors) where the arithmetic mean overweights the tail; both
+    emitted so the skew gap is visible. Single-pass aggregation; the
+    float mean rounds to 2 under the ulp doctrine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 2).alias("geo_mean_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("arith_mean_price"),
+    )
+
+
+@register(
+    "diag_null_profile",
+    """
+    SELECT 'o_orderdate' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def diag_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the first output of any data-quality tool): per
+    column, row count, null count and exact distinct cardinality — here
+    over a representative column set of ``orders``. Spark computes all
+    columns in ONE pass (count_distinct per column in a single aggregate;
+    the oracle's UNION-per-column form scans once per column — the
+    single-pass form is the scale play) and unpivots to the per-column
+    rows with a stack expression."""
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderdate", "o_orderpriority", "o_orderstatus", "o_custkey"]
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[
+            x
+            for c in cols
+            for x in (
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__null_{c}"),
+                F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"),
+            )
+        ],
+    )
+    stack = ", ".join(f"'{c}', __null_{c}, __dist_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct)", "__n AS n"
+    ).select("col", "n", "n_null", "n_distinct")
