@@ -2856,3 +2856,29 @@ def diag_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct)", "__n AS n"
     ).select("col", "n", "n_null", "n_distinct")
+
+
+@register(
+    "events_weekday_seasonality",
+    """
+    SELECT isodow(ts) AS iso_dow, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile — the weekly-rhythm baseline
+    capacity planning and anomaly thresholds normalize against. Weekday
+    CONVENTIONS are an engine trap: Spark's ``dayofweek`` counts
+    1=Sunday while DuckDB's ``dayofweek`` counts 0=Sunday — this pairs
+    Spark's ``weekday()`` (0=Monday) + 1 with DuckDB's ``isodow``
+    (1=Monday), the one alignment that agrees."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("iso_dow"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
