@@ -1,0 +1,156 @@
+"""Distributed global ordering primitives: rank / running aggregates
+without a single-partition sort.
+
+An unpartitioned ``Window.orderBy(...)`` funnels the ENTIRE input through
+one task — fine on a 60k-row test frame, a guaranteed straggler (or OOM)
+when the scored set is corpus-sized at 100 TB. These helpers compute the
+identical results with the classic two-phase shape:
+
+1. ``repartitionByRange`` on the order keys → partitions are ordered,
+   non-overlapping key ranges (partition *i*'s keys all precede
+   partition *i+1*'s), each sorted locally by a per-partition window.
+2. Per-partition counts / sums / maxes are aggregated into a tiny
+   (``num_partitions``-row) frame; exclusive prefix offsets over THAT
+   frame (a window over ≤ a few dozen rows) are broadcast back and added
+   to the local values.
+
+Results are exactly the single-partition answer whenever the order keys
+form a total order (every call site ties on an id column — repo
+doctrine), regardless of where the range sampler places boundaries.
+
+Top-k callers don't need any of this: ``orderBy(keys).limit(k)`` is
+Spark's distributed TakeOrdered (per-partition heaps + driver merge) and
+returns the same deterministic k rows; ``topk_ranked`` wraps it and
+attaches the rank column over the ≤k survivors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["topk_ranked", "ordered_prefix"]
+
+
+def topk_ranked(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-k with a 1-based rank column, never a global sort.
+
+    ``orderBy(*order_cols).limit(k)`` executes as TakeOrdered (each task
+    keeps a k-row heap; the driver merges ≤ k·n_tasks candidates), so no
+    task ever holds more than k rows of the scored set. The rank window
+    then runs over exactly k rows. Deterministic iff ``order_cols`` is a
+    total order (tie-break on an id column)."""
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_col, F.row_number().over(w).cast("long"))
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    rank_col: str | None = None,
+    running_sum: dict[str, str] | None = None,
+    running_max: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full global rank and/or running (prefix) aggregates, distributed.
+
+    Adds, in ONE range-shuffle pass over ``df``:
+
+    - ``rank_col``: global ``row_number()`` in ``order_cols`` order;
+    - ``running_sum``: {src_col: out_col} → prefix sum of ``src_col``
+      (rows up to and including the current one);
+    - ``running_max``: {src_col: out_col} → prefix max.
+
+    Exactly equivalent to the corresponding unpartitioned
+    ``Window.orderBy(order_cols).rowsBetween(unboundedPreceding, 0)``
+    when ``order_cols`` is a total order (pinned by
+    tests/test_ranking.py). Caveat: the prefix sum regroups the addition
+    (offset + local prefix), so FLOAT running sums can differ from the
+    single-partition window by ulps — call sites must feed
+    integer/fixed-point values (repo doctrine for anything that feeds a
+    predicate or rank key anyway); rank and max are order-insensitive.
+
+    Scale shape: one range exchange of the full input (the sort that the
+    global window also pays, but spread over ``num_partitions`` tasks),
+    one tiny per-partition stats aggregate, offsets broadcast back. The
+    offsets frame has ``num_partitions`` rows, so ITS window is trivially
+    bounded."""
+    running_sum = running_sum or {}
+    running_max = running_max or {}
+    if rank_col is None and not running_sum and not running_max:
+        raise ValueError("ordered_prefix: nothing to compute")
+
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order_cols = list(order_cols)
+    part = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = part.withColumn("__lrn", F.row_number().over(w_loc))
+    for src, out in running_sum.items():
+        loc = loc.withColumn(out, F.sum(src).over(w_loc))
+    for src, out in running_max.items():
+        loc = loc.withColumn(out, F.max(src).over(w_loc))
+
+    stats_aggs = [F.count(F.lit(1)).alias("__cnt")]
+    stats_aggs += [F.sum(src).alias(f"__s_{out}") for src, out in running_sum.items()]
+    stats_aggs += [F.max(src).alias(f"__m_{out}") for src, out in running_max.items()]
+    stats = loc.groupBy("__pid").agg(*stats_aggs)
+
+    # Exclusive prefix over the ≤ num_partitions stats rows: what every
+    # EARLIER range partition contributes to this one's rank / prefixes.
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        F.col("__pid"),
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off_cnt"),
+    ]
+    off_cols += [
+        F.sum(f"__s_{out}").over(w_off).alias(f"__off_s_{out}")
+        for out in running_sum.values()
+    ]
+    off_cols += [
+        F.max(f"__m_{out}").over(w_off).alias(f"__off_m_{out}")
+        for out in running_max.values()
+    ]
+    offsets = stats.select(*off_cols)
+
+    joined = loc.join(F.broadcast(offsets), "__pid")
+    out_df = joined
+    if rank_col is not None:
+        out_df = out_df.withColumn(
+            rank_col, (F.col("__lrn") + F.col("__off_cnt")).cast("long")
+        )
+    for out in running_sum.values():
+        out_df = out_df.withColumn(
+            out,
+            F.when(
+                F.col(f"__off_s_{out}").isNull(), F.col(out)
+            ).otherwise(F.col(out) + F.col(f"__off_s_{out}")),
+        )
+    for out in running_max.values():
+        out_df = out_df.withColumn(
+            out,
+            F.when(
+                F.col(f"__off_m_{out}").isNull(), F.col(out)
+            ).otherwise(F.greatest(F.col(out), F.col(f"__off_m_{out}"))),
+        )
+    drop = ["__pid", "__lrn", "__off_cnt"]
+    drop += [f"__off_s_{o}" for o in running_sum.values()]
+    drop += [f"__off_m_{o}" for o in running_max.values()]
+    return out_df.drop(*drop)

@@ -1,0 +1,121 @@
+"""Pin the two-phase distributed ordering primitives against the
+single-partition ``Window.orderBy`` truth they replace (verdict r5:
+corpus-sized global windows must not funnel through one task)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from datamodel_clinicaldata_spark.operators.ranking import (
+    ordered_prefix,
+    topk_ranked,
+)
+
+
+def _mk(spark, n=997, parts=13):
+    # Deterministic pseudo-random values; ids make the order a total order.
+    return (
+        spark.range(n)
+        .repartition(parts)  # scramble physical layout
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 1000).alias("v"),
+            ((F.col("id") * 40503) % 7).alias("g"),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return _mk(spark).cache()
+
+
+def _truth(df, order):
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        "id",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        F.sum("v").over(w).alias("cum_v"),
+        F.max("v").over(w).alias("run_max"),
+    )
+
+
+def _cols(spec):
+    # ("v:asc", "id:desc") → [F.col("v").asc(), F.col("id").desc()];
+    # Column objects can't be built at collection time (no active context).
+    out = []
+    for s in spec:
+        name, _, d = s.partition(":")
+        c = F.col(name)
+        out.append(c.desc() if d == "desc" else c.asc())
+    return out
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        ("v:asc", "id:asc"),
+        ("v:desc", "id:asc"),
+        ("g:asc", "v:desc", "id:desc"),
+    ],
+    ids=["asc", "desc", "mixed"],
+)
+def test_ordered_prefix_matches_global_window(spark, df, spec):
+    order = _cols(spec)
+    got = ordered_prefix(
+        df,
+        list(order),
+        rank_col="rank",
+        running_sum={"v": "cum_v"},
+        running_max={"v": "run_max"},
+        num_partitions=8,
+    ).select("id", "rank", "cum_v", "run_max")
+    truth = _truth(df, list(order))
+    assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
+
+
+def test_ordered_prefix_distributed_plan(spark, df):
+    """The plan must range-partition the input, not sort one partition:
+    no unpartitioned window over the full frame."""
+    got = ordered_prefix(
+        df, _cols(("v:asc", "id:asc")), rank_col="rank", num_partitions=8
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_ordered_prefix_tiny_and_empty(spark):
+    one = spark.createDataFrame([Row(id=1, v=5)])
+    out = ordered_prefix(
+        one, _cols(("v:asc", "id:asc")), rank_col="rank",
+        running_sum={"v": "cum"}, num_partitions=8,
+    ).collect()
+    assert out[0]["rank"] == 1 and out[0]["cum"] == 5
+    empty = spark.createDataFrame([], "id long, v long")
+    assert (
+        ordered_prefix(
+            empty, _cols(("v:asc",)), rank_col="rank", num_partitions=4
+        ).count()
+        == 0
+    )
+
+
+def test_topk_ranked_matches_window_filter(spark, df):
+    order = _cols(("v:desc", "id:asc"))
+    got = topk_ranked(df, order, 25).select("id", "rank")
+    w = Window.orderBy(*order)
+    truth = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 25)
+        .select("id", "rank")
+    )
+    assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
+
+
+def test_topk_ranked_k_exceeds_rows(spark):
+    small = spark.createDataFrame([Row(id=i, v=i % 3) for i in range(5)])
+    out = topk_ranked(small, _cols(("v:asc", "id:asc")), 100).collect()
+    assert len(out) == 5
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
