@@ -660,59 +660,70 @@ def agg_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     "agg_pareto_abc",
     """
     WITH rev AS (
-      SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r4
       FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(r4) AS BIGINT) AS total4 FROM rev
     ), ranked AS (
-      SELECT l_partkey, r,
-             sum(r) OVER (ORDER BY r DESC, l_partkey ASC
-                          ROWS UNBOUNDED PRECEDING) AS cum_r,
-             sum(r) OVER () AS total_r
+      SELECT l_partkey, r4,
+             CAST(sum(r4) OVER (ORDER BY r4 DESC, l_partkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum4
       FROM rev
     ), classed AS (
-      SELECT l_partkey, r,
-             CASE WHEN cum_r / total_r <= 0.8 THEN 'A'
-                  WHEN cum_r / total_r <= 0.95 THEN 'B'
+      SELECT l_partkey, r4,
+             CASE WHEN cum4 * 5 <= total4 * 4 THEN 'A'
+                  WHEN cum4 * 20 <= total4 * 19 THEN 'B'
                   ELSE 'C' END AS abc
-      FROM ranked
+      FROM ranked CROSS JOIN tot
     )
     SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
-           round(sum(r), 2) AS class_revenue
+           floor(sum(r4) / 100.0 + 0.5) / 100.0 AS class_revenue
     FROM classed GROUP BY abc
     """,
 )
 def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification: parts ranked by revenue, classified by
     cumulative share (A ≤ 80%, B ≤ 95%, C rest) — the 80/20 inventory
-    segmentation. Determinism chain: per-part revenue is DECIMAL-exact
-    and rounded to 2 before ranking; the cumulative sum runs over those
-    identical doubles in a deterministic (r DESC, partkey ASC) order, so
-    both engines accumulate the same sequence; class boundaries compare
-    the same quotient. The ranked window is over the post-agg part table."""
-    from pyspark.sql import Window
+    segmentation. INTEGER end-to-end (SCALING.md doctrine, advice r5):
+    prices carry 2 decimals and discounts 2, so
+    ``round(price·100)·round((1−disc)·100)`` is the revenue in exact
+    10⁻⁴-dollar units — per-part sums, the cumulative sum, and the
+    80 %/95 % class boundaries (``cum·5 ≤ total·4``, ``cum·20 ≤
+    total·19`` — reduced fractions keep ~5×10¹⁷ of BIGINT headroom) are
+    comparisons with no float anywhere near a predicate; a float sum here
+    is combine-order-dependent and was measured flipping A/B/C at the
+    boundary between engines. Reported revenue divides the exact integer
+    by 10⁴ at the very end (fits a double exactly until ~9×10¹¹ dollars
+    per class). The cumulative sum is the two-phase distributed prefix
+    (``operators.ranking.ordered_prefix``) over the post-agg part table,
+    never a single-partition window; the corpus total joins back as a
+    one-row broadcast."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
 
     li = read_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("r")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc4 = F.floor((1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents * disc4).cast("long").alias("r4"))
+    ranked = ordered_prefix(
+        rev,
+        [F.col("r4").desc(), F.col("l_partkey").asc()],
+        running_sum={"r4": "cum4"},
     )
-    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.partitionBy()
-    ranked = rev.select(
+    tot = rev.agg(F.sum("r4").cast("long").alias("total4"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
-        "r",
-        F.sum("r").over(w).alias("cum_r"),
-        F.sum("r").over(wt).alias("total_r"),
-    )
-    share = F.col("cum_r") / F.col("total_r")
-    classed = ranked.select(
-        "l_partkey",
-        "r",
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+        "r4",
+        F.when(F.col("cum4") * 5 <= F.col("total4") * 4, "A")
+        .when(F.col("cum4") * 20 <= F.col("total4") * 19, "B")
+        .otherwise("C")
+        .alias("abc"),
     )
     return classed.groupBy("abc").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.round(F.sum("r"), 2).alias("class_revenue"),
+        (F.floor(F.sum("r4") / 100.0 + F.lit(0.5)) / 100.0).alias("class_revenue"),
     )
 
 
