@@ -105,6 +105,18 @@ def ordered_prefix(
         loc = loc.withColumn(out, F.sum(src).over(w_loc))
     for src, out in running_max.items():
         loc = loc.withColumn(out, F.max(src).over(w_loc))
+    # MANDATORY single materialization. ``loc`` is read twice below (the
+    # per-partition stats and the probe side of the offsets join), and
+    # ``__pid`` comes from spark_partition_id() over a sampled range
+    # exchange: if the two branches plan separate exchange instances
+    # (observed under AQE in deeper consumer plans — exchange reuse is
+    # not guaranteed), their sampled boundaries can differ and the
+    # offsets attach to the WRONG partitions. The lazy local checkpoint
+    # pins one materialized copy (computed during the broadcast-side job,
+    # reused by the probe side) so pid assignment is consistent by
+    # construction. Still fully distributed: each executor persists its
+    # own range partitions — the same data volume a sort already shuffled.
+    loc = loc.localCheckpoint(eager=False)
 
     stats_aggs = [F.count(F.lit(1)).alias("__cnt")]
     stats_aggs += [F.sum(src).alias(f"__s_{out}") for src, out in running_sum.items()]

@@ -446,11 +446,13 @@ def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg order and the spread compounds per iteration, so integer
     math is what makes an iterative rank hash-exact across engines. See
     ``operators.graph.pagerank_fixedpoint``; oracle replays the identical
-    recursion with a recursive CTE."""
-    from pyspark.sql import Window
+    recursion with a recursive CTE. The final full ranking of the node
+    set is the two-phase distributed ``ranking.ordered_prefix`` (the dup
+    graph is corpus-sized in the worst case — advice r5)."""
     from pyspark.sql import functions as F
 
     from datamodel_clinicaldata_spark.operators.graph import pagerank_fixedpoint
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
 
     d = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
@@ -458,10 +460,9 @@ def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     pr = pagerank_fixedpoint(edges, iters=10)
-    w = Window.orderBy(F.col("pr_e12").desc(), F.col("node").asc())
-    return pr.select(
-        "node", "pr_e12", F.row_number().over(w).cast("long").alias("rank")
-    )
+    return ordered_prefix(
+        pr, [F.col("pr_e12").desc(), F.col("node").asc()], rank_col="rank"
+    ).select("node", "pr_e12", "rank")
 
 
 _SURVIVOR_ORACLE = f"""

@@ -1942,20 +1942,18 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition will straggle and the key needs salting
     (``operators.joins.salted_join``) or AQE skew splitting. Rank-based
     exact percentiles (deterministic: ties ordered by key) on the
-    POST-AGG key-count set — the global window sorts |keys| rows, not the
-    event stream."""
-    from pyspark.sql import Window
+    POST-AGG key-count set; the rank is the two-phase distributed
+    ``ranking.ordered_prefix`` and the key count a one-row broadcast —
+    at 100 TB the key set is itself huge, so neither a single-partition
+    rank window nor a global count window is allowed (advice r5)."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
 
     e = read_table(spark, sf_dir, "events")
     c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    r = c.select(
-        "user_id",
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.col("cnt").asc(), F.col("user_id").asc()))
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_keys"),
-    )
+    nk = c.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    r = ordered_prefix(
+        c, [F.col("cnt").asc(), F.col("user_id").asc()], rank_col="rk"
+    ).crossJoin(F.broadcast(nk)).select("user_id", "cnt", "rk", "n_keys")
     p50 = F.max(
         F.when(
             F.col("rk") == F.ceil(F.col("n_keys") * 0.5).cast("long"), F.col("cnt")
@@ -2476,8 +2474,11 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel family's latency dimension (how LONG conversion takes, next
     to how OFTEN). Same rank-percentile doctrine as the skew diagnostic
     (deterministic ties on user_id, percentiles picked by row number on
-    the post-agg per-user set — never a float percentile estimator)."""
-    from pyspark.sql import Window
+    the post-agg per-user set — never a float percentile estimator); the
+    rank is the two-phase distributed ``ranking.ordered_prefix`` and the
+    converted-user count a one-row broadcast (advice r5: no
+    single-partition window over a user-cardinality set)."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
 
     e = read_table(spark, sf_dir, "events")
     step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
@@ -2492,13 +2493,10 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lat_us"),
     )
-    r = conv.select(
-        "lat_us",
-        F.row_number()
-        .over(Window.orderBy(F.col("lat_us").asc(), F.col("user_id").asc()))
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
-    )
+    nconv = conv.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = ordered_prefix(
+        conv, [F.col("lat_us").asc(), F.col("user_id").asc()], rank_col="rk"
+    ).crossJoin(F.broadcast(nconv)).select("lat_us", "rk", "n")
     pick = lambda q: F.max(  # noqa: E731
         F.when(F.col("rk") == F.ceil(F.col("n") * q).cast("long"), F.col("lat_us"))
     )

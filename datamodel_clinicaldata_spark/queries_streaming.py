@@ -422,18 +422,25 @@ def diag_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     far its event time lags the maximum event time already seen; the
     lateness histogram says what fraction of data a "10 minutes" vs
     "1 hour" watermark would drop. Exact integer microseconds against a
-    running max (single global arrival order — by construction a
-    sequential scan, computed over the post-scan projection; the
-    per-key variant partitions by source/shard at scale)."""
-    from pyspark.sql import Window
+    running max in global arrival order, computed with the two-phase
+    distributed prefix (``ranking.ordered_prefix`` running_max: range
+    partitions carry local running maxes, broadcast per-partition maxes
+    supply the carry-in) — max is order-insensitive, so the result is
+    identical to a sequential scan without ever funnelling the event
+    stream through one task (advice r5)."""
     from pyspark.sql import functions as F
 
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
     e = read_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    late = F.greatest(
-        F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"), F.lit(0)
+    proj = e.select(
+        "event_type", "event_id", F.unix_micros("ts").alias("__us")
     )
-    o = e.select("event_type", late.alias("late_us"))
+    run = ordered_prefix(
+        proj, [F.col("event_id").asc()], running_max={"__us": "__run_max"}
+    )
+    late = F.greatest(F.col("__run_max") - F.col("__us"), F.lit(0))
+    o = run.select("event_type", late.alias("late_us"))
     bucket = (
         F.when(F.col("late_us") == 0, "0_on_time")
         .when(F.col("late_us") < 60_000_000, "1_lt_1m")

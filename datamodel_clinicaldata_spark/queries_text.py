@@ -255,10 +255,10 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch — ``overest ≥ 0`` by the CMS guarantee, and the whole
     cascade is integer math on a portable rolling hash, so the oracle
     replays it exactly. The exact counts are oracle scaffolding; at
-    100 TB only the kilobyte sketch would be kept. The global top-20
-    window runs on the post-agg vocabulary, not the token stream."""
-    from pyspark.sql import Window
-
+    100 TB only the kilobyte sketch would be kept. The exact top-20 is
+    ``ranking.topk_ranked`` over the post-agg vocabulary — distributed
+    TakeOrdered, not a single-partition vocabulary sort (advice r5)."""
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
     from datamodel_clinicaldata_spark.operators.sketches import (
         cms_build,
         cms_estimate,
@@ -272,10 +272,8 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
     )
-    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
-    top = (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+    top = topk_ranked(
+        exact, [F.col("exact_cnt").desc(), F.col("token").asc()], 20
     )
     est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=256)
     return top.join(est, "token").select(
@@ -341,8 +339,6 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to the query terms BEFORE any shuffle; df (3 rows) and the
     corpus stats scalar broadcast; the final top-10 ranks |matching docs|
     rows."""
-    from pyspark.sql import Window
-
     from datamodel_clinicaldata_spark.functions.vectors import round_fixed
 
     terms = ["spark", "table", "join"]
@@ -398,11 +394,9 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = contrib.groupBy("doc_id").agg(
         round_fixed(pick("spark") + pick("table") + pick("join"), 6).alias("bm25")
     )
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-    )
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
+
+    return topk_ranked(scored, [F.col("bm25").desc(), F.col("doc_id").asc()], 10)
 
 
 @register(
@@ -444,8 +438,6 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order scoring). Pair counts come from the doc-grouped self-join
     of the distinct presence list; at 100 TB that join is bounded per doc
     by vocabulary-per-doc², and the df/N sides broadcast."""
-    from pyspark.sql import Window
-
     from datamodel_clinicaldata_spark.functions.vectors import round_fixed
 
     d = read_table(spark, sf_dir, "documents")
@@ -487,10 +479,12 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
+
+    return topk_ranked(
+        scored,
+        [F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()],
+        20,
     )
 
 
@@ -622,20 +616,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay: those strategies feed on the Zipf head/tail split, and SCALING.md
     records the measured consequence of this corpus's flat slope. One
     bounded vocab aggregation; regression moments round to 4 (float-sum
-    ulp doctrine)."""
-    from pyspark.sql import Window
+    ulp doctrine). The full vocabulary rank is the two-phase distributed
+    ``ranking.ordered_prefix`` — range-partitioned local ranks plus
+    broadcast offsets, never a single-partition vocabulary sort."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
 
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ranked = freq.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("tok").asc()))
-        .alias("r"),
-    )
+    ranked = ordered_prefix(
+        freq, [F.col("c").desc(), F.col("tok").asc()], rank_col="r"
+    ).select("c", "r")
     lc = F.log(F.col("c").cast("double"))
     lr = F.log(F.col("r").cast("double"))
     return ranked.agg(

@@ -563,13 +563,13 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-equivalent ln(u)/w is ranked instead (one ln, no pow — pow is
     not engine-stable) and u is the deterministic Knuth-hash uniform, so
     the "random" sample is reproducible and oracle-replayable. Weight =
-    token count (longer docs proportionally likelier). The top-k is a
-    rank over per-item priorities — at 100 TB that is the same two-phase
-    pattern as the ANN top-k; the priority computation itself is
-    embarrassingly parallel with no shuffle."""
-    from pyspark.sql import Window
-
+    token count (longer docs proportionally likelier). The top-k is
+    ``ranking.topk_ranked`` — distributed TakeOrdered (per-task k-row
+    heaps, advice r5), never a corpus-wide single-partition rank; the
+    priority computation itself is embarrassingly parallel with no
+    shuffle."""
     from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
 
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -583,8 +583,6 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         round_fixed(F.log(u) / F.col("w"), 6).alias("priority"),
     )
-    win = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
-    return (
-        ranked.withColumn("rank", F.row_number().over(win).cast("long"))
-        .filter(F.col("rank") <= 50)
+    return topk_ranked(
+        ranked, [F.col("priority").desc(), F.col("doc_id").asc()], 50
     )

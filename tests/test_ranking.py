@@ -119,3 +119,27 @@ def test_topk_ranked_k_exceeds_rows(spark):
     out = topk_ranked(small, _cols(("v:asc", "id:asc")), 100).collect()
     assert len(out) == 5
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_ordered_prefix_under_aggregation_consumer(spark, df):
+    """Regression: a downstream aggregation changed AQE planning enough
+    that the stats branch and probe branch materialized SEPARATE range
+    exchanges with different sampled boundaries — pid misalignment gave
+    wrong offsets (observed as phantom late arrivals in
+    diag_late_arrivals). The lazy localCheckpoint in ordered_prefix pins
+    one materialization; this consumer shape must stay exact."""
+    order = _cols(("id:asc",))
+    run = ordered_prefix(df, order, running_max={"v": "rm"})
+    # run_max can never be below the current value, and grouping must
+    # reproduce the single-partition truth exactly
+    got = (
+        run.groupBy((F.col("id") % 5).alias("g"))
+        .agg(F.sum("rm").alias("s"), F.max("rm").alias("m"))
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    truth = (
+        df.withColumn("rm", F.max("v").over(w))
+        .groupBy((F.col("id") % 5).alias("g"))
+        .agg(F.sum("rm").alias("s"), F.max("rm").alias("m"))
+    )
+    assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
