@@ -76,21 +76,26 @@ def _pairs_from_postings(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
 
 
 def _shingle_postings(
-    df: DataFrame, content_col: str, id_col: str, k: int, max_postings: int
+    df: DataFrame, content_col: str, id_col: str, k: int, max_postings: int | None
 ) -> DataFrame:
     """Inverted-index posting lists: (shingle, ids), hot shingles dropped.
 
     ``max_postings`` caps a shingle's posting list: a shingle occurring in
     more than that many docs generates quadratic candidate pairs and near
     zero signal (it's a stop-shingle) — dropping it bounds both skew and
-    output size. Singleton shingles are dropped too (no pair to emit)."""
+    output size. ``None`` disables the cap (exact semantics — required
+    wherever the result is cross-validated against an uncapped algorithm).
+    Singleton shingles are dropped either way (no pair to emit)."""
     idx = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(content_col), k))).alias("shingle")
     )
+    keep = F.size("ids") >= 2
+    if max_postings is not None:
+        keep = keep & (F.size("ids") <= max_postings)
     return (
         idx.groupBy("shingle")
         .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_postings))
+        .filter(keep)
     )
 
 
@@ -100,7 +105,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
-    max_postings: int = 200,
+    max_postings: int | None = 200,
 ) -> DataFrame:
     """Exact k-token-shingle Jaccard for every candidate pair sharing at
     least one (non-stop) shingle. Output: (id_a, id_b, jaccard), id_a <
@@ -115,9 +120,14 @@ def ngram_jaccard_pairs(
     shingle arrays + per-pair ``array_intersect`` with one count
     aggregate and two narrow joins.
 
-    Exact while nothing is stop-capped; with a binding ``max_postings``
-    cap both c and the candidate set ignore capped (ubiquitous) shingles,
-    while sizes still count them — Jaccard is then a lower bound."""
+    Exact while nothing is stop-capped (or with ``max_postings=None``);
+    with a binding ``max_postings`` cap both c and the candidate set
+    ignore capped (ubiquitous) shingles, while sizes still count them —
+    Jaccard is then a lower bound. Oracle-matched callers must pair a
+    capped call with the capped counting oracle
+    (``queries_dedup._capped_pair_chain``) — advice r5: the uncapped
+    list_intersect oracle silently diverges once any posting list
+    crosses the cap."""
     df = ensure_min_parallelism(df)
     sizes = df.select(
         F.col(id_col),
