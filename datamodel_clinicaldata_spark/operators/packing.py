@@ -131,8 +131,14 @@ def length_bucket_batches(
     w = Window.partitionBy("bucket_id", "shard").orderBy(
         F.col(size_col).asc(), F.col(id_col).asc()
     )
-    assigned = slim.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "batch_idx", ((F.col("__rn") - 1) / bsize).cast("long")
+    assigned = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__bsize", bsize)
+        # integer division end-to-end (advice r5): double-divide-then-
+        # truncate is only exact below 2^53 and drags a float into an
+        # otherwise integer pipeline; `div` matches the oracle's `//`.
+        .withColumn("batch_idx", F.expr("CAST(__rn - 1 AS BIGINT) div __bsize"))
+        .drop("__bsize")
     )
     return assigned.groupBy("bucket_id", "shard", "batch_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -642,7 +642,12 @@ def contrastive_triplets(
     side = corpus.select(
         F.col(id_col), F.col(label_col), dv.alias("__v"), dot(dv, dv).alias("__n2")
     )
+    # Precompute each anchor's self-dot ONCE in the (tiny, broadcast)
+    # anchor frame — advice r5: folding dot(qv,qv) inside the scored
+    # expression re-ran an O(dim) fold per (corpus row × anchor) pair.
+    # Same dot/sqrt sequence, so scores stay bit-identical.
     qv = as_double(F.col("__qv"))
+    q = q.withColumn("__qn2", dot(qv, qv))
     scored = side.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col(anchor_id_col)
     )
@@ -651,7 +656,7 @@ def contrastive_triplets(
         id_col,
         (F.col(label_col) == F.col("__ql")).alias("__same"),
         round_fixed(
-            dot(F.col("__v"), qv) / F.sqrt(F.col("__n2") * dot(qv, qv)), 6
+            dot(F.col("__v"), qv) / F.sqrt(F.col("__n2") * F.col("__qn2")), 6
         ).alias("__sim"),
     )
     order = [F.col("__sim").desc(), F.col(id_col).asc()]
