@@ -244,3 +244,20 @@ def test_mixture_schedule_broadcast_totals(spark, sf_dir):
     totals via broadcast; no sort-merge join."""
     a = audit(QUERIES["mixture_temperature_schedule"](spark, sf_dir))
     assert a.sort_merge_joins == 0
+
+
+def test_registered_surface_window_audit(spark, sf_dir):
+    """Verdict r5 #2: NO registered query may plan an unpartitioned
+    window over unbounded input. tools/window_audit.py sweeps every
+    queries() entry; bounded exceptions (rank over ≤k TakeOrdered
+    survivors, ordered_prefix's ≤n_partitions offsets frame,
+    calendar-bounded rollups) are allowlisted there with justifications,
+    and adaptive operators whose construction runs jobs are pinned by
+    their own tests instead."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.window_audit import sweep
+
+    bad = sweep(spark, sf_dir)
+    assert not bad, f"unpartitioned windows over unbounded input: {bad}"

@@ -1,0 +1,95 @@
+"""Sweep every registered query's physical plan for unpartitioned
+windows (verdict r5 #2): at 100 TB an unpartitioned WindowExec funnels
+its whole input through one task.
+
+Some unpartitioned windows are BOUNDED by construction (rank over ≤k
+TakeOrdered survivors, the ≤ shuffle-partitions offsets frame inside
+``ordered_prefix``, calendar-bounded day rollups) — those are fine and
+are listed with justifications in BOUNDED_OK. Anything else is a
+violation.
+
+    python tools/window_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+# name -> (max allowed unpartitioned windows, why that's bounded)
+BOUNDED_OK = {
+    # topk_ranked: rank window over ≤k rows surviving orderBy().limit(k)
+    "sample_weighted_reservoir": (1, "rank over ≤50 TakeOrdered survivors"),
+    "text_cms_heavy_hitters": (1, "rank over ≤20 TakeOrdered survivors"),
+    "text_bm25_rank": (1, "rank over ≤10 TakeOrdered survivors"),
+    "text_pmi_cooccurrence": (1, "rank over ≤20 TakeOrdered survivors"),
+    # ordered_prefix: exclusive-prefix window over the per-partition stats
+    # frame (≤ spark.sql.shuffle.partitions rows)
+    "agg_pareto_abc": (1, "offsets window over ≤n_partitions stats rows"),
+    "text_zipf_fit": (1, "offsets window over ≤n_partitions stats rows"),
+    "diag_join_key_skew": (1, "offsets window over ≤n_partitions stats rows"),
+    "funnel_time_to_convert": (1, "offsets window over ≤n_partitions stats rows"),
+    "graph_pagerank_dup_hubs": (1, "offsets window over ≤n_partitions stats rows"),
+    "diag_late_arrivals": (1, "offsets window over ≤n_partitions stats rows"),
+    # calendar-bounded post-agg frames (≤ |days| rows regardless of SF)
+    "events_new_vs_returning": (1, "cumsum over ≤|calendar days| rows"),
+}
+
+# Query construction itself runs Spark jobs (adaptive/iterative operators
+# decide their shape from data, eager checkpoints) — their window shapes
+# are pinned by their own operator tests; planning them here would re-run
+# the jobs.
+EXECUTES_AT_BUILD = {
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "graph_pagerank_dup_hubs",
+    "graph_triangle_count",
+    "dedup_algorithms_agree",
+    "dedup_survivor_by_quality",
+}
+
+
+def sweep(spark, sf_dir: str, names=None) -> dict[str, tuple[int, int]]:
+    """Return {name: (unpartitioned_found, allowed)} for every violation."""
+    import __spark_entry__ as entrymod
+    from datamodel_clinicaldata_spark.plans.audit import audit
+
+    queries = entrymod.queries()
+    bad: dict[str, tuple[int, int]] = {}
+    for name, fn in sorted(queries.items()):
+        if names and name not in names:
+            continue
+        if name in EXECUTES_AT_BUILD:
+            continue
+        allowed = BOUNDED_OK.get(name, (0, ""))[0]
+        try:
+            n = audit(fn(spark, sf_dir)).unpartitioned_windows
+        except Exception as exc:  # pragma: no cover - report, don't mask
+            print(f"ERROR {name}: {exc}")
+            bad[name] = (-1, allowed)
+            continue
+        if n > allowed:
+            bad[name] = (n, allowed)
+    return bad
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.path.insert(0, "/root/repo")
+    from datamodel_clinicaldata_spark.session import get_spark
+
+    spark = get_spark("window-audit")
+    t0 = time.time()
+    bad = sweep(spark, sf_dir)
+    dt = time.time() - t0
+    if bad:
+        for name, (n, allowed) in sorted(bad.items()):
+            print(f"VIOLATION {name}: {n} unpartitioned windows (allowed {allowed})")
+        print(f"{len(bad)} violations ({dt:.0f}s)")
+        return 1
+    print(f"window audit clean ({dt:.0f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
