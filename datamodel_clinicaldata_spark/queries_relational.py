@@ -1586,10 +1586,13 @@ def agg_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_market_share",
     """
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           round(sum(CASE WHEN n2.n_name = 'NATION_1'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END), 4) AS nation_volume,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_volume
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                         THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                              * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 10000.0 AS nation_volume,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) / 10000.0 AS total_volume
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1606,8 +1609,12 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape: seven-table join tree (the suite's widest) — a
     supplier nation's share of PROMO volume sold into one region.
     Numerator/denominator emitted separately (module float policy: never
-    hash a quotient of rounded sums). part/supplier/customer filters
-    reach their scans; nation/region broadcast."""
+    hash a quotient of rounded sums) and summed in INTEGER 10⁻⁴-dollar
+    units (advice r5 #4: these sums feed a volume-share ratio downstream,
+    the amplifying shape, and 2-decimal price × 2-decimal discount is
+    exact in fixed point — the float sum was combine-order-dependent).
+    One division by 10⁴ at output. part/supplier/customer filters reach
+    their scans; nation/region broadcast."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     su = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -1621,7 +1628,9 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n2 = F.broadcast(n.select(F.col("n_nationkey").alias("nk_supp"), F.col("n_name").alias("supp_nation")))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    r4 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * F.floor(
+        (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1631,10 +1640,13 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("nk_supp") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", disc).otherwise(0.0)), 4
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", r4).otherwise(F.lit(0))
+                ).cast("long")
+                / 10000.0
             ).alias("nation_volume"),
-            F.round(F.sum(disc), 4).alias("total_volume"),
+            (F.sum(r4).cast("long") / 10000.0).alias("total_volume"),
         )
     )
 
@@ -2395,14 +2407,17 @@ def events_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT n.n_regionkey, c.c_nationkey,
-             round(sum(o.o_totalprice), 2) AS nation_rev
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS nation_cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1, 2
     )
-    SELECT n_regionkey, c_nationkey, nation_rev,
-           floor(nation_rev / sum(nation_rev) OVER (PARTITION BY n_regionkey)
+    SELECT n_regionkey, c_nationkey,
+           nation_cents / 100.0 AS nation_rev,
+           floor(nation_cents
+                 / CAST(sum(nation_cents) OVER (PARTITION BY n_regionkey) AS BIGINT)
                  * 1000000.0 + 0.5) / 1000000.0 AS region_share
     FROM rev
     """,
@@ -2411,10 +2426,12 @@ def agg_revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-total (ratio_to_report): each nation's revenue as a
     fraction of its region's — the percent-of-parent BI pattern, via a
     window sum over the POST-AGG nation rollup (≤ |nations| rows shuffle
-    into the window, never order rows). The inner revenue is rounded to
-    2 BEFORE the share division so the window sum adds identical doubles
-    in both engines (≤ 5 values per region — no ulp spread at this
-    fan-in); the share itself is fixed-point rounded."""
+    into the window, never order rows). Revenue is summed in INTEGER
+    cents end-to-end (advice r5 #4: the rounded float sum fed this
+    share ratio — the amplifying shape; 2-decimal prices are exact in
+    cents), so numerator, window denominator, and their quotient are
+    the identical doubles in both engines; the share is fixed-point
+    rounded, the reported revenue one division by 100 at output."""
     from pyspark.sql import Window
 
     from datamodel_clinicaldata_spark.functions.vectors import round_fixed
@@ -2422,20 +2439,21 @@ def agg_revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     rev = (
         o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("n_regionkey", "c_nationkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_rev"))
+        .agg(F.sum(cents).cast("long").alias("nation_cents"))
     )
     w = Window.partitionBy("n_regionkey")
     return rev.select(
         "n_regionkey",
         "c_nationkey",
-        "nation_rev",
-        round_fixed(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias(
-            "region_share"
-        ),
+        (F.col("nation_cents") / 100.0).alias("nation_rev"),
+        round_fixed(
+            F.col("nation_cents") / F.sum("nation_cents").over(w).cast("long"), 6
+        ).alias("region_share"),
     )
 
 
