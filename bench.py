@@ -192,6 +192,32 @@ def main() -> None:
         out["lsh_candidates"] = lsh_stats
     if cc_stats:
         out["cc_rounds"] = cc_stats
+
+    # Per-query deltas vs the previous round's recorded medians (verdict
+    # r5 #6): positive = slower this run. Baseline file is committed at
+    # round close (tools/record_bench_baseline.py) so the driver's
+    # possibly-truncated tail capture is never the only record.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    if os.path.isfile(base_path):
+        try:
+            with open(base_path) as fh:
+                prev = json.load(fh).get("queries_median", {})
+            out["vs_prev"] = {
+                n: round(medians[n] - prev[n], 4) for n in medians if n in prev
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"WARN bench: vs_prev diff failed: {e}", file=sys.stderr)
+
+    # Full artifact on disk — the driver captures stdout's tail, which
+    # progress bars have truncated before (r4's medians were lost); the
+    # file is the canonical machine-readable record.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1)
     print(json.dumps(out))
 
 
