@@ -165,6 +165,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_postings: int | None = 200,
+) -> DataFrame:
+    """ASYMMETRIC set containment C(A,B) = |A∩B| / min(|A|,|B|) over
+    candidate pairs sharing a (non-stop) shingle — the subset-duplicate
+    detector: a short document embedded verbatim in a longer one scores
+    near 1.0 here while symmetric Jaccard (÷ union) dilutes toward
+    |A|/|B| and misses it. Same inverted-index counting plan as
+    :func:`ngram_jaccard_pairs` (one postings self-join, c from
+    ``groupBy(pair).count()``, sizes joined in narrow); only the
+    denominator differs — ``least(|A|,|B|)`` instead of the union. Output
+    (id_a, id_b, containment), id_a < id_b, containment ≥ threshold.
+    Capped-semantics note identical to the Jaccard variant: with a
+    binding ``max_postings``, c ignores capped shingles while sizes count
+    them (lower bound); oracle twins must replay the capped counting
+    chain."""
+    df = ensure_min_parallelism(df)
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_shingles(F.col(content_col), k))).alias("n"),
+    )
+    idx = _shingle_postings(df, content_col, id_col, k, max_postings).select(
+        "shingle", F.explode("ids").alias(id_col)
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("__nb"))
+    cont = F.col("__c") / F.least(F.col("__na"), F.col("__nb"))
+    return (
+        pair_counts.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _lcg_longs(n: int, seed: int = 0x5DEECE66D) -> list[int]:
     """n deterministic signed-64 constants from a 64-bit LCG (portable,
     no RNG state)."""

@@ -30,7 +30,11 @@ _SHINGLES = (
 
 
 def _capped_pair_chain(
-    threshold: float, cap: int = 10_000, materialized: bool = False
+    threshold: float,
+    cap: int = 10_000,
+    materialized: bool = False,
+    score_name: str = "jaccard",
+    score_den: str = "(len(da.sh) + len(db.sh) - c)",
 ) -> str:
     """CTE chain replaying ``ngram_jaccard_pairs(max_postings=cap)``'s
     COUNTING semantics exactly (advice r5): shingles whose posting list
@@ -42,7 +46,10 @@ def _capped_pair_chain(
     crosses the cap. Expects a ``docs`` CTE with (doc_id, sh) in scope;
     defines ``pairs`` (id_a, id_b, jaccard). ``materialized`` marks the
     pairs CTE MATERIALIZED (mandatory inside recursive oracles — DuckDB
-    inlines plain CTEs into every iteration)."""
+    inlines plain CTEs into every iteration). ``score_name``/``score_den``
+    parameterize the similarity: the default is Jaccard (÷ union);
+    containment passes ``least(len(da.sh), len(db.sh))`` (÷ smaller
+    set)."""
     m = "AS MATERIALIZED" if materialized else "AS"
     return f"""idx AS (
       SELECT doc_id, unnest(sh) AS s FROM docs
@@ -55,11 +62,11 @@ def _capped_pair_chain(
       FROM cidx a JOIN cidx b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs {m} (
-      SELECT id_a, id_b, c / (len(da.sh) + len(db.sh) - c) AS jaccard
+      SELECT id_a, id_b, c / {score_den} AS {score_name}
       FROM pc
       JOIN docs da ON da.doc_id = pc.id_a
       JOIN docs db ON db.doc_id = pc.id_b
-      WHERE c / (len(da.sh) + len(db.sh) - c) >= {threshold}
+      WHERE c / {score_den} >= {threshold}
     )"""
 
 
@@ -115,6 +122,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), {_capped_pair_chain(0.8, score_name="containment",
+                           score_den="least(len(da.sh), len(db.sh))")}
+    SELECT id_a, id_b, containment FROM pairs
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment ≥ 0.8 pairs: |A∩B| / min(|A|,|B|) — the
+    SUBSET-duplicate detector (a short doc quoted wholesale inside a
+    longer one scores ~1.0 where symmetric Jaccard dilutes toward the
+    length ratio and misses it; the standard companion measure to
+    Jaccard in curation pipelines). Same capped inverted-index counting
+    plan and capped-counting oracle as ``dedup_ngram_jaccard`` — only the
+    denominator differs. See ``operators.dedup.ngram_containment_pairs``."""
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "text", "doc_id", k=3, threshold=0.8, max_postings=10_000
     )
 
 

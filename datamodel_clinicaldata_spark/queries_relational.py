@@ -2898,3 +2898,132 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "events_max_concurrency",
+    """
+    WITH pts AS (
+      SELECT epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + 1800000000, -1, event_id FROM events
+    ), run AS (
+      SELECT t,
+             CAST(sum(delta) OVER (ORDER BY t ASC, delta ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM pts
+    ), mx AS (
+      SELECT CAST(max(conc) AS BIGINT) AS m FROM run
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_intervals,
+           mx.m AS max_concurrency,
+           CAST(min(run.t) AS BIGINT) AS first_peak_us
+    FROM run, mx WHERE run.conc = mx.m GROUP BY mx.m
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrency via the classic sweep line: every event opens a
+    30-minute interval; endpoints become (+1 at start, −1 at end) deltas,
+    and the running sum over the single global time order IS the live
+    concurrency — its max is the capacity-planning headline (peak
+    simultaneous sessions) plus the first instant it is reached. Closing
+    deltas sort BEFORE opening deltas at the same microsecond (delta ASC),
+    so touching intervals don't count as overlapping; ties then break on
+    event_id — a total order, so the integer prefix sum is exact and
+    engine-identical. The global running sum is the two-phase distributed
+    ``ranking.ordered_prefix`` (range partitions carry local prefixes,
+    broadcast per-partition subtotals supply the carry-in) — a sweep line
+    over 2·|events| endpoints with NO single-partition sort, the shape an
+    unpartitioned window cannot deliver at 100 TB."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    e = read_table(spark, sf_dir, "events")
+    start = e.select(
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).cast("long").alias("delta"),
+        "event_id",
+    )
+    end = e.select(
+        (F.unix_micros("ts") + 1_800_000_000).alias("t"),
+        F.lit(-1).cast("long").alias("delta"),
+        "event_id",
+    )
+    run = ordered_prefix(
+        start.unionAll(end),
+        [F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc()],
+        running_sum={"delta": "conc"},
+    )
+    mx = run.agg(F.max("conc").cast("long").alias("m"))
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    return (
+        run.join(F.broadcast(mx), F.col("conc") == F.col("m"))
+        .groupBy("m")
+        .agg(F.min("t").cast("long").alias("first_peak_us"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_intervals",
+            F.col("m").alias("max_concurrency"),
+            "first_peak_us",
+        )
+    )
+
+
+@register(
+    "timeseries_ewma_fold",
+    """
+    WITH q AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+             list(v ORDER BY t ASC, event_id ASC) AS vs
+      FROM q GROUP BY 1
+    )
+    SELECT user_id, n_points,
+           CAST(list_reduce(vs, (acc, x) ->
+             (8 * acc + 2 * x
+              - ((((8 * acc + 2 * x) % 10) + 10) % 10)) // 10
+           ) AS BIGINT) AS ewma_e6
+    FROM per
+    """,
+)
+def timeseries_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series — the classic
+    smoother behind alerting baselines, as a RECURRENCE (s ← 0.8·s +
+    0.2·x), which no window frame expresses: each state depends on the
+    previous state, so it runs as an ``F.aggregate`` fold over the
+    time-ordered per-series value array (collect_list bounded by points
+    per series — the same per-key footprint any stateful processor of
+    this recurrence needs). Engine-exact by fixed-point doctrine: values
+    quantize to 10⁻⁶ BIGINT, α = 0.2 is the integer step
+    ``(8s + 2x) div 10`` with an explicit math-mod floor so both engines
+    truncate identically even on negatives, and DuckDB's ``list_reduce``
+    replays the identical integer recurrence (its first-element seed
+    matches the fold's null-seeded first step). One shuffle of (key, t,
+    v) triples; final state only, O(1) state per series."""
+    e = read_table(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        ).alias("p"),
+    )
+    per = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.array_sort(F.collect_list("p")).alias("ps"),
+    )
+
+    def step(acc, p):
+        nxt = 8 * acc + 2 * p["v"]
+        m = ((nxt % 10) + 10) % 10
+        return F.when(acc.isNull(), p["v"]).otherwise(
+            ((nxt - m) / 10).cast("long")
+        )
+
+    ewma = F.aggregate(F.col("ps"), F.lit(None).cast("long"), step)
+    return per.select("user_id", "n_points", ewma.alias("ewma_e6"))
