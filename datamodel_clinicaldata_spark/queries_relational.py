@@ -3027,3 +3027,156 @@ def timeseries_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ewma = F.aggregate(F.col("ps"), F.lit(None).cast("long"), step)
     return per.select("user_id", "n_points", ewma.alias("ewma_e6"))
+
+
+@register(
+    "agg_bloom_filter_probe",
+    """
+    WITH params(a, b) AS (
+      VALUES (769, 12289), (3079, 98317), (389, 6151), (193, 1543)
+    ), bkeys AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+    ), bh AS (
+      SELECT key,
+             CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000007 AS h1
+      FROM bkeys
+    ), bpos AS (
+      SELECT key, ((h1 * a + b) % 1000000007) % 16384 AS idx
+      FROM bh CROSS JOIN params
+    ), sk AS (
+      SELECT idx // 60 AS word,
+             CAST(bit_or(1::BIGINT << CAST(idx % 60 AS INTEGER)) AS BIGINT)
+               AS bits
+      FROM bpos GROUP BY 1
+    ), ph AS (
+      SELECT c_custkey AS key,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000007 AS h1
+      FROM customer
+    ), ppos AS (
+      SELECT key, ((h1 * a + b) % 1000000007) % 16384 AS idx
+      FROM ph CROSS JOIN params
+    ), probe AS (
+      SELECT ppos.key,
+             CAST(sum(CASE WHEN sk.bits IS NOT NULL
+                            AND (sk.bits & (1::BIGINT
+                                            << CAST(ppos.idx % 60 AS INTEGER)))
+                                <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM ppos LEFT JOIN sk ON sk.word = ppos.idx // 60
+      GROUP BY 1
+    ), verdicts AS (
+      SELECT probe.key, probe.hits = 4 AS flagged,
+             bkeys.key IS NOT NULL AS is_buyer
+      FROM probe LEFT JOIN bkeys ON bkeys.key = probe.key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN is_buyer THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN flagged AND NOT is_buyer THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           (sum(CASE WHEN is_buyer AND NOT flagged THEN 1 ELSE 0 END) = 0)
+             AS no_false_negatives,
+           CASE WHEN sum(CASE WHEN NOT is_buyer THEN 1 ELSE 0 END) = 0
+                THEN 0.0
+                ELSE floor(sum(CASE WHEN flagged AND NOT is_buyer
+                               THEN 1 ELSE 0 END)
+                           / sum(CASE WHEN NOT is_buyer THEN 1 ELSE 0 END)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS fp_rate
+    FROM verdicts
+    """,
+)
+def agg_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter, built and probed with groupBy primitives —
+    completes the mergeable-sketch family (CMS / KLL / theta / HLL): the
+    set "customers with ≥1 order" folds into a 16384-bit filter (4 hash
+    functions over a 60-bit md5 prefix — the repo's ANSI-replayable hash
+    — mapped into 60-bit words so no shift ever touches the sign bit),
+    then EVERY customer key probes it. Instrumented the way the
+    structure's contract demands: ``no_false_negatives`` is computed from
+    the data (the Bloom guarantee — must be true), and the
+    false-positive rate over true non-members is reported against the
+    ~(1−e^(−kn/m))^k expectation. All integer bit arithmetic; one double
+    division at output. Scale shape: the sketch is ≤274 words (KB) at ANY
+    key cardinality — build is one groupBy over 4·|keys| positions,
+    probe a broadcast join; this is how a 100 TB membership screen avoids
+    shuffling the key set (same asymmetry Spark itself exploits in
+    runtime bloom-filter join pruning, which test_plans pins)."""
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    P = 1_000_000_007
+    M = 16_384
+    AB = [(769, 12289), (3079, 98317), (389, 6151), (193, 1543)]
+
+    def h1(key):
+        return (
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % P
+        )
+
+    def positions(df, key):
+        ja = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in AB])
+        return df.select(
+            key.alias("key"), h1(key).alias("h1")
+        ).select(
+            "key",
+            F.explode(ja).alias("p"),
+            "h1",
+        ).select(
+            "key",
+            (((F.col("h1") * F.col("p.a") + F.col("p.b")) % P) % M).alias("idx"),
+        )
+
+    o = read_table(spark, sf_dir, "orders")
+    bkeys = o.select(F.col("o_custkey").alias("key")).distinct()
+    bpos = positions(bkeys, F.col("key"))
+    sk = (
+        bpos.select(
+            (F.col("idx") / 60).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 60 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    ppos = positions(c, F.col("c_custkey")).withColumn(
+        "word", (F.col("idx") / 60).cast("long")
+    ).withColumn(
+        "mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 60 AS INT))")
+    )
+    probe = (
+        ppos.join(F.broadcast(sk), "word", "left")
+        .groupBy("key")
+        .agg(
+            F.sum(
+                (
+                    F.col("bits").isNotNull()
+                    & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+                ).cast("long")
+            ).alias("hits")
+        )
+    )
+    verdicts = probe.join(
+        bkeys.withColumn("__buyer", F.lit(True)), "key", "left"
+    ).select(
+        (F.col("hits") == 4).alias("flagged"),
+        F.col("__buyer").isNotNull().alias("is_buyer"),
+    )
+    fp = F.sum((F.col("flagged") & ~F.col("is_buyer")).cast("long"))
+    nonmember = F.sum((~F.col("is_buyer")).cast("long"))
+    return verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.col("is_buyer").cast("long")).cast("long").alias("n_true"),
+        F.sum(F.col("flagged").cast("long")).cast("long").alias("n_flagged"),
+        fp.cast("long").alias("n_false_positive"),
+        (F.sum((F.col("is_buyer") & ~F.col("flagged")).cast("long")) == 0).alias(
+            "no_false_negatives"
+        ),
+        F.when(nonmember == 0, F.lit(0.0))
+        .otherwise(round_fixed(fp / nonmember, 6))
+        .alias("fp_rate"),
+    )
