@@ -95,6 +95,13 @@ HEADLINE = [
     # only each doc's rarest prefix shingles (third algorithm against the
     # same exact-Jaccard oracle)
     "dedup_prefix_filter_join",
+    # round 6: sweep-line over the distributed prefix sum, the EWMA
+    # recurrence fold, asymmetric containment dedup, and the portable
+    # Bloom membership sketch
+    "events_max_concurrency",
+    "timeseries_ewma_fold",
+    "dedup_containment_pairs",
+    "agg_bloom_filter_probe",
 ]
 
 

@@ -235,3 +235,35 @@ def test_prefix_filter_matches_inverted_index(spark, sf_dir):
         ).collect()
     }
     assert pref == full
+
+
+def test_containment_catches_subset_dup(spark):
+    """A short doc fully embedded in a longer one: containment ≈ 1.0
+    finds it, symmetric Jaccard at the same threshold does not."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    long_doc = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    short_doc = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long_doc),
+            Row(doc_id=2, text=short_doc),
+            Row(doc_id=3, text="totally different words about spark shuffles here"),
+        ]
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", k=3, threshold=0.8
+        ).collect()
+    }
+    assert cont.get((1, 2)) == 1.0  # every short-doc shingle is in the long doc
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.8).collect()
+    assert not jac  # union-diluted similarity misses the subset dup

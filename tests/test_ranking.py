@@ -167,3 +167,27 @@ def test_ordered_prefix_under_aggregation_consumer(spark, df):
         .agg(F.sum("rm").alias("s"), F.max("rm").alias("m"))
     )
     assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
+
+
+def test_running_sum_matches_sweep_line_shape(spark):
+    """ordered_prefix running_sum over interleaved ±1 deltas (the
+    max-concurrency sweep line) reproduces the sequential prefix."""
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(200):
+        rows.append(Row(t=i * 10, delta=1, eid=i))
+        rows.append(Row(t=i * 10 + 35, delta=-1, eid=i))
+    df = spark.createDataFrame(rows).repartition(7)
+    run = ordered_prefix(
+        df,
+        _cols(("t:asc", "delta:asc", "eid:asc")),
+        running_sum={"delta": "conc"},
+        num_partitions=6,
+    ).collect()
+    got = {(r["t"], r["delta"], r["eid"]): r["conc"] for r in run}
+    acc = 0
+    for r in sorted(rows, key=lambda r: (r.t, r.delta, r.eid)):
+        acc += r.delta
+        assert got[(r.t, r.delta, r.eid)] == acc
+    assert max(got.values()) == 4  # 35/10 → at most 4 concurrent intervals
