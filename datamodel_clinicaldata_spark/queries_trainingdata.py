@@ -586,3 +586,58 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ranked(
         ranked, [F.col("priority").desc(), F.col("doc_id").asc()], 50
     )
+
+
+@register(
+    "sample_per_source_reservoir",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+      FROM documents
+    ), pri AS (
+      SELECT doc_id, source, w,
+             ({knuth_mod_sql('doc_id', 1048576)} + 1) / 1048578.0 AS u
+      FROM d
+    ), ranked AS (
+      SELECT doc_id, source, w,
+             floor(ln(u) / w * 1000000.0 + 0.5) / 1000000.0 AS priority
+      FROM pri
+    )
+    SELECT doc_id, source, w, priority, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY priority DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM ranked
+    ) WHERE rank <= 10
+    """,
+)
+def sample_per_source_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-STRATUM weighted reservoir: the Efraimidis-Spirakis priority
+    sample taken independently inside every source — how a mixture
+    pipeline draws k docs from EACH corpus slice (balanced inspection
+    sets, per-domain eval shards) rather than k overall. Identical
+    deterministic priority construction to ``sample_weighted_reservoir``;
+    the rank window is PARTITIONED by source, which is already the
+    scale-native shape (each stratum ranks inside its own hash
+    partition — no global ordering anywhere, no TakeOrdered needed), so
+    this and the global variant together pin both top-k disciplines."""
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("w"),
+    )
+    u = (knuth_mod("doc_id", 1_048_576) + 1).cast("double") / 1_048_578.0
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "w",
+        round_fixed(F.log(u) / F.col("w"), 6).alias("priority"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return ranked.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    ).filter(F.col("rank") <= 10)
