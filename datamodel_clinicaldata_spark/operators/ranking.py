@@ -116,6 +116,11 @@ def ordered_prefix(
     # reused by the probe side) so pid assignment is consistent by
     # construction. Still fully distributed: each executor persists its
     # own range partitions — the same data volume a sort already shuffled.
+    # Fault-tolerance trade, stated plainly: localCheckpoint cuts lineage,
+    # so losing an executor mid-query fails the job (re-run) instead of
+    # silently recomputing with possibly different boundaries — on a
+    # cluster where that risk matters, swap for reliable checkpointing
+    # (sc.setCheckpointDir + .checkpoint()) at the cost of a DFS write.
     loc = loc.localCheckpoint(eager=False)
 
     stats_aggs = [F.count(F.lit(1)).alias("__cnt")]

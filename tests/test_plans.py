@@ -261,3 +261,44 @@ def test_registered_surface_window_audit(spark, sf_dir):
 
     bad = sweep(spark, sf_dir)
     assert not bad, f"unpartitioned windows over unbounded input: {bad}"
+
+
+def test_aqe_skew_join_split(spark, sf_dir):
+    """AQE must split a skewed shuffle-join partition at runtime (the
+    straggler defense the 100 TB plan relies on beside explicit salting).
+    Locally the skew thresholds are lowered so the synthetic hot key
+    (one value on ~half the rows) trips the optimizer; conf restored."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        left = spark.range(80_000).select(
+            F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"))
+        j = left.join(right, "k")
+        # drive THIS Dataset's own QueryExecution to completion — a
+        # count() would execute a separate plan instance and leave j's
+        # AdaptiveSparkPlan unfinalized
+        assert len(j.collect()) > 0
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
