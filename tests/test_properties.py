@@ -9,6 +9,7 @@ from datetime import datetime, timedelta
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.operators.windows import with_cohort_metrics
 
@@ -311,3 +312,72 @@ def test_pagerank_local_equals_distributed(spark, edges):
         for r in pagerank_fixedpoint(df, iters=4, local_threshold=0).collect()
     }
     assert local == dist
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=120
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_ordered_prefix_property(spark, vals, parts):
+    """ordered_prefix == sequential Python replay on arbitrary ints
+    (duplicates, negatives, any partition count): rank, prefix sum,
+    prefix max."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    rows = [Row(i=i, v=v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = {
+        r["i"]: (r["rk"], r["cs"], r["cm"])
+        for r in ordered_prefix(
+            df,
+            [F.col("v").asc(), F.col("i").asc()],
+            rank_col="rk",
+            running_sum={"v": "cs"},
+            running_max={"v": "cm"},
+            num_partitions=parts,
+        ).collect()
+    }
+    acc_s, acc_m = 0, None
+    for rk, (i, v) in enumerate(sorted(enumerate(vals), key=lambda t: (t[1], t[0])), 1):
+        acc_s += v
+        acc_m = v if acc_m is None else max(acc_m, v)
+        assert got[i] == (rk, acc_s, acc_m)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    series=st.lists(
+        st.integers(min_value=-(10**8), max_value=10**8), min_size=1, max_size=60
+    )
+)
+def test_ewma_fold_matches_python_replay(spark, series):
+    """The fixed-point EWMA fold (s ← (8s + 2x) floordiv 10) replays
+    exactly in Python ints — the engine-independence contract the DuckDB
+    list_reduce twin relies on."""
+    from pyspark.sql import Row
+
+    rows = [Row(t=i, v=v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows)
+    per = df.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("v")))
+        ).alias("ps")
+    )
+
+    def step(acc, p):
+        nxt = 8 * acc + 2 * p["v"]
+        m = ((nxt % 10) + 10) % 10
+        return F.when(acc.isNull(), p["v"]).otherwise(((nxt - m) / 10).cast("long"))
+
+    got = per.select(
+        F.aggregate(F.col("ps"), F.lit(None).cast("long"), step).alias("e")
+    ).collect()[0]["e"]
+    acc = None
+    for v in series:
+        acc = v if acc is None else (8 * acc + 2 * v) // 10  # Python // is floor
+    assert got == acc
