@@ -138,3 +138,16 @@ def test_curate_cli_roundtrip(spark, sf_dir, tmp_path):
     # cumulative start is below k*budget (weak invariant; exact replay is
     # pinned by the curation_end_to_end oracle)
     assert got.filter(F.col("bin_id") < 0).count() == 0
+
+
+def test_run_query_cli(spark, sf_dir, capsys):
+    """The registry front door: --list enumerates, a run displays, and
+    unknown names exit 2."""
+    from datamodel_clinicaldata_spark.run import main
+
+    assert main(["--list"]) == 0
+    listed = capsys.readouterr().out.splitlines()
+    assert "clinical_cohort_week" in listed and len(listed) >= 169
+    assert main(["scan_filter_project", "--sf-dir", sf_dir, "--limit", "3"]) == 0
+    assert "l_orderkey" in capsys.readouterr().out
+    assert main(["no_such_query"]) == 2
