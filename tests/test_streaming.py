@@ -222,3 +222,49 @@ def test_stream_cms_build_equals_batch(spark, sf_dir, tmp_path):
     )
     cols = ["hash_row", "bucket", "counter"]
     assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_stream_exact_dedup_screen(spark, sf_dir, tmp_path):
+    """Ingest-time dedup: the readStream digest screen over the incoming
+    drop equals the batch twin row-for-row, and agrees with the full
+    batch pipeline's exact_dup verdicts (the near-dup stage is explicitly
+    deferred to the batch compactor — 'pending_near_screen')."""
+    from datamodel_clinicaldata_spark.streaming.dedup import (
+        corpus_digest_index,
+        exact_screen,
+        stream_documents,
+    )
+
+    idx = corpus_digest_index(spark, sf_dir)
+    streamed = exact_screen(stream_documents(spark, sf_dir), idx)
+    assert streamed.isStreaming
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("dedup_screen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_screen")
+
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    batch = exact_screen(d.filter(F.col("doc_id") % 5 == 4), idx)
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+
+    # cross-check against the full batch pipeline's exact verdicts
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    full = QUERIES["dedup_incremental_against_corpus"](spark, sf_dir)
+    exact_ids_full = {
+        r["doc_id"] for r in full.filter(F.col("status") == "exact_dup").collect()
+    }
+    exact_ids_stream = {
+        r["doc_id"] for r in got.filter(F.col("status") == "exact_dup").collect()
+    }
+    assert exact_ids_stream == exact_ids_full
