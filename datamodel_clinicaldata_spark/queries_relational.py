@@ -3180,3 +3180,66 @@ def agg_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(round_fixed(fp / nonmember, 6))
         .alias("fp_rate"),
     )
+
+
+@register(
+    "events_cohort_metric_by_age",
+    """
+    WITH birth AS (
+      SELECT user_id, min(ts) AS birth_ts
+      FROM events WHERE event_type = 'signup'
+      GROUP BY 1
+    ), aged AS (
+      SELECT e.user_id,
+             date_trunc('week', b.birth_ts) AS cohort_week,
+             CAST(floor(CAST(epoch_us(e.ts) - epoch_us(b.birth_ts) AS DOUBLE)
+                        / 604800000000.0) AS BIGINT) AS age_weeks,
+             e.value
+      FROM events e JOIN birth b ON b.user_id = e.user_id
+      WHERE e.ts >= b.birth_ts
+    )
+    SELECT cohort_week, age_weeks,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 4) AS total_value
+    FROM aged GROUP BY 1, 2
+    """,
+)
+def events_cohort_metric_by_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHANA-style cohort aggregation (Jiang et al., "Cohort Analysis
+    with Ease", SIGMOD'18): users are BORN at their first qualifying
+    event (first ``signup``), assigned to a birth-week cohort, and every
+    subsequent event is aggregated at its AGE (whole weeks since birth) —
+    the (cohort × age) metric surface behind cohort-quality curves,
+    distinct from ``retention_cohort_matrix`` which only counts presence.
+    Plan: one per-user birth aggregate, a user-key join that reuses the
+    event stream's hash partitioning, then a (cohort, age)-bounded
+    rollup. Age arithmetic is integer microseconds floored to weeks —
+    exact in both engines; value totals are display-rounded (rule-2)."""
+    e = read_table(spark, sf_dir, "events")
+    birth = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("birth_ts"))
+    )
+    aged = (
+        e.join(birth, "user_id")
+        .filter(F.col("ts") >= F.col("birth_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", "birth_ts").alias("cohort_week"),
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("birth_ts"))
+                .cast("double")
+                / 604_800_000_000.0
+            )
+            .cast("long")
+            .alias("age_weeks"),
+            "value",
+        )
+    )
+    return aged.groupBy("cohort_week", "age_weeks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
