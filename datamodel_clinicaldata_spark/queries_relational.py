@@ -2647,11 +2647,13 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 4) AS v
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
       FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
     ), b AS (
       SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 4) AS v
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
       FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
     )
     SELECT CAST(sum(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2674,8 +2676,13 @@ def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged key counts — the data-diff that validates an incremental
     pipeline against a full recompute. One full-outer join on the
     aggregate key; both sides reduce before the join so the diff never
-    touches raw rows."""
+    touches raw rows. The value comparison is ``a.v = b.v`` — an exact
+    EQUALITY predicate on an aggregate, the amplifying shape (advice r5
+    #4): a rounded float sum there flips changed/unchanged on
+    combine-order ulps, so values quantize to 10⁻⁶ BIGINTs per row and
+    the compared sums are exact integers in both engines."""
     e = read_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
 
     def snap(parity):
         return (
@@ -2683,7 +2690,7 @@ def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id", "event_type")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
-                F.round(F.sum("value"), 4).alias("v"),
+                F.sum(vq).cast("long").alias("v"),
             )
         )
 
