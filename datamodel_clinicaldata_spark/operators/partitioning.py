@@ -34,3 +34,46 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(
+    cols: list,
+    ranges: list[tuple[float, float]],
+    bits: int = 16,
+):
+    """Z-order (Morton) key over N numeric columns: each column is
+    min/max-normalized into ``bits`` levels and the level bits are
+    INTERLEAVED, so records close in EVERY dimension get close keys —
+    sorting files by this key gives parquet footers tight min/max boxes
+    in all dimensions at once, where a lexicographic sort only prunes
+    its leading column. ``ranges`` are the (min, max) per column —
+    explicit, because at 100 TB you take them from table statistics, not
+    a scan; N·bits must stay ≤ 62.
+
+    Pure JVM-side bit arithmetic (shiftright/and/or per level — no UDF);
+    the ``bits``·N-term expression is built once at plan time."""
+    from pyspark.sql import functions as F
+
+    d = len(cols)
+    if d * bits > 62:
+        raise ValueError(f"{d} cols × {bits} bits exceeds the 62-bit budget")
+    levels = (1 << bits) - 1
+    scaled = []
+    for c, (lo, hi) in zip(cols, ranges):
+        c = F.col(c) if isinstance(c, str) else c
+        span = float(hi - lo) or 1.0
+        q = F.least(
+            F.lit(levels).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((c.cast("double") - float(lo)) / span * levels).cast("long"),
+            ),
+        )
+        scaled.append(q)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * d + i)
+            )
+    return z

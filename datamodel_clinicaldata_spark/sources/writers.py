@@ -106,3 +106,29 @@ def compact_small_files(
     scale — a 100 TB table in 10 MB files is 10M objects to list."""
     n = max(1, -(-df.count() // target_rows_per_file))
     df.repartition(n).write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    ranges: list[tuple[float, float]],
+    n_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering sink: range-partition + sort by the
+    Z-order key of ``cols`` (``operators.partitioning.zorder_key``), so a
+    query filtering on ANY of the clustered dimensions skips files on
+    parquet min/max footers — the layout move behind Delta/Iceberg
+    OPTIMIZE ZORDER, built from primitives. Contrast
+    ``write_sorted_parquet``: a lexicographic sort prunes only its
+    leading column; Z-order prunes every clustered column at once
+    (pinned quantitatively in tests/test_sinks.py)."""
+    from datamodel_clinicaldata_spark.operators.partitioning import zorder_key
+
+    z = df.withColumn("__z", zorder_key(cols, ranges, bits))
+    out = (
+        z.repartitionByRange(n_files, "__z") if n_files else z.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

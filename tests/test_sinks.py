@@ -262,3 +262,77 @@ def test_asof_nearest_date_typed(spark):
         ).collect()
     }
     assert out == {"mid": 20, "early": 10}  # Δ3 < Δ9; Δ1 < Δ11
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs round-robin layout, measured on the actual parquet
+    footers: for a small 2-D query box (one user band × one time band),
+    far fewer z-ordered files have min/max boxes intersecting the
+    predicate — the file-skip a 100 TB scan lives on. Row-level
+    correctness round-trips identically from both layouts."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+    from datamodel_clinicaldata_spark.sources.writers import write_zordered
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    lo_t, hi_t, lo_u, hi_u = e.agg(
+        F.min("t_us"), F.max("t_us"), F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(
+        e, zdir, ["user_id", "t_us"],
+        [(lo_u, hi_u), (lo_t, hi_t)], n_files=16,
+    )
+    e.repartition(16).write.parquet(rdir)  # round-robin: every file spans all
+
+    # query box: middle eighth of each dimension
+    u_a, u_b = lo_u + (hi_u - lo_u) * 4 // 8, lo_u + (hi_u - lo_u) * 5 // 8
+    t_a, t_b = lo_t + (hi_t - lo_t) * 4 // 8, lo_t + (hi_t - lo_t) * 5 // 8
+
+    # (simpler: aggregate per-file min/max via pyarrow column stats)
+    def file_boxes(d):
+        boxes = []
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins: dict[str, int] = {}
+            maxs: dict[str, int] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or col.path_in_schema not in ("user_id", "t_us"):
+                        continue
+                    n = col.path_in_schema
+                    mins[n] = st.min if n not in mins else min(mins[n], st.min)
+                    maxs[n] = st.max if n not in maxs else max(maxs[n], st.max)
+            if mins:
+                boxes.append((mins["user_id"], maxs["user_id"], mins["t_us"], maxs["t_us"]))
+        return boxes
+
+    def hits(boxes):
+        return sum(
+            1
+            for (ul, uh, tl, th) in boxes
+            if not (uh < u_a or ul > u_b or th < t_a or tl > t_b)
+        )
+
+    zb, rb = file_boxes(zdir), file_boxes(rdir)
+    assert len(zb) >= 8 and len(rb) >= 8
+    assert hits(rb) == len(rb)  # round-robin: every file intersects the box
+    assert hits(zb) <= len(zb) // 2  # z-order: most files skipped on footers
+
+    # correctness: both layouts return the identical filtered rows
+    pred = (
+        (F.col("user_id").between(u_a, u_b)) & (F.col("t_us").between(t_a, t_b))
+    )
+    truth = e.filter(pred).select("event_id")
+    got = spark.read.parquet(zdir).filter(pred).select("event_id")
+    assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
