@@ -3286,3 +3286,35 @@ def json_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.sum((F.col("k") > 50).cast("long")).cast("long").alias("n_k_gt_50"),
     )
+
+
+_SQL_LATERAL_TOP_ORDERS = """
+    SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice, t.rnk
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+                  AS BIGINT) AS rnk
+      FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 2
+    ) t
+    WHERE c_custkey < 200
+"""
+
+
+@register("sql_lateral_top_orders", _SQL_LATERAL_TOP_ORDERS)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery on the SQL face: each customer's top-2
+    orders by price — the identical ANSI text runs on DuckDB as its own
+    oracle. Exercises Catalyst's subquery decorrelation
+    (DecorrelateInnerQuery rewrites the per-customer correlated limit
+    into a join + partitioned window — .explain shows NO nested-loop
+    per-row re-execution), the planner surface the window-function
+    formulation never touches. Ties break on o_orderkey, so the top-2
+    set is a total order and engine-identical."""
+    from datamodel_clinicaldata_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOP_ORDERS)
