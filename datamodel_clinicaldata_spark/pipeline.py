@@ -161,6 +161,31 @@ def flagship_query(
     )
 
 
+def flagship_query_observed(
+    spark: SparkSession, sf_dir: str, cohort: str = "week"
+):
+    """Flagship pipeline wired with the Observation API — per-action
+    pipeline metrics (row count, null-weight count, age span) collected
+    ON the executors DURING the normal action, no second pass and no
+    extra job: the production observability pattern (a separate
+    ``count()`` for monitoring would re-run the whole 100 TB plan).
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action on ``df``."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("flagship_metrics")
+    df = flagship_query(spark, sf_dir, cohort=cohort)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("Weight").isNull().cast("long")).alias("n_null_weight"),
+        F.min("Age").alias("min_age"),
+        F.max("Age").alias("max_age"),
+    )
+    return observed, obs
+
+
 def main() -> None:
     """argparse CLI — flag-for-flag mirror of ``pandas_DataModel.py:164-186``."""
     p = argparse.ArgumentParser(description="Clinical cohort weight-loss pipeline (PySpark)")

@@ -151,3 +151,26 @@ def test_run_query_cli(spark, sf_dir, capsys):
     assert main(["scan_filter_project", "--sf-dir", sf_dir, "--limit", "3"]) == 0
     assert "l_orderkey" in capsys.readouterr().out
     assert main(["no_such_query"]) == 2
+
+
+def test_flagship_observation_metrics(spark, sf_dir):
+    """Observation metrics ride the normal action — values must agree
+    with a direct aggregate, and arrive without a second execution."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.pipeline import (
+        flagship_query,
+        flagship_query_observed,
+    )
+
+    observed, obs = flagship_query_observed(spark, sf_dir)
+    n = observed.count()  # the one action; metrics collected during it
+    m = obs.get
+    assert m["n_rows"] == n
+    truth = flagship_query(spark, sf_dir).agg(
+        F.sum(F.col("Weight").isNull().cast("long")).alias("nw"),
+        F.min("Age").alias("a"),
+        F.max("Age").alias("b"),
+    ).collect()[0]
+    assert m["n_null_weight"] == truth["nw"]
+    assert (m["min_age"], m["max_age"]) == (truth["a"], truth["b"])
