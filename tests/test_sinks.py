@@ -336,3 +336,40 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     truth = e.filter(pred).select("event_id")
     got = spark.read.parquet(zdir).filter(pred).select("event_id")
     assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
+
+
+def test_python_datasource_synthetic_events(spark):
+    """The Spark 4 Python DataSource API: the synthetic-events source
+    reads through the normal format() surface with partition-level
+    parallelism, deterministically (same options → identical bytes),
+    and splitting changes nothing."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    rd = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("partitions", 8)
+        .option("seed", 42)
+    )
+    df = rd.load()
+    assert df.count() == 5000
+    assert df.rdd.getNumPartitions() == 8
+    s1 = df.agg(
+        F.sum("event_id").alias("se"), F.sum("user_id").alias("su"),
+        F.countDistinct("event_type").alias("t"),
+    ).collect()[0]
+    assert s1["se"] == 5000 * 4999 // 2 and s1["t"] == 5
+    # re-read with a different partition count: identical content
+    df2 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("partitions", 3)
+        .option("seed", 42)
+        .load()
+    )
+    assert df.exceptAll(df2).isEmpty() and df2.exceptAll(df).isEmpty()
