@@ -303,3 +303,49 @@ def test_foreachbatch_partitioned_sink(spark, sf_dir, tmp_path):
     ).collect()[0][0]
     # date-first physical layout exists on disk
     assert glob.glob(out + "/batch_id=*/event_date=*/*.parquet")
+
+
+def test_python_datasource_stream_reader(spark, tmp_path):
+    """The custom source's streaming face: offset-managed micro-batches
+    drain the generator into a memory sink; the union of all batches
+    equals a batch read of the same row range (same per-row generator)."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 600)
+        .option("batch_rows", 250)
+        .option("partitions", 3)
+        .option("seed", 9)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("synth_stream").count() >= 600:
+            break
+        time.sleep(1)
+    q.stop()
+    got = spark.table("synth_stream")
+    assert got.count() == 600
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", 600)
+        .option("partitions", 3)
+        .option("seed", 9)
+        .load()
+    )
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
