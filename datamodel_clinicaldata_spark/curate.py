@@ -65,6 +65,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--keep-pct", type=int, default=100)
     ap.add_argument("--budget", type=int, default=512)
     ap.add_argument("--format", choices=["jsonl", "parquet"], default="jsonl")
+    ap.add_argument(
+        "--layout",
+        choices=["plain", "clustered"],
+        default="plain",
+        help="parquet only: 'clustered' range-partitions + sorts the output "
+        "by (source, bin_id) so per-source / per-bin training reads skip "
+        "files on parquet footers (sources/writers.write_sorted_parquet)",
+    )
     args = ap.parse_args(argv)
 
     from datamodel_clinicaldata_spark.session import get_spark
@@ -80,6 +88,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.format == "jsonl":
         write_jsonl(out, args.output)
+    elif args.layout == "clustered":
+        from datamodel_clinicaldata_spark.sources.writers import (
+            write_sorted_parquet,
+        )
+
+        write_sorted_parquet(out, args.output, ["source", "bin_id"])
     else:
         write_parquet(out, args.output)
     print(f"curated corpus written to {args.output}")

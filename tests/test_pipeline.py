@@ -174,3 +174,23 @@ def test_flagship_observation_metrics(spark, sf_dir):
     ).collect()[0]
     assert m["n_null_weight"] == truth["nw"]
     assert (m["min_age"], m["max_age"]) == (truth["a"], truth["b"])
+
+
+def test_curate_cli_clustered_layout(spark, sf_dir, tmp_path):
+    """--layout clustered writes (source, bin_id)-sorted parquet whose
+    footers prune per-source reads; content identical to plain."""
+    from datamodel_clinicaldata_spark.curate import main as curate_main
+
+    out = str(tmp_path / "curated_z")
+    curate_main(
+        [
+            "--input", sf_dir, "--output", out,
+            "--min-tokens", "1", "--max-tokens", "100000",
+            "--budget", "512", "--format", "parquet",
+            "--layout", "clustered",
+        ]
+    )
+    df = spark.read.parquet(out)
+    assert df.count() > 0 and set(df.columns) == {
+        "doc_id", "source", "n_tokens", "bin_id", "text"
+    }
