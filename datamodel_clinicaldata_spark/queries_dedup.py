@@ -834,8 +834,8 @@ def dedup_algorithms_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-validation meta-row: the three independent exact-Jaccard
     paths — full inverted index, MinHash-LSH(128,64-band)+verify, and
     prefix filtering — run side by side at τ = 0.5 and must produce the
-    IDENTICAL pair set (``all_equal`` is computed from the actual
-    symmetric differences, not assumed). The oracle states the ground
+    IDENTICAL pair set (``all_equal`` is computed from the data — every
+    pair must carry all three algorithm tags — not assumed). The oracle states the ground
     truth once; three algorithms, one answer, checked end-to-end under
     the driver's value gate rather than only in unit tests."""
     from pyspark.sql import functions as F
@@ -857,20 +857,26 @@ def dedup_algorithms_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     pf = prefix_filtered_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5).select(
         "id_a", "id_b"
     )
-    agree = (
-        inv.exceptAll(mh).isEmpty()
-        and mh.exceptAll(inv).isEmpty()
-        and inv.exceptAll(pf).isEmpty()
-        and pf.exceptAll(inv).isEmpty()
+    # One pass instead of 4 isEmpty actions + 3 count jobs: tag each
+    # algorithm's pair set with a bit, OR the bits per pair (bit_or, so a
+    # duplicate emission can never corrupt the mask) — a pair present in
+    # all three carries mask 7, and per-algorithm counts fall out of the
+    # same aggregate. Each pipeline now executes exactly once.
+    tagged = (
+        inv.withColumn("__t", F.lit(1))
+        .unionAll(mh.withColumn("__t", F.lit(2)))
+        .unionAll(pf.withColumn("__t", F.lit(4)))
     )
-    return (
-        inv.agg(F.count(F.lit(1)).cast("long").alias("n_inverted"))
-        .crossJoin(mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash")))
-        .crossJoin(pf.agg(F.count(F.lit(1)).cast("long").alias("n_prefix")))
-        .select(
-            "n_inverted",
-            "n_minhash",
-            "n_prefix",
-            F.lit(bool(agree)).alias("all_equal"),
-        )
+    masks = tagged.groupBy("id_a", "id_b").agg(F.bit_or("__t").alias("__m"))
+    return masks.agg(
+        F.sum((F.col("__m").bitwiseAND(1) > 0).cast("long"))
+        .cast("long")
+        .alias("n_inverted"),
+        F.sum((F.col("__m").bitwiseAND(2) > 0).cast("long"))
+        .cast("long")
+        .alias("n_minhash"),
+        F.sum((F.col("__m").bitwiseAND(4) > 0).cast("long"))
+        .cast("long")
+        .alias("n_prefix"),
+        (F.min("__m") == 7).alias("all_equal"),
     )
