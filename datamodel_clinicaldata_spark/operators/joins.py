@@ -269,3 +269,47 @@ def _asof_nearest(
         *[c for c in left.columns],
         *[F.col("__pick")[c].alias(c) for c in out_right],
     )
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Interval-containment join WITHOUT an equality key — the case Spark
+    plans as a nested-loop join (per-row scan of the whole interval side;
+    a non-starter at scale). The standard fix is BINNING: each interval
+    explodes into the fixed-width time bins it covers (``sequence`` —
+    bounded by interval length ÷ bin width), each point computes its one
+    bin, and the join becomes an EQUI-join on bin followed by the exact
+    ``start ≤ t < end`` filter. Every matching (point, interval) pair
+    appears exactly once — the point's bin is unique, so no dedup pass.
+
+    All columns must already be integer microseconds (caller converts —
+    keeps this operator type-agnostic). ``bin_width_us`` tunes the
+    exploded-index size vs per-bin fan-in: pick ≈ the median interval
+    length, the usual rule of thumb."""
+    # integer `div`, never float-divide-then-truncate: a point sitting
+    # exactly on a bin boundary must land in the same bin from both sides
+    w = bin_width_us
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start_col} AS BIGINT) div {w}"),
+                F.expr(f"CAST({end_col} - 1 AS BIGINT) div {w}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", F.expr(f"CAST({point_col} AS BIGINT) div {w}"))
+    return (
+        pt.join(iv, "__bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bin")
+    )

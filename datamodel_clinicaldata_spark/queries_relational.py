@@ -3318,3 +3318,71 @@ def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_TOP_ORDERS)
+
+
+@register(
+    "join_interval_containment",
+    """
+    WITH iv AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate) AS start_us,
+             epoch_us(o_orderdate) + 604800000000 AS end_us
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-03-01'
+    ), pts AS (
+      SELECT event_id, epoch_us(ts) AS t_us FROM events
+    )
+    SELECT iv.o_orderkey,
+           CAST(count(pts.event_id) AS BIGINT) AS n_events,
+           CAST(min(pts.event_id) AS BIGINT) AS first_event,
+           CAST(max(pts.event_id) AS BIGINT) AS last_event
+    FROM iv LEFT JOIN pts
+      ON pts.t_us >= iv.start_us AND pts.t_us < iv.end_us
+    GROUP BY 1
+    """,
+)
+def join_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval-containment join — NO equality key anywhere (which
+    events fall inside each urgent order's fulfilment week): the query
+    shape Spark's planner turns into a broadcast nested loop (per-point
+    scan of every interval). Executed instead with
+    ``operators.joins.binned_interval_join``: intervals explode into the
+    daily bins they cover, points hash-join on their single bin, exact
+    bounds filter after — a shuffle-and-hash plan whose cost scales with
+    |points| + |interval-bins|, not |points|×|intervals|. Left-join
+    semantics (empty intervals survive with 0) come from re-joining the
+    matched rollup onto the interval set. Integer-µs arithmetic
+    end-to-end."""
+    from datamodel_clinicaldata_spark.operators.joins import binned_interval_join
+
+    o = read_table(spark, sf_dir, "orders")
+    iv = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1998-03-01")
+    ).select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + 604_800_000_000
+        ).alias("end_us"),
+    )
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    matched = binned_interval_join(
+        pts, iv, "t_us", "start_us", "end_us"
+    ).groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("first_event"),
+        F.max("event_id").cast("long").alias("last_event"),
+    )
+    return iv.select("o_orderkey").join(matched, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "first_event",
+        "last_event",
+    )

@@ -191,3 +191,31 @@ def test_running_sum_matches_sweep_line_shape(spark):
         acc += r.delta
         assert got[(r.t, r.delta, r.eid)] == acc
     assert max(got.values()) == 4  # 35/10 → at most 4 concurrent intervals
+
+
+def test_binned_interval_join_matches_naive(spark):
+    """Binned equi-join == naive inequality join on boundary-heavy data
+    (points exactly ON bin edges, intervals shorter/longer than a bin)."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.operators.joins import binned_interval_join
+
+    W = 100
+    ivs = [
+        Row(iid=1, s=0, e=100),      # exactly one bin
+        Row(iid=2, s=50, e=250),     # spans three bins
+        Row(iid=3, s=100, e=101),    # 1-unit interval on a boundary
+        Row(iid=4, s=399, e=400),    # ends exactly on a boundary
+        Row(iid=5, s=1000, e=1300),  # empty region
+    ]
+    pts = [Row(pid=i, t=t) for i, t in enumerate(
+        [0, 50, 99, 100, 101, 199, 200, 249, 250, 399, 400, 999, 1299]
+    )]
+    P, I = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    got = binned_interval_join(P, I, "t", "s", "e", bin_width_us=W).select(
+        "pid", "iid"
+    )
+    naive = P.join(I, (P.t >= I.s) & (P.t < I.e)).select("pid", "iid")
+    assert got.exceptAll(naive).isEmpty() and naive.exceptAll(got).isEmpty()
+    # no duplicate pairs
+    assert got.groupBy("pid", "iid").count().filter("count > 1").isEmpty()
