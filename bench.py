@@ -102,6 +102,8 @@ HEADLINE = [
     "timeseries_ewma_fold",
     "dedup_containment_pairs",
     "agg_bloom_filter_probe",
+    "join_interval_containment",
+    "events_cohort_metric_by_age",
 ]
 
 
