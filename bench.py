@@ -216,6 +216,23 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"WARN bench: prefix stress failed: {e}", file=sys.stderr)
 
+    # ≥50M-row scale probe (verdict r6 #3): the synthetic DataSource
+    # generates the input, so the distributed primitives (two-phase
+    # prefix, sweep line, binned interval join) get measured 80× past
+    # sf0.1 with zero fixtures. Runs AFTER the query timings so its cache
+    # pressure can't pollute them; skip with SPARK_GRAFT_SCALE_PROBE=0.
+    scale_stats = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from scale_probe import run_probes
+
+            scale_stats = run_probes(
+                spark, int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "50000000"))
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"WARN bench: scale probe failed: {e}", file=sys.stderr)
+
     # Star-contraction CC on an adversarial 100k-node path graph
     # (diameter ≈ n): measured round count backing the O(log² d) claim.
     cc_stats = {}
@@ -241,6 +258,8 @@ def main() -> None:
         out["cc_rounds"] = cc_stats
     if prefix_stats:
         out["prefix_stress"] = prefix_stats
+    if scale_stats:
+        out["scale_probe"] = scale_stats
 
     # Per-query deltas vs the previous round's recorded medians (verdict
     # r5 #6): positive = slower this run. Baseline file is committed at
@@ -267,7 +286,27 @@ def main() -> None:
         "w",
     ) as fh:
         json.dump(out, fh, indent=1)
+
+    # Stop Spark BEFORE printing: executor/progress stderr has flooded the
+    # driver's tail capture three rounds running (BENCH_r04/r05/r06 all
+    # recorded `parsed: null` from a mid-JSON truncation). With the JVM
+    # down, nothing can interleave after these lines.
+    spark.stop()
     print(json.dumps(out))
+    # Compact ~1 KB summary as the VERY last stdout line (verdict r6 #6):
+    # keeps the driver-required keys (metric/value/unit/queries/sf) while
+    # dropping the bulky diagnostics so even a short tail capture parses.
+    flagship = medians.get("clinical_cohort_week")
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+        "flagship_median": flagship,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

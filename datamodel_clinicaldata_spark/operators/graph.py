@@ -357,8 +357,12 @@ def _local_pagerank(sym: DataFrame, iters: int) -> DataFrame:
         return pd.DataFrame({"node": nodes, "pr_e12": [v[x] for x in nodes]})
 
     t = sym.schema["src"].dataType.simpleString()
+    # Pin the single-task result: downstream ranking consumes it more
+    # than once (a count for the adaptive small path, then the rank
+    # itself) and the applyInPandas must not re-run per consumption.
     return (
         sym.withColumn("__g", F.lit(0))
         .groupBy("__g")
         .applyInPandas(lambda pdf: pr(pdf), f"node {t}, pr_e12 long")
+        .localCheckpoint()
     )

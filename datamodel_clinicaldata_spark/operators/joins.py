@@ -291,10 +291,21 @@ def binned_interval_join(
     All columns must already be integer microseconds (caller converts —
     keeps this operator type-agnostic). ``bin_width_us`` tunes the
     exploded-index size vs per-bin fan-in: pick ≈ the median interval
-    length, the usual rule of thumb."""
+    length, the usual rule of thumb.
+
+    Bounds: Spark's ``sequence`` caps elements at
+    MAX_ROUNDED_ARRAY_LENGTH (~2^31-15) — intervals longer than
+    ``bin_width_us × 2^31`` would fail the job, so pick a bin width ≥
+    max_interval_length / 2^31 (for day-wide bins that is ~5.8M years;
+    in practice any sane width clears it). Malformed intervals with
+    ``end ≤ start`` are dropped BEFORE the explode: ``sequence(lo, hi)``
+    with hi < lo generates a DESCENDING bin list — every such row would
+    silently explode spurious bins (filtered later, so correct output,
+    but unbounded wasted work on dirty data)."""
     # integer `div`, never float-divide-then-truncate: a point sitting
     # exactly on a bin boundary must land in the same bin from both sides
     w = bin_width_us
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         "__bin",
         F.explode(

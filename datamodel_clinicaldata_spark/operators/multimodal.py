@@ -11,13 +11,17 @@ Design (the 100 TB shape):
 - Feature extraction = ``mapInPandas`` over the pruned projection
   (media_id + content only — column pruning matters more than usual when
   one column is megabytes wide).
-- REAL codec decode (JPEG/PNG/WAV) is stubbed: the image/audio libraries
-  are not in this container. ``decode_image`` raises NotImplementedError
-  unless PIL is importable; every OTHER operator computes real,
-  deterministic byte-level features (histogram, RMS energy, frame
-  slicing) so the full Spark plumbing — schema, batching, explode
-  cardinality, partition parallelism — is genuinely exercised and
-  oracle-checkable.
+- UNCOMPRESSED container decode is REAL: ``decode_audio_wav`` parses
+  RIFF/WAV headers + PCM frames (8/16/32-bit) and ``decode_image_bmp``
+  parses BMP headers + BI_RGB pixel rows (8/24/32-bpp, bottom-up and
+  top-down), both pure Python/numpy inside the same Arrow-batched
+  ``mapInPandas``. Only COMPRESSED codecs (JPEG/PNG/MP3/…) remain
+  stubbed: those libraries are not in this container, so
+  ``decode_image`` raises NotImplementedError unless PIL is importable.
+  Every other operator computes real, deterministic byte-level features
+  (histogram, RMS energy, frame slicing) so the full Spark plumbing —
+  schema, batching, explode cardinality, partition parallelism — is
+  genuinely exercised and oracle-checkable.
 """
 
 from __future__ import annotations
@@ -63,18 +67,242 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """REAL image decode — requires PIL, which this environment does not
-    ship. The plumbing (Arrow batch → PIL → pixel array) is what a
-    cluster with the codec installed would run; here it raises so callers
-    fall back to ``byte_histogram`` features."""
+    """COMPRESSED image decode (JPEG/PNG) — requires PIL, which this
+    environment does not ship. The plumbing (Arrow batch → PIL → pixel
+    array) is what a cluster with the codec installed would run; here it
+    raises so callers fall back to ``decode_image_bmp`` (real,
+    uncompressed) or ``byte_histogram`` features."""
     try:
         import PIL  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image codec libraries are not available in this environment; "
-            "use byte_histogram/frame_sample for deterministic features"
+            "compressed image codec libraries are not available in this "
+            "environment; decode_image_bmp handles uncompressed BMP for "
+            "real, and byte_histogram/frame_sample give deterministic "
+            "features for anything else"
         ) from e
     raise NotImplementedError("real decode path reserved for codec-enabled clusters")
+
+
+def _parse_wav(b: bytes):
+    """Pure-Python RIFF/WAV parse → (sample_rate, n_channels,
+    bits_per_sample, int64 sample ndarray). Raises ValueError on a
+    malformed container and NotImplementedError on non-PCM (compressed)
+    audio — the one part that genuinely needs a codec library."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:  # truncated blob: declared size > payload
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1:  # 1 = PCM; anything else is a compressed codec
+        raise NotImplementedError(f"non-PCM WAV (format tag {audio_format})")
+    if bits == 8:  # 8-bit WAV is UNSIGNED, centered at 128
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    return sample_rate, n_channels, bits, samples
+
+
+def decode_audio_wav(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL uncompressed-audio decode: RIFF/WAV header parse + PCM frame
+    decode (8/16/32-bit, any channel count), pure Python/numpy inside the
+    Arrow-batched ``mapInPandas`` — no codec library needed for the
+    uncompressed container, so this path is NOT a stub. Output per media:
+    (media_id, sample_rate, n_channels, bits_per_sample, n_frames,
+    duration_ms, sum_sq, peak_abs) — energy as the exact integer sum of
+    squares so any oracle comparison stays integer-exact. Malformed or
+    compressed (non-PCM) payloads yield a NULL-feature row with an error
+    tag rather than failing the batch: at 100 TB a decode job must survive
+    dirty blobs."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_channels", T.LongType()),
+            T.StructField("bits_per_sample", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("peak_abs", T.LongType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                rows[id_col].append(mid)
+                try:
+                    rate, nch, bits, samples = _parse_wav(bytes(blob))
+                    n_frames = len(samples) // max(nch, 1)
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(nch)
+                    rows["bits_per_sample"].append(bits)
+                    rows["n_frames"].append(n_frames)
+                    rows["duration_ms"].append(
+                        (n_frames * 1000) // rate if rate else 0
+                    )
+                    rows["sum_sq"].append(int((samples * samples).sum()))
+                    rows["peak_abs"].append(
+                        int(np.abs(samples).max()) if len(samples) else 0
+                    )
+                    rows["decode_error"].append(None)
+                except (ValueError, NotImplementedError) as e:
+                    for c in (
+                        "sample_rate",
+                        "n_channels",
+                        "bits_per_sample",
+                        "n_frames",
+                        "duration_ms",
+                        "sum_sq",
+                        "peak_abs",
+                    ):
+                        rows[c].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, content_col).mapInPandas(decode, schema)
+
+
+def _parse_bmp(b: bytes):
+    """Pure-Python BMP parse → (width, height, channels, HxWxC uint8
+    pixel ndarray, RGB channel order). Supports BI_RGB (uncompressed)
+    8-bpp (palette → grayscale expanded via the palette), 24-bpp and
+    32-bpp, bottom-up and top-down row order, 4-byte row padding.
+    Raises ValueError on malformed input, NotImplementedError on
+    compressed BMP variants (RLE)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[0:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_offset,) = struct.unpack_from("<I", b, 10)
+    (hdr_size, width, height) = struct.unpack_from("<Iii", b, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS-as-stored
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    top_down = height < 0
+    height = abs(height)
+    if bpp == 8:
+        # palette: 4 bytes per entry (BGRX) right after the DIB header
+        pal = np.frombuffer(
+            b, dtype=np.uint8, count=256 * 4, offset=14 + hdr_size
+        ).reshape(256, 4)[:, :3][:, ::-1]  # BGR → RGB
+        channels = 1
+    elif bpp in (24, 32):
+        channels = bpp // 8
+    else:
+        raise ValueError(f"unsupported bit depth {bpp}")
+    row_bytes = (width * (bpp // 8) + 3) & ~3
+    need = row_bytes * height
+    raw = np.frombuffer(b, dtype=np.uint8, count=need, offset=data_offset)
+    rows = raw.reshape(height, row_bytes)[:, : width * (bpp // 8)]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        px = pal[rows.reshape(height, width)]  # palette lookup → H×W×3 RGB
+        return width, height, 3, px
+    px = rows.reshape(height, width, channels)
+    # stored order is BGR(A) → return RGB(A)
+    px = np.concatenate([px[:, :, 2::-1], px[:, :, 3:]], axis=2)
+    return width, height, channels, px
+
+
+def decode_image_bmp(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL uncompressed-image decode: BMP header + BI_RGB pixel rows
+    (8/24/32-bpp, padding and row order handled), pure numpy inside the
+    Arrow-batched ``mapInPandas``. Output per media: (media_id, width,
+    height, channels, n_px, sum_r, sum_g, sum_b, px_md5, decode_error) —
+    channel sums as exact integers, px_md5 over the row-major RGB bytes
+    so two engines can compare decoded content without floats. Dirty or
+    compressed blobs produce a tagged NULL row, never a failed batch."""
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("px_md5", T.StringType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                rows[id_col].append(mid)
+                try:
+                    w, h, c, px = _parse_bmp(bytes(blob))
+                    rgb = px[:, :, :3]
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["n_px"].append(w * h)
+                    rows["sum_r"].append(int(rgb[:, :, 0].sum()))
+                    rows["sum_g"].append(int(rgb[:, :, 1].sum()))
+                    rows["sum_b"].append(int(rgb[:, :, 2].sum()))
+                    rows["px_md5"].append(
+                        hashlib.md5(rgb.tobytes()).hexdigest()
+                    )
+                    rows["decode_error"].append(None)
+                except (ValueError, NotImplementedError) as e:
+                    for col in (
+                        "width",
+                        "height",
+                        "channels",
+                        "n_px",
+                        "sum_r",
+                        "sum_g",
+                        "sum_b",
+                        "px_md5",
+                    ):
+                        rows[col].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, content_col).mapInPandas(decode, schema)
 
 
 def byte_histogram(

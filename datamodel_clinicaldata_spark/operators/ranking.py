@@ -59,6 +59,8 @@ def ordered_prefix(
     running_sum: dict[str, str] | None = None,
     running_max: dict[str, str] | None = None,
     num_partitions: int | None = None,
+    materialize: str | None = None,
+    count_small: int | None = None,
 ) -> DataFrame:
     """Full global rank and/or running (prefix) aggregates, distributed.
 
@@ -82,16 +84,63 @@ def ordered_prefix(
     global window also pays, but spread over ``num_partitions`` tasks),
     one tiny per-partition stats aggregate, offsets broadcast back. The
     offsets frame has ``num_partitions`` rows, so ITS window is trivially
-    bounded."""
+    bounded.
+
+    ``materialize`` picks how the doubly-consumed post-window frame is
+    pinned: ``"localCheckpoint"`` (default — the only mode whose pid
+    consistency survives executor recompute; see the comment at the call
+    below), ``"persist"`` (MEMORY_AND_DISK + an eager count: same answer
+    on a healthy cluster, cheaper materialization, but an executor loss
+    re-runs the range exchange with possibly different sampled
+    boundaries), ``"none"`` (no pinning — measurement only, relies on
+    exchange reuse). Overridable via $SPARK_GRAFT_PREFIX_MATERIALIZE for
+    A/B cost isolation (verdict r6 #1); production callers keep the
+    default.
+
+    ``count_small``: opt-in adaptive escape hatch (same doctrine as the
+    CC/PageRank local paths). When set, the input is COUNTED first — the
+    caller asserts that count is cheap (input already materialized or
+    trivially derived) — and if n ≤ count_small the result is computed
+    with a plain single-partition window: below a couple million rows
+    the two-phase shape's 3 extra jobs (checkpoint + stats + probe) cost
+    more than the bounded sort they avoid. The window is bounded by the
+    MEASURED count, not a guess, so the global-ordering doctrine holds;
+    above the threshold the distributed two-phase path runs unchanged."""
     running_sum = running_sum or {}
     running_max = running_max or {}
     if rank_col is None and not running_sum and not running_max:
         raise ValueError("ordered_prefix: nothing to compute")
+    # Overwriting the source column would make the per-partition stats
+    # (F.sum/F.max over ``src`` AFTER the local window) aggregate the
+    # running values instead of the raw ones — silently wrong offsets.
+    for mapping, kind in ((running_sum, "running_sum"), (running_max, "running_max")):
+        for src, out in mapping.items():
+            if src == out:
+                raise ValueError(
+                    f"ordered_prefix: {kind} out column {out!r} must differ "
+                    "from its source column (the local window would "
+                    "overwrite the source before the stats aggregate reads it)"
+                )
+
+    order_cols = list(order_cols)
+    if count_small is not None and df.count() <= count_small:
+        w_all = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out_df = df
+        if rank_col is not None:
+            out_df = out_df.withColumn(
+                rank_col, F.row_number().over(w_all).cast("long")
+            )
+        for src, out in running_sum.items():
+            out_df = out_df.withColumn(out, F.sum(src).over(w_all))
+        for src, out in running_max.items():
+            out_df = out_df.withColumn(out, F.max(src).over(w_all))
+        return out_df
 
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    order_cols = list(order_cols)
     part = df.repartitionByRange(n, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -121,7 +170,18 @@ def ordered_prefix(
     # silently recomputing with possibly different boundaries — on a
     # cluster where that risk matters, swap for reliable checkpointing
     # (sc.setCheckpointDir + .checkpoint()) at the cost of a DFS write.
-    loc = loc.localCheckpoint(eager=False)
+    import os
+
+    mode = materialize or os.environ.get(
+        "SPARK_GRAFT_PREFIX_MATERIALIZE", "localCheckpoint"
+    )
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        loc = loc.persist(StorageLevel.MEMORY_AND_DISK)
+        loc.count()  # eager pin before the two consuming branches plan
+    elif mode != "none":
+        loc = loc.localCheckpoint(eager=False)
 
     stats_aggs = [F.count(F.lit(1)).alias("__cnt")]
     stats_aggs += [F.sum(src).alias(f"__s_{out}") for src, out in running_sum.items()]

@@ -494,8 +494,13 @@ def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is what makes an iterative rank hash-exact across engines. See
     ``operators.graph.pagerank_fixedpoint``; oracle replays the identical
     recursion with a recursive CTE. The final full ranking of the node
-    set is the two-phase distributed ``ranking.ordered_prefix`` (the dup
-    graph is corpus-sized in the worst case — advice r5)."""
+    set is ``ranking.ordered_prefix`` with the counted-small adaptive
+    path (advice r5 made the rank distributed; verdict r6 #1 attributed
+    the +82% bench regression to paying the two-phase machinery's 3
+    extra jobs on a node set that PageRank has already materialized and
+    counted — so below 2M nodes the rank is a bounded single-partition
+    window over the measured count, and the corpus-sized worst case
+    still takes the distributed two-phase shape)."""
     from pyspark.sql import functions as F
 
     from datamodel_clinicaldata_spark.operators.graph import pagerank_fixedpoint
@@ -508,7 +513,10 @@ def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     pr = pagerank_fixedpoint(edges, iters=10)
     return ordered_prefix(
-        pr, [F.col("pr_e12").desc(), F.col("node").asc()], rank_col="rank"
+        pr,
+        [F.col("pr_e12").desc(), F.col("node").asc()],
+        rank_col="rank",
+        count_small=2_000_000,
     ).select("node", "pr_e12", "rank")
 
 
@@ -868,15 +876,24 @@ def dedup_algorithms_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pf.withColumn("__t", F.lit(4)))
     )
     masks = tagged.groupBy("id_a", "id_b").agg(F.bit_or("__t").alias("__m"))
+    # coalesce: on an EMPTY pair set the sums/min aggregate to NULL —
+    # the well-defined degenerate answer is 0/0/0 pairs with all_equal
+    # vacuously true (three empty sets agree), matching the oracle.
     return masks.agg(
-        F.sum((F.col("__m").bitwiseAND(1) > 0).cast("long"))
+        F.coalesce(
+            F.sum((F.col("__m").bitwiseAND(1) > 0).cast("long")), F.lit(0)
+        )
         .cast("long")
         .alias("n_inverted"),
-        F.sum((F.col("__m").bitwiseAND(2) > 0).cast("long"))
+        F.coalesce(
+            F.sum((F.col("__m").bitwiseAND(2) > 0).cast("long")), F.lit(0)
+        )
         .cast("long")
         .alias("n_minhash"),
-        F.sum((F.col("__m").bitwiseAND(4) > 0).cast("long"))
+        F.coalesce(
+            F.sum((F.col("__m").bitwiseAND(4) > 0).cast("long")), F.lit(0)
+        )
         .cast("long")
         .alias("n_prefix"),
-        (F.min("__m") == 7).alias("all_equal"),
+        F.coalesce(F.min("__m") == 7, F.lit(True)).alias("all_equal"),
     )

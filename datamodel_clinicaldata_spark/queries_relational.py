@@ -3028,8 +3028,12 @@ def timeseries_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     def step(acc, p):
         nxt = 8 * acc + 2 * p["v"]
         m = ((nxt % 10) + 10) % 10
+        # (nxt - m) is an exact multiple of 10; divide in DECIMAL so the
+        # quotient is exact over the full BIGINT range (double division
+        # is exact only below 2^53 — repo integer-division doctrine,
+        # same class of fix as packing.py's batch `div`).
         return F.when(acc.isNull(), p["v"]).otherwise(
-            ((nxt - m) / 10).cast("long")
+            ((nxt - m).cast("decimal(38,0)") / F.lit(10)).cast("long")
         )
 
     ewma = F.aggregate(F.col("ps"), F.lit(None).cast("long"), step)

@@ -1,8 +1,9 @@
 """The staleness probe (tools/green_digests.py) decides which already-green
-queries the driver re-verifies first, so its reductions must have exactly
-the sensitivity they claim: an edit to query X stales X (and only X among
-the module's queries); an edit to a helper X reaches stales X; an appended
-unrelated function stales nothing."""
+queries the driver re-verifies first, so its per-query digests must have
+exactly the sensitivity they claim: an edit to query A's body stales A and
+ONLY A among the module's queries; an edit to a helper A reaches stales A;
+doc/comment edits and appended unrelated functions stale nothing; a module
+gaining an import for another query's benefit stales nothing."""
 
 import os
 import sys
@@ -10,15 +11,18 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from green_digests import (  # noqa: E402
-    _TOKEN_RE,
-    _drop_functions,
-    _reachable_reduction,
+    _digest_from_texts,
+    _reachable_slice,
+    _strip_comments_docstrings,
 )
+
+MAIN = "datamodel_clinicaldata_spark/queries_fake.py"
+HELPER = "datamodel_clinicaldata_spark/operators/fakeops.py"
 
 MODULE = '''\
 """docstring"""
 from pyspark.sql import functions as F
-from datamodel_clinicaldata_spark.operators.joins import asof_join
+from datamodel_clinicaldata_spark.operators.fakeops import used_directly
 
 HELPER_CONST = 7
 
@@ -34,45 +38,14 @@ def query_a(spark, sf_dir):
 
 @register("query_b", "SELECT 2")
 def query_b(spark, sf_dir):
-    return asof_join(2)
+    return used_directly(2)
 '''
-
-
-def _norm(text: str) -> str:
-    return "".join(l for l in text.splitlines(keepends=True) if l.strip())
-
-
-def test_drop_functions_removes_other_query_and_decorator():
-    reduced = _drop_functions(MODULE, {"query_b"})
-    assert "query_b" not in reduced
-    assert "SELECT 2" not in reduced  # decorator (oracle SQL) goes too
-    assert "query_a" in reduced and "_shared_helper" in reduced
-
-
-def test_drop_functions_removes_top_level_imports():
-    reduced = _drop_functions(MODULE, set())
-    # module-level import wiring must not leak `asof_join` into every
-    # query's token set
-    assert "from datamodel_clinicaldata_spark" not in reduced
-    assert "from pyspark" not in reduced
-
-
-def test_appended_function_does_not_move_reduction():
-    before = _norm(_drop_functions(MODULE, {"query_b"}))
-    appended = MODULE + '\n\n@register("query_c", "SELECT 3")\ndef query_c(spark, sf_dir):\n    return 3\n'
-    after = _norm(_drop_functions(appended, {"query_b", "query_c"}))
-    assert before == after
-
-
-def test_edit_to_kept_query_moves_reduction():
-    edited = MODULE.replace("return _shared_helper(1)", "return _shared_helper(2)")
-    assert _drop_functions(MODULE, {"query_b"}) != _drop_functions(
-        edited, {"query_b"}
-    )
-
 
 HELPERS = '''\
 """ops module"""
+import os
+
+_OPS_CONST = 3
 
 
 def used_directly(x):
@@ -80,7 +53,7 @@ def used_directly(x):
 
 
 def used_transitively(x):
-    return x * 2
+    return x * _OPS_CONST
 
 
 def unrelated(x):
@@ -88,38 +61,122 @@ def unrelated(x):
 '''
 
 
-def test_reachable_reduction_keeps_transitive_closure():
-    main = _drop_functions(MODULE, {"query_b"})
-    tokens = set(_TOKEN_RE.findall(main + "\nused_directly"))
-    reduced = _reachable_reduction(HELPERS, tokens)
-    assert "used_directly" in reduced
-    assert "used_transitively" in reduced  # reached via used_directly
-    assert "def unrelated" not in reduced
+def _digest(fn_name, texts):
+    return _digest_from_texts(fn_name, MAIN, lambda p: texts.get(p))
 
 
-def test_reachable_reduction_drops_everything_unreferenced():
-    tokens = {"nothing_here"}
-    reduced = _reachable_reduction(HELPERS, tokens)
-    assert "def " not in reduced
-    assert '"""ops module"""' in reduced  # module-level code stays
+BASE = {MAIN: MODULE, HELPER: HELPERS}
+
+
+def test_edit_query_a_stales_only_query_a():
+    edited = dict(BASE)
+    edited[MAIN] = MODULE.replace(
+        "return _shared_helper(1)", "return _shared_helper(2)"
+    )
+    assert _digest("query_a", BASE) != _digest("query_a", edited)
+    # the pin: B's digest must not move when only A's body changed
+    assert _digest("query_b", BASE) == _digest("query_b", edited)
+
+
+def test_edit_oracle_sql_stales_its_query():
+    edited = dict(BASE)
+    edited[MAIN] = MODULE.replace('"SELECT 1"', '"SELECT 1 AS one"')
+    assert _digest("query_a", BASE) != _digest("query_a", edited)
+    assert _digest("query_b", BASE) == _digest("query_b", edited)
+
+
+def test_edit_shared_module_constant_stales_its_users():
+    edited = dict(BASE)
+    edited[MAIN] = MODULE.replace("HELPER_CONST = 7", "HELPER_CONST = 8")
+    # query_a reaches HELPER_CONST via _shared_helper; query_b never does
+    assert _digest("query_a", BASE) != _digest("query_a", edited)
+    assert _digest("query_b", BASE) == _digest("query_b", edited)
+
+
+def test_edit_helper_module_stales_only_reaching_query():
+    edited = dict(BASE)
+    edited[HELPER] = HELPERS.replace("x * _OPS_CONST", "x * _OPS_CONST + 1")
+    # used_transitively is reached from query_b via used_directly
+    assert _digest("query_b", BASE) != _digest("query_b", edited)
+    assert _digest("query_a", BASE) == _digest("query_a", edited)
+
+
+def test_edit_unreached_helper_function_stales_nothing():
+    edited = dict(BASE)
+    edited[HELPER] = HELPERS.replace("return x - 1", "return x - 2")
+    assert _digest("query_a", BASE) == _digest("query_a", edited)
+    assert _digest("query_b", BASE) == _digest("query_b", edited)
+
+
+def test_appended_query_stales_nothing():
+    edited = dict(BASE)
+    edited[MAIN] = (
+        MODULE
+        + '\n\n@register("query_c", "SELECT 3")\ndef query_c(spark, sf_dir):\n'
+        "    return 3\n"
+    )
+    assert _digest("query_a", BASE) == _digest("query_a", edited)
+    assert _digest("query_b", BASE) == _digest("query_b", edited)
+
+
+def test_new_import_for_another_query_stales_nothing():
+    # module gains an import (and a new query using it) — existing
+    # queries' digests must not move, even though the import line changes
+    # the module text and the imported file may not exist at old revs
+    edited = dict(BASE)
+    edited[MAIN] = MODULE.replace(
+        "from datamodel_clinicaldata_spark.operators.fakeops import used_directly",
+        "from datamodel_clinicaldata_spark.operators.fakeops import used_directly\n"
+        "from datamodel_clinicaldata_spark.operators.newops import brand_new",
+    )
+    edited["datamodel_clinicaldata_spark/operators/newops.py"] = (
+        "def brand_new(x):\n    return x\n"
+    )
+    assert _digest("query_a", BASE) == _digest("query_a", edited)
+    assert _digest("query_b", BASE) == _digest("query_b", edited)
+
+
+def test_doc_and_comment_edits_stale_nothing():
+    edited = dict(BASE)
+    edited[MAIN] = MODULE.replace('"""docstring"""', '"""docstring CHANGED"""')
+    edited[HELPER] = HELPERS.replace(
+        '"""ops module"""', '"""ops module CHANGED"""\n# a new comment'
+    )
+    assert _digest("query_a", BASE) == _digest("query_a", edited)
+    assert _digest("query_b", BASE) == _digest("query_b", edited)
+
+
+def test_missing_main_module_is_none():
+    assert _digest("query_a", {HELPER: HELPERS}) is None
+
+
+def test_undefined_query_is_none():
+    assert _digest("query_zzz", BASE) is None
+
+
+def test_reachable_slice_transitive_closure():
+    kept, closure = _reachable_slice(HELPERS, {"used_directly"})
+    assert "def used_directly" in kept
+    assert "def used_transitively" in kept  # reached via used_directly
+    assert "_OPS_CONST = 3" in kept  # constant reached via used_transitively
+    assert "def unrelated" not in kept
+    assert "import os" not in kept  # import wiring is not behavior
 
 
 def test_strip_comments_and_docstrings():
-    from green_digests import _strip_comments_docstrings
-
     a = '"""module doc"""\n\ndef f(x):\n    """doc v1"""\n    # comment v1\n    return x + 1\n'
-    b = '"""module doc CHANGED"""\n\ndef f(x):\n    """doc v2 much longer"""\n    # other comment\n    return x + 1\n'
+    b = '"""module doc CHANGED"""\n\ndef f(x):\n    """doc v2 much longer"""\n    # other\n    return x + 1\n'
     c = a.replace("x + 1", "x + 2")
     norm = lambda t: "".join(
-        l for l in _strip_comments_docstrings(t).splitlines(keepends=True) if l.strip()
+        l
+        for l in _strip_comments_docstrings(t).splitlines(keepends=True)
+        if l.strip()
     )
     assert norm(a) == norm(b)  # doc/comment edits invisible
     assert norm(a) != norm(c)  # code edits visible
 
 
 def test_strip_keeps_oracle_sql_decorator_strings():
-    from green_digests import _strip_comments_docstrings
-
     src = '@register("q", "SELECT 1 AS x")\ndef q(s, d):\n    """doc"""\n    return 1\n'
     out = _strip_comments_docstrings(src)
     assert "SELECT 1 AS x" in out

@@ -73,3 +73,156 @@ def test_audio_rms_windows_exact(media_df):
 def test_decode_image_is_gated(media_df):
     with pytest.raises(NotImplementedError):
         decode_image(media_df)
+
+
+def _wav_bytes(samples, rate=16_000, channels=1, bits=16):
+    """Minimal RIFF/WAV writer (little-endian PCM) for fixtures."""
+    import struct
+
+    import numpy as np
+
+    dt = {8: np.uint8, 16: "<i2", 32: "<i4"}[bits]
+    arr = np.asarray(samples)
+    if bits == 8:
+        arr = (arr + 128).astype(np.uint8)
+    data = arr.astype(dt).tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _bmp_bytes(px_rows, bpp=24, top_down=False):
+    """Minimal BMP writer: px_rows is a list of rows of (r, g, b)."""
+    import struct
+
+    h, w = len(px_rows), len(px_rows[0])
+    row_bytes = (w * (bpp // 8) + 3) & ~3
+    rows = px_rows if top_down else px_rows[::-1]
+    body = b""
+    for row in rows:
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)  # stored BGR
+        body += line + b"\0" * (row_bytes - len(line))
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    off = 14 + len(dib)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return hdr + dib + body
+
+
+def test_decode_audio_wav_pcm16(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_audio_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(_wav_bytes(samples)))]
+    )
+    r = decode_audio_wav(df).collect()[0]
+    assert r["sample_rate"] == 16_000
+    assert r["n_channels"] == 1
+    assert r["bits_per_sample"] == 16
+    assert r["n_frames"] == len(samples)
+    assert r["duration_ms"] == len(samples) * 1000 // 16_000
+    assert r["sum_sq"] == sum(s * s for s in samples)
+    assert r["peak_abs"] == 32768
+    assert r["decode_error"] is None
+
+
+def test_decode_audio_wav_8bit_stereo(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_audio_wav
+
+    # stereo interleaved, 8-bit unsigned storage centered at 128
+    samples = [0, 10, -20, 30, 127, -128]
+    df = spark.createDataFrame(
+        [Row(media_id=7, content=bytearray(_wav_bytes(samples, rate=8000, channels=2, bits=8)))]
+    )
+    r = decode_audio_wav(df).collect()[0]
+    assert r["n_channels"] == 2
+    assert r["bits_per_sample"] == 8
+    assert r["n_frames"] == 3  # 6 samples / 2 channels
+    assert r["sum_sq"] == sum(s * s for s in samples)
+    assert r["decode_error"] is None
+
+
+def test_decode_audio_wav_dirty_blobs_tagged_not_fatal(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_audio_wav
+
+    good = _wav_bytes([1, 2, 3])
+    rows = [
+        Row(media_id=1, content=bytearray(good)),
+        Row(media_id=2, content=bytearray(b"not a wav at all")),
+        Row(media_id=3, content=bytearray(good[:20])),  # truncated header
+    ]
+    out = {r["media_id"]: r for r in decode_audio_wav(spark.createDataFrame(rows)).collect()}
+    assert out[1]["decode_error"] is None and out[1]["n_frames"] == 3
+    assert out[2]["decode_error"] is not None and out[2]["sum_sq"] is None
+    assert out[3]["decode_error"] is not None
+
+
+def test_decode_image_bmp_24bit_bottom_up(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_image_bmp
+
+    # 3x2 image with distinct channel sums; width 3 → row padding exercised
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    df = spark.createDataFrame([Row(media_id=1, content=bytearray(_bmp_bytes(px)))])
+    r = decode_image_bmp(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
+    assert r["n_px"] == 6
+    assert r["sum_r"] == 255 + 10 + 40 + 70
+    assert r["sum_g"] == 255 + 20 + 50 + 80
+    assert r["sum_b"] == 255 + 30 + 60 + 90
+    assert r["decode_error"] is None
+    # row-major RGB bytes, top row first
+    flat = bytes(v for row in px for p in row for v in p)
+    assert r["px_md5"] == hashlib.md5(flat).hexdigest()
+
+
+def test_decode_image_bmp_top_down_equals_bottom_up(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_image_bmp
+
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, content=bytearray(_bmp_bytes(px, top_down=False))),
+            Row(media_id=2, content=bytearray(_bmp_bytes(px, top_down=True))),
+        ]
+    )
+    out = {r["media_id"]: r for r in decode_image_bmp(df).collect()}
+    assert out[1]["px_md5"] == out[2]["px_md5"]
+    assert out[1]["decode_error"] is None and out[2]["decode_error"] is None
+
+
+def test_decode_image_bmp_dirty_and_compressed_tagged(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_image_bmp
+
+    import struct
+
+    good = _bmp_bytes([[(1, 2, 3)]])
+    # flip the compression field to 1 (BI_RLE8) → NotImplementedError path
+    rle = bytearray(good)
+    struct.pack_into("<I", rle, 14 + 16, 1)
+    rows = [
+        Row(media_id=1, content=bytearray(good)),
+        Row(media_id=2, content=bytearray(b"PNG\x89 pretending")),
+        Row(media_id=3, content=bytearray(bytes(rle))),
+    ]
+    out = {r["media_id"]: r for r in decode_image_bmp(spark.createDataFrame(rows)).collect()}
+    assert out[1]["decode_error"] is None
+    assert out[2]["decode_error"] is not None
+    assert "compressed" in out[3]["decode_error"]

@@ -219,3 +219,69 @@ def test_binned_interval_join_matches_naive(spark):
     assert got.exceptAll(naive).isEmpty() and naive.exceptAll(got).isEmpty()
     # no duplicate pairs
     assert got.groupBy("pid", "iid").count().filter("count > 1").isEmpty()
+
+
+def test_ordered_prefix_count_small_matches_distributed(spark, df):
+    """The counted-small adaptive path (bounded single-partition window)
+    must equal the two-phase distributed path row for row."""
+    order = _cols(("v:asc", "id:asc"))
+    small = ordered_prefix(
+        df,
+        list(order),
+        rank_col="rank",
+        running_sum={"v": "cum_v"},
+        running_max={"v": "run_max"},
+        count_small=10_000,  # 997 rows → takes the small path
+    ).select("id", "rank", "cum_v", "run_max")
+    dist = ordered_prefix(
+        df,
+        list(order),
+        rank_col="rank",
+        running_sum={"v": "cum_v"},
+        running_max={"v": "run_max"},
+        num_partitions=8,
+    ).select("id", "rank", "cum_v", "run_max")
+    assert small.exceptAll(dist).isEmpty() and dist.exceptAll(small).isEmpty()
+
+
+def test_ordered_prefix_count_small_above_threshold_is_distributed(spark, df):
+    """count_small below the actual row count must fall through to the
+    two-phase plan (no single-partition window in the physical plan)."""
+    got = ordered_prefix(
+        df,
+        _cols(("v:asc", "id:asc")),
+        rank_col="rank",
+        count_small=10,  # 997 rows → distributed path
+        num_partitions=8,
+    )
+    truth = _truth(df, _cols(("v:asc", "id:asc"))).select("id", "rank")
+    assert (
+        got.select("id", "rank").exceptAll(truth).isEmpty()
+        and truth.exceptAll(got.select("id", "rank")).isEmpty()
+    )
+
+
+def test_ordered_prefix_materialize_modes_agree(spark, df):
+    """persist-mode materialization is a measurement instrument
+    (verdict r6 #1): it must produce the identical answer to the default
+    localCheckpoint mode on a healthy session."""
+    order = _cols(("v:desc", "id:asc"))
+    base = ordered_prefix(
+        df, list(order), rank_col="rank", running_sum={"v": "cum_v"},
+        num_partitions=8,
+    ).select("id", "rank", "cum_v")
+    for mode in ("persist", "none"):
+        alt = ordered_prefix(
+            df, list(order), rank_col="rank", running_sum={"v": "cum_v"},
+            num_partitions=8, materialize=mode,
+        ).select("id", "rank", "cum_v")
+        assert alt.exceptAll(base).isEmpty() and base.exceptAll(alt).isEmpty()
+
+
+def test_ordered_prefix_rejects_inplace_running_sum(spark, df):
+    """out == src would make the stats aggregate read running values
+    instead of raw ones (advice r6) — must raise, both mappings."""
+    with pytest.raises(ValueError, match="must differ"):
+        ordered_prefix(df, _cols(("v:asc", "id:asc")), running_sum={"v": "v"})
+    with pytest.raises(ValueError, match="must differ"):
+        ordered_prefix(df, _cols(("v:asc", "id:asc")), running_max={"v": "v"})

@@ -373,3 +373,32 @@ def test_python_datasource_synthetic_events(spark):
         .load()
     )
     assert df.exceptAll(df2).isEmpty() and df2.exceptAll(df).isEmpty()
+
+
+def test_synthetic_gen_vectorized_matches_scalar_recurrence():
+    """The Arrow-vectorized generator must be BIT-identical to the scalar
+    per-row LCG recurrence it replaced (uint64 wraparound == mod 2^64):
+    fixtures generated at any scale stay stable across the change."""
+    from datamodel_clinicaldata_spark.sources.pydatasource import (
+        _EVENT_TYPES,
+        _MIX,
+        _gen_batches,
+        _lcg,
+    )
+
+    lo, hi, seed, users = 123, 1123, 42, 97
+    got = []
+    for rb in _gen_batches(lo, hi, seed, users, batch=256):
+        d = rb.to_pydict()
+        got.extend(
+            zip(d["event_id"], d["user_id"], d["event_type"], d["value"])
+        )
+    exp = []
+    for i in range(lo, hi):
+        s = _lcg(seed * _MIX + i)
+        user = s % users
+        s = _lcg(s)
+        etype = _EVENT_TYPES[s % len(_EVENT_TYPES)]
+        s = _lcg(s)
+        exp.append((i, user, etype, (s % 1_000_000) / 1000.0))
+    assert got == exp

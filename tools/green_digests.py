@@ -9,11 +9,21 @@ re-verifies them.
 "Code that earned the green" is recovered from git, no snapshot file
 needed: the driver commits ``CORRECTNESS_r{N}.json`` in an artifacts-only
 commit, so the PARENT of the commit that last touched that file is exactly
-the tree the driver evaluated. A query's digest is the sha256 over its
-defining module's bytes plus every first-level
-``datamodel_clinicaldata_spark.*`` module that file imports (textual scan
-— operator edits must mark their dependent queries stale). Digest at the
-green rev != digest in the working tree → stale.
+the tree the driver evaluated.
+
+Digests are PER QUERY, not per module (verdict r6 #2): the digest hashes
+the AST slice reachable from the query's own decorated ``def`` — the
+function segment itself (decorators included, so the @register oracle SQL
+is in), plus every top-level function / class / module-level constant in
+the defining module that the slice transitively references, plus, for each
+first-level ``datamodel_clinicaldata_spark.*`` module the defining module
+imports, the reachable top-level functions/constants there (helper files
+the query never reaches contribute nothing and are skipped entirely).
+Imports are resolved at EACH revision's text, so a module gaining a new
+import for some other query's benefit does not stale this one. Editing
+query A's body therefore never stales query B in the same module (pinned
+by tests/test_tools.py). Digest at the green rev != digest in the working
+tree → stale.
 
 Conservative on failure: any git/IO error marks the name stale (re-verify
 rather than trust an unverifiable green).
@@ -80,64 +90,41 @@ def _blob(rev: str | None, relpath: str) -> bytes | None:
     return out.stdout if out.returncode == 0 else None
 
 
-def _module_files(fn) -> list[str] | None:
-    """Repo-relative paths: the function's defining module plus its
-    first-level intra-package imports (textual scan of the module source,
-    resolved at working-tree state — the dependency SET moving is itself a
-    change that the main module digest catches)."""
-    mod = getattr(fn, "__module__", None)
-    if not mod or not mod.startswith(_PKG):
-        return None
-    main = mod.replace(".", "/") + ".py"
-    body = _blob(None, main)
-    if body is None:
-        return None
-    files = {main}
-    for m in _IMPORT_RE.finditer(body.decode("utf-8", "replace")):
+def _import_paths(text: str) -> list[str]:
+    """Candidate repo-relative paths of the first-level intra-package
+    imports named in ``text`` (both module.py and package/__init__.py
+    candidates; existence is checked per-revision by the caller)."""
+    out: list[str] = []
+    for m in _IMPORT_RE.finditer(text):
         name = m.group(1) or m.group(2)
-        cand = name.replace(".", "/") + ".py"
-        pkg_init = name.replace(".", "/") + "/__init__.py"
-        for p in (cand, pkg_init):
-            if os.path.exists(os.path.join(REPO, p)):
-                files.add(p)
-                break
-    return sorted(files)
-
-
-def _drop_functions(text: str, drop: set[str]) -> str:
-    """Delete the source segments (including decorators — i.e. the
-    @register oracle SQL) of the named top-level functions. Deletion, not
-    blanking: an appended unrelated function must not move the digest.
-    Falls back to the full text on parse failure (coarser = safer)."""
-    import ast
-
-    try:
-        tree = ast.parse(text)
-    except SyntaxError:
-        return text
-    lines = text.splitlines(keepends=True)
-    kill: set[int] = set()
-    for node in tree.body:
-        if (
-            isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
-            and node.name in drop
-        ):
-            start = min(
-                [d.lineno for d in node.decorator_list] + [node.lineno]
-            ) - 1
-            kill.update(range(start, node.end_lineno))
-        elif isinstance(node, (ast.Import, ast.ImportFrom)):
-            # Top-level import statements are reachability wiring, not
-            # behavior: a module-level `from ...joins import asof_join`
-            # would put `asof_join` in EVERY query's token set and keep it
-            # reachable for queries that never call it. The imported
-            # functions' bodies are still digested when a kept function
-            # actually references them.
-            kill.update(range(node.lineno - 1, node.end_lineno))
-    return "".join(l for i, l in enumerate(lines) if i not in kill)
+        out.append(name.replace(".", "/") + ".py")
+        out.append(name.replace(".", "/") + "/__init__.py")
+    return out
 
 
 _TOKEN_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _node_names(node) -> set[str]:
+    """Top-level names a statement DEFINES (function/class name, assign
+    targets). Imports return empty — import wiring is reachability, not
+    behavior (the imported functions' bodies are digested via the helper
+    file's own reduction when actually referenced)."""
+    import ast
+
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+        return {node.name}
+    names: set[str] = set()
+    if isinstance(node, ast.Assign):
+        for t in node.targets:
+            for n in ast.walk(t):
+                if isinstance(n, ast.Name):
+                    names.add(n.id)
+    elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+        for n in ast.walk(node.target):
+            if isinstance(n, ast.Name):
+                names.add(n.id)
+    return names
 
 
 def _strip_comments_docstrings(text: str) -> str:
@@ -180,72 +167,102 @@ def _strip_comments_docstrings(text: str) -> str:
     return "".join(l for i, l in enumerate(lines) if i not in kill)
 
 
-def _reachable_reduction(text: str, tokens: set[str]) -> str:
-    """Reduce an imported helper module to the top-level functions
-    transitively referenced from ``tokens`` (identifiers appearing in the
-    query's own kept source), plus all non-function module-level code.
-    An operator edit then stales only the queries that actually reach it,
-    not every query in a file that happens to import the module."""
+def _reachable_slice(text: str, seed: set[str]) -> tuple[str, set[str]]:
+    """Reduce a module to the top-level statements transitively reachable
+    from ``seed`` (a set of identifiers), by fixpoint: keep a statement
+    when a name it defines is in the closure; on keep, add every
+    identifier token of its source segment (decorators included — for a
+    @register'd query that pulls the oracle SQL into the digest) to the
+    closure. Returns (kept source in original order, final closure).
+
+    Token-based reachability over-approximates (a shared identifier keeps
+    a statement the query never calls) — safe direction: at worst an
+    unrelated edit re-verifies a green, never the reverse. Falls back to
+    the full text on parse failure (coarser = safer)."""
     import ast
 
     try:
         tree = ast.parse(text)
     except SyntaxError:
-        return text
-    fns = {
-        node.name: node
-        for node in tree.body
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
-    }
+        return text, set(seed) | set(_TOKEN_RE.findall(text))
     lines = text.splitlines(keepends=True)
 
     def seg(node) -> str:
-        start = min([d.lineno for d in node.decorator_list] + [node.lineno]) - 1
+        start = min(
+            [d.lineno for d in getattr(node, "decorator_list", [])]
+            + [node.lineno]
+        ) - 1
         return "".join(lines[start:node.end_lineno])
 
-    kept: set[str] = set()
-    frontier = {n for n in fns if n in tokens}
-    while frontier:
-        kept |= frontier
-        new_tokens: set[str] = set()
-        for n in frontier:
-            new_tokens |= set(_TOKEN_RE.findall(seg(fns[n])))
-        frontier = {n for n in fns if n not in kept and n in new_tokens}
-    return _drop_functions(text, set(fns) - kept)
+    nodes = [(n, _node_names(n)) for n in tree.body]
+    closure = set(seed)
+    kept: set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for i, (node, names) in enumerate(nodes):
+            if i in kept or not (names & closure):
+                continue
+            kept.add(i)
+            closure |= set(_TOKEN_RE.findall(seg(node)))
+            changed = True
+    out = "".join(seg(nodes[i][0]) for i in sorted(kept))
+    return out, closure
 
 
-def _digest(
-    files: list[str],
-    rev: str | None,
-    main: str | None = None,
-    keep_fn: str | None = None,
-    all_fns: set[str] | None = None,
-) -> str | None:
+def _digest_from_texts(fn_name: str, main_path: str, get_text) -> str | None:
+    """Per-query digest over a revision snapshot. ``get_text(path)``
+    returns that revision's source text or None if absent. The digest
+    covers: the query function's reachable slice of its own module, plus
+    the slice of each first-level intra-package import that the closure
+    actually reaches (unreached helper files contribute nothing, and
+    imports are resolved from THIS revision's text — a module gaining an
+    import for another query's benefit does not stale this one)."""
+    main_text = get_text(main_path)
+    if main_text is None:
+        return None
+    main_kept, closure = _reachable_slice(main_text, {fn_name})
+    if not main_kept.strip():
+        return None  # query not defined at this revision
+
     h = hashlib.sha256()
-    reduced: dict[str, str] = {}
-    main_tokens: set[str] = set()
-    for p in files:
-        body = _blob(rev, p)
-        if body is None:
-            return None
-        text = body.decode("utf-8", "replace")
-        if p == main and keep_fn and all_fns:
-            text = _drop_functions(text, all_fns - {keep_fn})
-            main_tokens = set(_TOKEN_RE.findall(text))
-        reduced[p] = text
-    for p in files:
-        text = reduced[p]
-        if p != main and main_tokens:
-            text = _reachable_reduction(text, main_tokens)
+
+    def add(path: str, text: str) -> None:
         text = _strip_comments_docstrings(text)
-        # blank-line normalization: deleted segments leave their separator
-        # blank lines behind, which would make an appended unrelated
-        # function move the digest
+        # blank-line normalization: deleted segments leave separator blank
+        # lines behind, which would make unrelated layout edits move the
+        # digest
         text = "".join(l for l in text.splitlines(keepends=True) if l.strip())
-        h.update(p.encode())
+        h.update(path.encode())
         h.update(b"\0")
         h.update(text.encode())
+
+    add(main_path, main_kept)
+    seen = {main_path}
+    for p in _import_paths(main_text):
+        if p in seen:
+            continue
+        seen.add(p)
+        helper_text = get_text(p)
+        if helper_text is None:
+            continue
+        kept, _ = _reachable_slice(helper_text, closure - {fn_name})
+        if kept.strip():
+            add(p, kept)
     return h.hexdigest()
+
+
+def _query_digest(fn, rev: str | None) -> str | None:
+    mod = getattr(fn, "__module__", None)
+    if not mod or not mod.startswith(_PKG):
+        return None
+    main = mod.replace(".", "/") + ".py"
+
+    def get_text(path: str) -> str | None:
+        body = _blob(rev, path)
+        return None if body is None else body.decode("utf-8", "replace")
+
+    return _digest_from_texts(fn.__name__, main, get_text)
 
 
 def last_green_rounds() -> dict[str, str]:
@@ -277,28 +294,14 @@ def stale_greens(queries: dict) -> set[str]:
     """Names with a green row whose code has changed since that green
     (or whose green-time code cannot be recovered)."""
     greens = last_green_rounds()
-    # module -> function names of all registered queries defined there
-    by_module: dict[str, set[str]] = {}
-    for fn in queries.values():
-        mod = getattr(fn, "__module__", "")
-        if mod.startswith(_PKG):
-            by_module.setdefault(mod, set()).add(fn.__name__)
     stale: set[str] = set()
     for name, corr_path in greens.items():
         fn = queries.get(name)
         if fn is None:
             continue
-        files = _module_files(fn)
-        if files is None:
-            stale.add(name)
-            continue
-        main = fn.__module__.replace(".", "/") + ".py"
-        all_fns = by_module.get(fn.__module__, set())
         rev = _green_rev(corr_path)
-        then = (
-            _digest(files, rev, main, fn.__name__, all_fns) if rev else None
-        )
-        now = _digest(files, None, main, fn.__name__, all_fns)
+        then = _query_digest(fn, rev) if rev else None
+        now = _query_digest(fn, None)
         if then is None or now is None or then != now:
             stale.add(name)
     return stale

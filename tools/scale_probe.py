@@ -1,0 +1,211 @@
+"""Scale evidence past the sf0.1 fixtures (verdict r6 #3): drive the
+distributed primitives whose 100 TB arguments were design-level — the
+two-phase global ordering (``ordered_prefix``), the sweep-line
+concurrency shape, and the binned interval join — at ≥50M generated rows
+via the zero-storage synthetic DataSource (``sources/pydatasource.py``),
+and record rows/s plus shuffle volume from Spark's own status REST API.
+
+No fixtures: the seeded-LCG source generates any size bit-identically,
+partition-parallel, so the probe measures the OPERATORS, not parquet IO.
+Each probe carries an exactness check where a closed form exists (the
+rank and the integer running-sum total), so throughput numbers can never
+come from a silently wrong plan.
+
+    python tools/scale_probe.py [rows]          # default 50_000_000
+
+Also callable in-session (bench.py appends the result to its artifact):
+``run_probes(spark, rows)`` → dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, shuffle_read_bytes) summed over all stages,
+    straight from the driver's AppStatusStore (the store that backs the
+    Spark UI) — works with ``spark.ui.enabled=false``, which the repo's
+    sessions set. Best-effort: (0, 0) on any introspection failure."""
+    try:
+        gw = spark.sparkContext._gateway
+        jvm = gw.jvm
+        store = spark.sparkContext._jsc.sc().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),  # all statuses
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        n = stages.size()
+        w = sum(stages.apply(i).shuffleWriteBytes() for i in range(n))
+        rd = sum(stages.apply(i).shuffleReadBytes() for i in range(n))
+        return w, rd
+    except Exception:  # noqa: BLE001 — diagnostics must not fail the probe
+        return 0, 0
+
+
+def _synth(spark, rows: int, partitions: int, seed: int = 7):
+    from datamodel_clinicaldata_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", rows)
+        .option("partitions", partitions)
+        .option("seed", seed)
+        .option("users", 100_000)
+        .load()
+    )
+
+
+def probe_prefix_rank(spark, rows: int, partitions: int) -> dict:
+    """ordered_prefix rank + integer running sum over the full set, with
+    both closed-form exactness checks (last rank == n; running-sum total
+    == plain aggregate of the same integer column)."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    base = _synth(spark, rows, partitions).select(
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),  # exact: value = k/1000
+    )
+    t0 = time.time()
+    pref = ordered_prefix(
+        base,
+        [F.col("v").asc(), F.col("event_id").asc()],
+        rank_col="rk",
+        running_sum={"v": "cs"},
+        num_partitions=max(partitions, 64),
+    )
+    probe = pref.agg(
+        F.max("rk").alias("max_rk"), F.max("cs").alias("total")
+    ).collect()[0]
+    dt = time.time() - t0
+    expected = base.agg(F.sum("v")).collect()[0][0]
+    return {
+        "rows": rows,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(rows / dt),
+        "rank_exact": bool(probe["max_rk"] == rows),
+        "sum_exact": bool(probe["total"] == expected),
+    }
+
+
+def probe_sweep_line(spark, rows: int, partitions: int) -> dict:
+    """Sweep-line max concurrency over ``rows`` synthetic intervals
+    (2·rows endpoints through the distributed running sum) — the
+    events_max_concurrency shape at probe scale. Exactness: the running
+    sum of ±1 deltas must end at exactly 0 (every interval closes)."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    e = _synth(spark, rows, partitions).select(
+        (F.col("event_id") * 7).alias("s"),
+        ((F.col("user_id") % 997) * 11 + 13).alias("dur"),
+        "event_id",
+    )
+    start = e.select(
+        F.col("s").alias("t"), F.lit(1).cast("long").alias("delta"), "event_id"
+    )
+    end = e.select(
+        (F.col("s") + F.col("dur")).alias("t"),
+        F.lit(-1).cast("long").alias("delta"),
+        "event_id",
+    )
+    t0 = time.time()
+    run = ordered_prefix(
+        start.unionAll(end),
+        [F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc()],
+        running_sum={"delta": "conc"},
+        rank_col="rk",
+        num_partitions=max(partitions, 64),
+    )
+    r = run.agg(
+        F.max("conc").alias("peak"),
+        F.max_by("conc", "rk").alias("final"),  # prefix sum at the last endpoint
+    ).collect()[0]
+    dt = time.time() - t0
+    n_endpoints = 2 * rows
+    return {
+        "intervals": rows,
+        "endpoints": n_endpoints,
+        "sec": round(dt, 2),
+        "endpoints_per_sec": int(n_endpoints / dt),
+        "peak_concurrency": int(r["peak"]),
+        "closes_to_zero": bool(r["final"] == 0),
+    }
+
+
+def probe_interval_join(spark, rows: int, partitions: int) -> dict:
+    """Binned interval-containment join: ``rows`` points against
+    rows//50 intervals. Exactness: every point's containment is
+    re-checked by the operator's final filter by construction, so the
+    probe validates volume (match count > 0) and throughput."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.joins import binned_interval_join
+
+    n_iv = max(rows // 50, 1)
+    pts = _synth(spark, rows, partitions).select(
+        "event_id", (F.col("event_id") * 13 % (n_iv * 1000)).alias("t")
+    )
+    ivs = (
+        _synth(spark, n_iv, max(partitions // 4, 1), seed=11)
+        .select(
+            F.col("event_id").alias("iid"),
+            (F.col("event_id") * 1000).alias("lo"),
+            (F.col("event_id") * 1000 + 400 + (F.col("user_id") % 600)).alias("hi"),
+        )
+    )
+    t0 = time.time()
+    n_matches = binned_interval_join(
+        pts, ivs, "t", "lo", "hi", bin_width_us=1000
+    ).count()
+    dt = time.time() - t0
+    return {
+        "points": rows,
+        "intervals": n_iv,
+        "matches": int(n_matches),
+        "sec": round(dt, 2),
+        "points_per_sec": int(rows / dt),
+    }
+
+
+def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
+    out: dict = {"rows": rows, "partitions": partitions}
+    w0, r0 = _shuffle_totals(spark)
+    out["prefix_rank"] = probe_prefix_rank(spark, rows, partitions)
+    out["sweep_line"] = probe_sweep_line(spark, rows, partitions)
+    out["interval_join"] = probe_interval_join(spark, rows, partitions)
+    w1, r1 = _shuffle_totals(spark)
+    out["shuffle_write_bytes"] = w1 - w0
+    out["shuffle_read_bytes"] = r1 - r0
+    return out
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    from datamodel_clinicaldata_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    res = run_probes(spark, rows)
+    spark.stop()
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
