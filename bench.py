@@ -104,6 +104,9 @@ HEADLINE = [
     "agg_bloom_filter_probe",
     "join_interval_containment",
     "events_cohort_metric_by_age",
+    # round 7: winnowing fingerprint dedup (capped postings self-join over
+    # MOSS window-minimum hashes)
+    "dedup_winnowing_pairs",
 ]
 
 

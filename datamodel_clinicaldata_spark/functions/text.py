@@ -121,6 +121,42 @@ def doc_fingerprint(text: Column, k: int = 16) -> Column:
     return F.array_min(F.transform(char_shingles(text, k), F.md5))
 
 
+def gram_hashes(text: Column, k: int = 8) -> Column:
+    """Per-document k-gram hash stream: the 60-bit md5 prefix of every
+    k-char gram, mod 1e9+7 (engine-portable — DuckDB computes the
+    identical digest; the modulus keeps downstream SUMS inside BIGINT).
+    Documents shorter than k hash their whole text (the
+    ``char_shingles`` truncated-gram convention)."""
+    return F.transform(
+        char_shingles(text, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(1_000_000_007),
+    )
+
+
+def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm) over a PRE-HOISTED gram-hash array: keep the MINIMUM of
+    each w-wide window of consecutive hashes — the classic guarantee
+    that any shared substring of length ≥ k+w−1 yields a shared
+    fingerprint, at ~1/w the density of the full gram set. Fewer than w
+    hashes → one fingerprint (min of all). Returns the DISTINCT
+    fingerprints, sorted, entirely in codegen'd HOFs.
+
+    ``hashes`` MUST be a materialized column (``withColumn`` the
+    ``gram_hashes`` result first), never the gram-hash expression
+    inlined: lambda scopes block common-subexpression elimination, so an
+    inlined stream re-computes EVERY md5 once per window — O(n·w) md5
+    calls became O(n²) and turned a sub-second scan into minutes at
+    sf0.001 (repo hoisting doctrine, measured here too)."""
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(sel))
+
+
 def quality_struct(text: Column) -> dict[str, Column]:
     """The quality-scoring bundle: each signal as a named column expr."""
     n_tok = token_count(text)

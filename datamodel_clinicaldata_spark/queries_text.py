@@ -18,9 +18,11 @@ from datamodel_clinicaldata_spark.functions.text import (
     STOPWORDS_EN,
     bpe_token_count,
     doc_fingerprint,
+    gram_hashes,
     lang_id,
     quality_struct,
     token_count,
+    winnow_from_hashes,
 )
 from datamodel_clinicaldata_spark.registry import register
 from datamodel_clinicaldata_spark.sources.readers import read_table
@@ -778,4 +780,117 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("bucket", F.col("c") * 10_000 - F.col("bucket"))
         .cast("long")
         .alias("top_bucket"),
+    )
+
+
+_WINNOW_FPS_SQL = """
+  WITH f AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+             i -> CAST('0x' || substr(md5(text[i : i + 15]), 1, 15) AS BIGINT)
+                  % 1000000007) AS hs
+    FROM documents
+  ), sel AS (
+    SELECT doc_id, hs,
+           list_sort(list_distinct(
+             list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+               j -> list_min(hs[j : j + 7])))) AS fps
+    FROM f
+  )
+"""
+
+
+@register(
+    "text_winnowing_fingerprint",
+    _WINNOW_FPS_SQL
+    + """
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_kgrams,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(fps[1] AS BIGINT) AS fp_min,
+           CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+    FROM sel
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm; see
+    ``functions.text.winnow_fingerprints``): per document, the distinct
+    window-minimum hashes of its 16-gram stream with window 8 — the
+    robust fingerprinting scheme whose guarantee (any shared substring
+    of length ≥ k+w−1 = 23 shares a fingerprint) the plain min-hash
+    ``text_fingerprint`` row lacks. Entirely built-in HOFs over a
+    single scan: no shuffle, no UDF, fingerprint sums bounded in BIGINT
+    by the 1e9+7 modulus. Oracle replays gram slicing, the md5-prefix
+    hash and the window minima verbatim."""
+    d = read_table(spark, sf_dir, "documents")
+    # hoist the hash stream, then the fingerprint array, each exactly
+    # once per row (winnow_from_hashes docstring: inlining the stream
+    # into the window lambda is an O(n²)-md5 trap)
+    hashed = d.withColumn("__hs", gram_hashes(F.col("text"), k=16))
+    fp = hashed.withColumn("__fps", winnow_from_hashes(F.col("__hs"), w=8))
+    return fp.select(
+        "doc_id",
+        F.size("__hs").cast("long").alias("n_kgrams"),
+        F.size("__fps").cast("long").alias("n_fp"),
+        F.element_at("__fps", 1).cast("long").alias("fp_min"),
+        F.coalesce(
+            F.aggregate(F.col("__fps"), F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fp_sum"),
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    _WINNOW_FPS_SQL
+    + """
+    , post AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), ok AS (
+      SELECT fp FROM post GROUP BY fp HAVING count(*) <= 5000
+    ), p2 AS (
+      SELECT post.doc_id, post.fp FROM post JOIN ok USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM p2 a JOIN p2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    plagiarism-detection shape: documents sharing ≥ 3 window-minimum
+    hashes almost surely share ≥ k+w−1 = 23 characters of verbatim
+    text per shared fingerprint. Same capped-postings plan as the
+    shingle-index dedup family (a fingerprint held by > 5000 docs is a
+    stop-gram: dropped on BOTH engines, bounding the self-join's skew);
+    fingerprints are distinct per document, so the pair count equals
+    the shared-fingerprint count with no dedup pass. One explode + one
+    capped postings self-join + one aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    post = (
+        d.withColumn("__hs", gram_hashes(F.col("text"), k=16))
+        .select(
+            "doc_id",
+            F.explode(winnow_from_hashes(F.col("__hs"), w=8)).alias("fp"),
+        )
+    )
+    ok = (
+        post.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") <= 5000)
+        .select("fp")
+    )
+    p2 = post.join(ok, "fp")
+    a = p2.select(F.col("doc_id").alias("id_a"), "fp")
+    b = p2.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
     )

@@ -128,3 +128,75 @@ def test_cms_never_underestimates(spark):
         assert est[k] >= t
     # 4 keys in 1024 counters: collision-free, so estimates are exact
     assert est == truth
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing theorem: two documents sharing a substring of
+    length ≥ k+w−1 (= 23 at k=16, w=8) MUST share at least one
+    fingerprint — that is the property the scheme is chosen for."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.functions.text import (
+        gram_hashes,
+        winnow_from_hashes,
+    )
+
+    shared = "the quick brown fox jumps!"  # 26 chars ≥ 23
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="AAAA " + shared + " unrelated tail one"),
+            Row(doc_id=2, text="completely other prefix " + shared + " zz"),
+            Row(doc_id=3, text="no overlap here at all, different text body"),
+        ]
+    )
+    fp = docs.withColumn("hs", gram_hashes(F.col("text"), k=16)).select(
+        "doc_id", winnow_from_hashes(F.col("hs"), w=8).alias("fps")
+    )
+    out = {r["doc_id"]: set(r["fps"]) for r in fp.collect()}
+    assert out[1] & out[2], "docs sharing a 26-char substring must share a fingerprint"
+    # sanity: fingerprint sets are sorted-distinct and nonempty
+    assert all(len(v) > 0 for v in out.values())
+
+
+def test_winnowing_density_and_determinism(spark):
+    """Fingerprint count ≈ n_grams/w (window minima dedupe), and the
+    whole pipeline is deterministic across evaluations."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.functions.text import (
+        gram_hashes,
+        winnow_from_hashes,
+    )
+
+    text = "abcdefghij " * 40  # 440 chars, repetitive → heavy dedup
+    doc = spark.createDataFrame([Row(doc_id=1, text=text)])
+    q = doc.withColumn("hs", gram_hashes(F.col("text"), k=16)).select(
+        F.size("hs").alias("n"), winnow_from_hashes(F.col("hs"), w=8).alias("fps")
+    )
+    r1, r2 = q.collect()[0], q.collect()[0]
+    assert r1["fps"] == r2["fps"]
+    assert r1["fps"] == sorted(set(r1["fps"]))
+    # repetitive text: far fewer fingerprints than grams; never more
+    # than the window count
+    assert 0 < len(r1["fps"]) <= r1["n"] - 8 + 1
+
+
+def test_winnowing_short_documents(spark):
+    """Docs shorter than k still fingerprint (whole-text gram); docs
+    with fewer than w grams yield exactly one fingerprint."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.functions.text import (
+        gram_hashes,
+        winnow_from_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="tiny"), Row(doc_id=2, text="exactly sixteen!!")]
+    )
+    fp = docs.withColumn("hs", gram_hashes(F.col("text"), k=16)).select(
+        "doc_id", F.size("hs").alias("n"), winnow_from_hashes(F.col("hs"), w=8).alias("fps")
+    )
+    out = {r["doc_id"]: r for r in fp.collect()}
+    assert out[1]["n"] == 1 and len(out[1]["fps"]) == 1
+    assert out[2]["n"] == 2 and len(out[2]["fps"]) == 1  # 2 grams < w → min of all
