@@ -105,8 +105,12 @@ HEADLINE = [
     "join_interval_containment",
     "events_cohort_metric_by_age",
     # round 7: winnowing fingerprint dedup (capped postings self-join over
-    # MOSS window-minimum hashes)
+    # MOSS window-minimum hashes), the triple-rank RFM segmentation
+    # (3× ordered_prefix on the customer rollup), and the two-state Holt
+    # fold (struct-accumulator F.aggregate)
     "dedup_winnowing_pairs",
+    "events_rfm_scores",
+    "timeseries_holt_smoothing",
 ]
 
 

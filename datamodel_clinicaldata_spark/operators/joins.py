@@ -84,6 +84,19 @@ def range_join(
     return left.join(right, equi & lower & upper, how)
 
 
+def _ts_num(ts_type):
+    """Numeric view of a time domain for distance/tolerance arithmetic:
+    microseconds for timestamps, day ordinals for dates (DateType can't
+    cast to double; the ordinal is exact), the raw double otherwise."""
+    from pyspark.sql import types as T
+
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        return lambda c: F.unix_micros(c.cast("timestamp"))
+    if isinstance(ts_type, T.DateType):
+        return lambda c: F.unix_date(c)
+    return lambda c: c.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,12 +107,21 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
     how: str = "inner",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single most recent right row with
     ``right_ts <= left_ts`` (backward; forward = earliest ``>=``),
     inclusive. Ties on ``right_ts`` break deterministically toward the
     LARGEST ``right_cols[0]``. ``how='inner'`` drops unmatched left rows;
     ``'left'`` keeps them with nulls.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): a match farther than
+    this from the left timestamp is treated as NO match. Units follow the
+    numeric time domain — microseconds for timestamps, days for dates,
+    the raw value otherwise. Applied by nulling the PICKED row, which is
+    provably identical to pre-filtering the candidate set: the as-of pick
+    is already the closest candidate on its side, so if it exceeds the
+    tolerance every other candidate does too.
 
     Implementation — union + ordered window (the merge-join shape), NOT
     equi-join + temporal filter + row_number dedup: the join form
@@ -129,7 +151,7 @@ def asof_join(
     if direction == "nearest":
         return _asof_nearest(
             left, right, left_key, right_key, left_ts, right_ts,
-            right_cols, how, key_type, ts_type, out_right, rv,
+            right_cols, how, key_type, ts_type, out_right, rv, tolerance,
         )
 
     rsel = right.select(
@@ -180,6 +202,14 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .drop("__ats", "__rv", "__side")
     )
+    if tolerance is not None:
+        num = _ts_num(ts_type)
+        dt = num(F.col(left_ts).cast(ts_type)) - num(F.col("__pick")[right_ts])
+        if not backward:
+            dt = -dt
+        matched = matched.withColumn(
+            "__pick", F.when(dt <= F.lit(tolerance), F.col("__pick"))
+        )
     if how == "inner":
         matched = matched.filter(F.col("__pick").isNotNull())
     out = matched.select(
@@ -191,7 +221,7 @@ def asof_join(
 
 def _asof_nearest(
     left, right, left_key, right_key, left_ts, right_ts,
-    right_cols, how, key_type, ts_type, out_right, rv,
+    right_cols, how, key_type, ts_type, out_right, rv, tolerance=None,
 ):
     """``direction='nearest'``: whichever of the backward/forward matches
     is closer in event time wins; an exact |Δt| tie goes to the BACKWARD
@@ -201,8 +231,6 @@ def _asof_nearest(
     descending running frames — both incrementally maintained, O(n) per
     partition; the two opposite in-partition sorts are the whole extra
     cost over a single-direction as-of)."""
-    from pyspark.sql import types as T
-
     rsel = right.select(
         F.col(right_key).cast(key_type).alias(left_key),
         F.col(right_ts).cast(ts_type).alias("__ats"),
@@ -239,26 +267,21 @@ def _asof_nearest(
         .filter(F.col("__side") == 1)
     )
 
-    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-        def num(c):
-            return F.unix_micros(c.cast("timestamp"))
-    elif isinstance(ts_type, T.DateType):
-        # DateType can't cast to double (backward/forward don't need a
-        # numeric distance, but nearest does) — day ordinal is exact.
-        def num(c):
-            return F.unix_date(c)
-    else:
-        def num(c):
-            return c.cast("double")
-
+    num = _ts_num(ts_type)
     anchor = num(F.col(left_ts).cast(ts_type))
     back_dt = anchor - num(F.col("__pb")[right_ts])
     fwd_dt = num(F.col("__pf")[right_ts]) - anchor
+    pb, pf = F.col("__pb"), F.col("__pf")
+    if tolerance is not None:
+        # out-of-tolerance sides drop out BEFORE the nearer-side choice,
+        # so a too-far backward match can't shadow an in-range forward one
+        pb = F.when(back_dt <= F.lit(tolerance), pb)
+        pf = F.when(fwd_dt <= F.lit(tolerance), pf)
     pick = (
-        F.when(F.col("__pb").isNull(), F.col("__pf"))
-        .when(F.col("__pf").isNull(), F.col("__pb"))
-        .when(fwd_dt < back_dt, F.col("__pf"))
-        .otherwise(F.col("__pb"))
+        F.when(pb.isNull(), pf)
+        .when(pf.isNull(), pb)
+        .when(fwd_dt < back_dt, pf)
+        .otherwise(pb)
     )
     matched = matched.withColumn("__pick", pick).drop(
         "__ats", "__rv", "__side", "__pb", "__pf"

@@ -3390,3 +3390,247 @@ def join_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_event",
         "last_event",
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    SELECT event_id, ts, user_id, o_orderkey, o_orderdate
+    FROM (
+      SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas ``merge_asof
+    tolerance`` semantics): latest order at-or-before each event, but a
+    match older than the bound is no match — the freshness contract every
+    feature-store lookup wants ("most recent value, unless it has gone
+    stale"; the 8400-day bound deliberately BISECTS this testdata's
+    8190-9799-day event-to-order gap distribution, so both the matched
+    and the dropped branches carry rows). Implemented by nulling the PICKED row in
+    ``operators.joins.asof_join``, provably identical to pre-filtering
+    the candidate set (the pick is already the closest candidate) and
+    free: same one union + one key shuffle + one running window, no
+    extra scan. Oracle applies the same bound as a join predicate."""
+    from datamodel_clinicaldata_spark.operators.joins import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders")
+    return asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+        tolerance=8400 * 86_400_000_000,  # 8400 days in µs
+    ).select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "events_rfm_scores",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS r_days,
+             CAST(count(*) AS BIGINT) AS f_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+    ranked AS (
+      SELECT o_custkey, r_days, f_orders, m_cents,
+             row_number() OVER (ORDER BY r_days ASC, o_custkey ASC) AS rr,
+             row_number() OVER (ORDER BY f_orders ASC, o_custkey ASC) AS rf,
+             row_number() OVER (ORDER BY m_cents ASC, o_custkey ASC) AS rm
+      FROM cust
+    )
+    SELECT o_custkey, r_days, f_orders, m_cents,
+           CAST(1 + ((rr - 1) * 5) // (SELECT n FROM n) AS BIGINT) AS r_score,
+           CAST(1 + ((rf - 1) * 5) // (SELECT n FROM n) AS BIGINT) AS f_score,
+           CAST(1 + ((rm - 1) * 5) // (SELECT n FROM n) AS BIGINT) AS m_score
+    FROM ranked
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles), the
+    classic CRM scoring — done ENGINE-EXACTLY: monetary in cents BIGINT,
+    recency as the day ordinal, and quintiles from explicit row_number
+    ranks with an id tiebreak + the integer bucket formula
+    ``1 + (rank−1)·5 div n`` instead of ``ntile`` (whose tie placement
+    is engine-dependent). The three global ranks run on the PER-CUSTOMER
+    aggregate (|customers| ≪ |orders|) through the two-phase
+    ``ordered_prefix`` — no single-partition sort of an unbounded frame;
+    the orders→customer rollup is the only full-data shuffle."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.unix_date(F.max("o_orderdate").cast("date")).cast("long").alias("r_days"),
+        F.count(F.lit(1)).cast("long").alias("f_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+    )
+    n = cust.count()
+    ranked = cust
+    for src, out in (("r_days", "__rr"), ("f_orders", "__rf"), ("m_cents", "__rm")):
+        ranked = ordered_prefix(
+            ranked,
+            [F.col(src).asc(), F.col("o_custkey").asc()],
+            rank_col=out,
+        )
+    # integer `div`, matching the oracle's `//` exactly (repo doctrine:
+    # no float-divide-then-truncate on anything that feeds a result)
+    return ranked.select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        F.expr(f"CAST(1 + ((__rr - 1) * 5) div {n} AS BIGINT)").alias("r_score"),
+        F.expr(f"CAST(1 + ((__rf - 1) * 5) div {n} AS BIGINT)").alias("f_score"),
+        F.expr(f"CAST(1 + ((__rm - 1) * 5) div {n} AS BIGINT)").alias("m_score"),
+    )
+
+
+@register(
+    "diag_benford_first_digit",
+    """
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents WHERE c > 0
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM digits)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / (SELECT t FROM tot), 6) AS share,
+           round(log10(1 + 1.0 / digit), 6) AS benford_expected
+    FROM digits GROUP BY digit
+    """,
+)
+def diag_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law data-quality profile: the first-significant-digit
+    distribution of order totals against the log10(1+1/d) expectation —
+    the standard fabricated-data / unit-mixup screen for financial
+    columns. Engine-exact by integer doctrine: amounts quantize to cents
+    BIGINT and the leading digit comes from the BIGINT's decimal string
+    (identical on both engines, no float formatting); shares are plain
+    double divisions rounded at 6. One narrow scan + a 9-row aggregate;
+    the digit histogram is a map-side partial combine."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c")
+    ).filter(F.col("c") > 0)
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    t = digits.count()
+    return digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.count(F.lit(1)) / F.lit(t), 6).alias("share"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
+    )
+
+
+def _holt_oracle() -> str:
+    """Holt fold oracle as a RECURSIVE CTE over (user, step) — one
+    iteration advances every series by one ordered point, the pagerank-
+    oracle pattern. Not ``list_reduce``: DuckDB 1.0 miscomputes STRUCT
+    accumulators across chained reduce steps (later struct_pack fields
+    read inconsistent ``acc`` values — verified with a 3-element repro;
+    scalar-BIGINT folds like the EWMA oracle are exact, but Holt's
+    two-state recurrence doesn't fit one safely-bounded BIGINT). Feeder
+    CTEs are MATERIALIZED — DuckDB inlines non-recursive CTEs into
+    every iteration otherwise (repo doctrine)."""
+    nl = (
+        "((2*q.v + 8*(s.l+s.b)"
+        " - ((((2*q.v + 8*(s.l+s.b)) % 10) + 10) % 10)) // 10)"
+    )
+    nb = (
+        f"((3*({nl} - s.l) + 7*s.b"
+        f" - ((((3*({nl} - s.l) + 7*s.b) % 10) + 10) % 10)) // 10)"
+    )
+    return f"""
+    WITH RECURSIVE q AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+      FROM events
+    ), per AS MATERIALIZED (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+             max(rn) AS mx
+      FROM q GROUP BY 1
+    ), s AS (
+      SELECT user_id, rn, v AS l, CAST(0 AS BIGINT) AS b
+      FROM q WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.rn, {nl} AS l, {nb} AS b
+      FROM s JOIN q ON q.user_id = s.user_id AND q.rn = s.rn + 1
+    )
+    SELECT s.user_id, per.n_points,
+           CAST(s.l AS BIGINT) AS holt_level_e6,
+           CAST(s.b AS BIGINT) AS holt_trend_e6
+    FROM s JOIN per ON per.user_id = s.user_id AND s.rn = per.mx
+    """
+
+
+@register("timeseries_holt_smoothing", _holt_oracle())
+def timeseries_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per series — level AND trend
+    (the forecasting baseline one notch past ``timeseries_ewma_fold``'s
+    single state): l ← α·x + (1−α)(l+b), b ← β(l−l_prev) + (1−β)b with
+    α = 0.2, β = 0.3. A TWO-state recurrence no window frame expresses;
+    runs as one ``F.aggregate`` fold over the time-ordered per-series
+    array with a struct accumulator. Engine-exact by fixed-point
+    doctrine: e6 BIGINT values, each α/β step an integer
+    ``div 10`` with an explicit math-mod floor (exact-multiple division
+    in DECIMAL — the EWMA lesson), seed = (x₀, 0) on both engines
+    (DuckDB's first-element seed is the transformed struct). One
+    shuffle of (key, t, v); O(1) state per series."""
+    e = read_table(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        ).alias("p"),
+    )
+    per = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.array_sort(F.collect_list("p")).alias("ps"),
+    )
+
+    def idiv10(x):
+        m = ((x % 10) + 10) % 10
+        return ((x - m).cast("decimal(38,0)") / F.lit(10)).cast("long")
+
+    def step(acc, p):
+        lvl = idiv10(2 * p["v"] + 8 * (acc["l"] + acc["b"]))
+        trend = idiv10(3 * (lvl - acc["l"]) + 7 * acc["b"])
+        return F.when(
+            acc.isNull(),
+            F.struct(p["v"].alias("l"), F.lit(0).cast("long").alias("b")),
+        ).otherwise(F.struct(lvl.alias("l"), trend.alias("b")))
+
+    folded = F.aggregate(
+        F.col("ps"), F.lit(None).cast("struct<l:bigint,b:bigint>"), step
+    )
+    return per.select(
+        "user_id",
+        "n_points",
+        folded["l"].alias("holt_level_e6"),
+        folded["b"].alias("holt_trend_e6"),
+    )

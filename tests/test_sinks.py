@@ -402,3 +402,70 @@ def test_synthetic_gen_vectorized_matches_scalar_recurrence():
         s = _lcg(s)
         exp.append((i, user, etype, (s % 1_000_000) / 1000.0))
     assert got == exp
+
+
+def test_asof_tolerance_backward_forward(spark):
+    """merge_asof-style tolerance: the pick survives iff its distance is
+    within the bound; inner drops, left nulls. Equivalence with
+    candidate pre-filtering holds because the pick is already the
+    closest candidate on its side."""
+    import datetime as dt
+
+    from datamodel_clinicaldata_spark.operators.joins import asof_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "fresh"), (1, ts(100), "stale"), (1, ts(12), "edge")],
+        "k int, at timestamp, label string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 100)], "k int, rts timestamp, rid int"
+    )
+    tol_us = 3 * 60 * 1_000_000  # 3 minutes
+    inner = {
+        r.label: r.rid
+        for r in asof_join(
+            left, right, "k", "k", "at", "rts", ["rid"], tolerance=tol_us
+        ).collect()
+    }
+    assert inner == {"fresh": 100, "edge": 100}  # Δ1 and Δ3 (inclusive) pass
+    lefted = {
+        r.label: r.rid
+        for r in asof_join(
+            left, right, "k", "k", "at", "rts", ["rid"],
+            how="left", tolerance=tol_us,
+        ).collect()
+    }
+    assert lefted["stale"] is None and lefted["fresh"] == 100
+
+
+def test_asof_tolerance_nearest_side_fallback(spark):
+    """nearest + tolerance: an out-of-tolerance nearer side must NOT
+    shadow an in-tolerance farther side — the bound applies per side
+    before the closer-of-two choice."""
+    import datetime as dt
+
+    from datamodel_clinicaldata_spark.operators.joins import asof_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "anchor")], "k int, at timestamp, label string"
+    )
+    # backward match at Δ9 (closer), forward at Δ5 — with tol 6 the
+    # backward side is out, forward must win even though... reversed:
+    right = spark.createDataFrame(
+        [(1, ts(1), 100), (1, ts(15), 200)], "k int, rts timestamp, rid int"
+    )
+    out = asof_join(
+        left, right, "k", "k", "at", "rts", ["rid"],
+        direction="nearest", tolerance=6 * 60 * 1_000_000,
+    ).collect()
+    assert len(out) == 1 and out[0].rid == 200  # back Δ9 out; fwd Δ5 in
