@@ -635,3 +635,113 @@ def similarity_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("vec_id").alias("anchor_id"), "embedding", "label"
     )
     return contrastive_triplets(e, anchors)
+
+
+_MMR_COS = (
+    "floor(list_inner_product(a.v, b.v) / "
+    "sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) "
+    "* 1000000.0 + 0.5)"
+)
+
+
+@register(
+    "similarity_mmr_rerank",
+    f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cand AS MATERIALIZED (
+      SELECT vec_id, simq_e6 FROM (
+        SELECT b.vec_id, CAST({_MMR_COS} AS BIGINT) AS simq_e6,
+               row_number() OVER (ORDER BY {_MMR_COS} DESC, b.vec_id ASC) AS rn
+        FROM (SELECT v FROM e WHERE vec_id = 0) a JOIN e b ON true
+      ) WHERE rn <= 20
+    ), cv AS MATERIALIZED (
+      SELECT c.vec_id, c.simq_e6, e.v FROM cand c JOIN e ON e.vec_id = c.vec_id
+    ), sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, CAST({_MMR_COS} AS BIGINT) AS sim_e6
+      FROM cv a JOIN cv b ON a.vec_id <> b.vec_id
+    ), sel AS (
+      SELECT CAST(1 AS BIGINT) AS rank, picked, pick, simq_e6, mmr_score_e6 FROM (
+        SELECT [vec_id] AS picked, vec_id AS pick, simq_e6,
+               7 * simq_e6 AS mmr_score_e6,
+               row_number() OVER (ORDER BY simq_e6 DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+      UNION ALL
+      SELECT rank + 1, list_append(picked, pick2), pick2, simq2, score2 FROM (
+        SELECT *, row_number() OVER (ORDER BY score2 DESC, pick2 ASC) AS rn2 FROM (
+          SELECT sel.rank, sel.picked, c.vec_id AS pick2, c.simq_e6 AS simq2,
+                 7*c.simq_e6 - 3*coalesce((
+                   SELECT max(s.sim_e6) FROM sims s
+                   WHERE s.ia = c.vec_id AND list_contains(sel.picked, s.ib)), 0)
+                   AS score2
+          FROM sel, cand c
+          WHERE sel.rank < 5 AND NOT list_contains(sel.picked, c.vec_id)
+        )
+      ) WHERE rn2 = 1
+    )
+    SELECT rank, pick AS vec_id, simq_e6, mmr_score_e6 FROM sel
+    """,
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (λ = 0.7): from the exact
+    cosine top-20 for query vec 0, greedily select 5 results maximizing
+    ``7·sim(q,c) − 3·max_{s∈selected} sim(c,s)`` — the standard
+    diversity-aware retrieval pass a training-data curation pipeline
+    runs after ANN (don't fill the context with five near-copies of the
+    best hit). Scale shape: the candidate generation is the distributed
+    two-phase brute-force top-k; the greedy runs on the driver over a
+    BOUNDED k×N integer matrix (N = 20 candidates, 400 pair sims — the
+    same bounded-pullback doctrine as the IVF centroid collects). All
+    similarities are e6-quantized BIGINTs before any comparison, so the
+    greedy's argmax (ties to the smaller vec_id) is engine-exact; the
+    oracle replays the identical selection as a recursive CTE."""
+    from datamodel_clinicaldata_spark.functions.vectors import cosine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    cand = cosine_topk_bruteforce(e, q, k=20).select(
+        "vec_id", F.floor(F.col("cos_sim") * 1e6 + F.lit(0.5)).cast("long").alias("simq_e6")
+    )
+    cv = cand.join(e, "vec_id").select("vec_id", "simq_e6", "embedding")
+    a = cv.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("__va")
+    )
+    b = cv.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("__vb")
+    )
+    sims = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.floor(cosine(F.col("__va"), F.col("__vb")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("sim_e6"),
+    )
+    # bounded pullbacks: ≤20 candidate rows, ≤380 pair rows — the greedy
+    # itself is O(k·N) integer arithmetic, inherently tiny
+    cand_rows = {r["vec_id"]: r["simq_e6"] for r in cand.collect()}
+    sim_rows = {(r["ia"], r["ib"]): r["sim_e6"] for r in sims.collect()}
+
+    picked: list[tuple[int, int, int, int]] = []  # (rank, vec_id, simq, score)
+    chosen: list[int] = []
+    for step in range(1, 6):
+        best = None
+        for cid, simq in cand_rows.items():
+            if cid in chosen:
+                continue
+            div = max(
+                (sim_rows[(cid, s)] for s in chosen if (cid, s) in sim_rows),
+                default=0,
+            )
+            score = 7 * simq - 3 * div
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, simq, score)
+        if best is None:
+            break
+        picked.append((step, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, simq_e6 long, mmr_score_e6 long"
+    )

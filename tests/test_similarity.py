@@ -259,3 +259,47 @@ def test_contrastive_triplets_label_constraints(spark, sf_dir):
         assert labels[r["pos_id"]] == labels[r["anchor_id"]]
         assert labels[r["neg_id"]] != labels[r["anchor_id"]]
         assert abs((r["pos_sim"] - r["neg_sim"]) - r["margin"]) < 2e-6
+
+
+def test_mmr_rerank_prefers_diversity(spark, tmp_path):
+    """MMR must demote a near-duplicate of an already-selected result in
+    favor of a diverse lower-similarity candidate — the property that
+    distinguishes it from plain top-k."""
+    import math
+
+    from datamodel_clinicaldata_spark.queries_similarity import (
+        similarity_mmr_rerank,
+    )
+
+    dim = 8
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [float(x / n), float(y / n)] + [0.0] * (dim - 2)
+
+    # the near-dup pair (1, 2) is ~0.80 similar to the query but ~1.0 to
+    # each other; 3 matches their query-similarity while pointing the
+    # other way (sim(3, 1) ≈ 0.29) — λ=0.7 must then prefer 3 over the
+    # twin. (Twins near-identical to the QUERY can never lose: then
+    # sim(c, selected) ≈ sim(c, q) for every candidate and MMR degrades
+    # to plain top-k — that is correct behavior, not a test target.)
+    rows = [
+        (0, unit(1.0, 0.0), 0),       # the query vector
+        (1, unit(0.81, 0.59), 0),     # relevant, off-axis
+        (2, unit(0.80, 0.60), 0),     # near-duplicate of 1
+        (3, unit(0.80, -0.60), 0),    # equally relevant, opposite side
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["rank"]: r["vec_id"]
+        for r in similarity_mmr_rerank(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == 0  # the query itself is its own best match
+    assert out[2] == 1  # best remaining by relevance
+    # plain top-k would pick 2 (cos≈0.9999 to the query) next; MMR must
+    # jump to the diverse 3 because 2 is a near-copy of the selected 1
+    assert out[3] == 3
+    assert out[4] == 2
