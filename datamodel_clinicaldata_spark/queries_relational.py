@@ -3634,3 +3634,110 @@ def timeseries_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["l"].alias("holt_level_e6"),
         folded["b"].alias("holt_trend_e6"),
     )
+
+
+_WF_WINDOW_US = 43_200_000_000  # 12 hours: chosen so every
+# depth 1/2/3 is populated on the testdata (2 h left depth 3 empty and
+# the c3 update rule data-unexercised; 12 h splits ~14/100/36 at sf0.01)
+
+
+def _window_funnel_oracle() -> str:
+    """Recursive-CTE replay of the windowed-funnel greedy (same pattern
+    as the Holt oracle — one iteration advances every user's ordered
+    event stream by one row; feeder CTEs MATERIALIZED per repo
+    doctrine)."""
+    w = _WF_WINDOW_US
+    return f"""
+    WITH RECURSIVE q AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  ELSE 3 END AS s,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), per AS MATERIALIZED (
+      SELECT user_id, max(rn) AS mx FROM q GROUP BY 1
+    ), st AS (
+      SELECT user_id, rn,
+             CASE WHEN s = 1 THEN t ELSE CAST(-1 AS BIGINT) END AS c1,
+             CAST(-1 AS BIGINT) AS c2, CAST(-1 AS BIGINT) AS c3
+      FROM q WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.rn,
+             CASE WHEN q.s = 1 THEN q.t ELSE st.c1 END,
+             CASE WHEN q.s = 2 AND st.c1 >= 0 AND q.t - st.c1 <= {w}
+                  THEN greatest(st.c2, st.c1) ELSE st.c2 END,
+             CASE WHEN q.s = 3 AND st.c2 >= 0 AND q.t - st.c2 <= {w}
+                  THEN greatest(st.c3, st.c2) ELSE st.c3 END
+      FROM st JOIN q ON q.user_id = st.user_id AND q.rn = st.rn + 1
+    )
+    SELECT st.user_id,
+           CAST(CASE WHEN c3 >= 0 THEN 3 WHEN c2 >= 0 THEN 2
+                     WHEN c1 >= 0 THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth
+    FROM st JOIN per ON per.user_id = st.user_id AND st.rn = per.mx
+    """
+
+
+@register("events_window_funnel", _window_funnel_oracle())
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel depth (the ClickHouse ``windowFunnel`` shape):
+    per user, the deepest view → click → purchase chain whose WHOLE SPAN
+    fits in a 12-hour window — the conversion metric the plain min-ts
+    funnels (``funnel_signup_click_purchase``) cannot express, because
+    there the steps may be weeks apart. Greedy over the time-ordered
+    stream keeping, per depth, the LATEST viable chain-start timestamp
+    (keeping the latest start is optimal for a ≤-window constraint:
+    any chain a discarded earlier start could complete, the kept one
+    completes too). A single-event state machine no window frame
+    expresses → ``F.aggregate`` fold with a 3-field struct accumulator
+    and a proper zero seed; updates read only the PREVIOUS state, so one
+    event advances at most one stage. One shuffle of (user, t, stage);
+    O(1) state per user. Oracle replays the greedy as a recursive CTE
+    (DuckDB's list_reduce both miscomputes struct accumulators and
+    cannot seed with a zero element — see the Holt oracle)."""
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = _WF_WINDOW_US
+    rows = e.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("s"),
+        ).alias("p"),
+    )
+    per = rows.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("p")).alias("ps")
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("c1"),
+        F.lit(-1).cast("long").alias("c2"),
+        F.lit(-1).cast("long").alias("c3"),
+    )
+
+    def step(acc, p):
+        c1 = F.when(p["s"] == 1, p["t"]).otherwise(acc["c1"])
+        c2 = F.when(
+            (p["s"] == 2) & (acc["c1"] >= 0) & (p["t"] - acc["c1"] <= w),
+            F.greatest(acc["c2"], acc["c1"]),
+        ).otherwise(acc["c2"])
+        c3 = F.when(
+            (p["s"] == 3) & (acc["c2"] >= 0) & (p["t"] - acc["c2"] <= w),
+            F.greatest(acc["c3"], acc["c2"]),
+        ).otherwise(acc["c3"])
+        return F.struct(c1.alias("c1"), c2.alias("c2"), c3.alias("c3"))
+
+    s = F.aggregate(F.col("ps"), init, step)
+    depth = (
+        F.when(s["c3"] >= 0, 3)
+        .when(s["c2"] >= 0, 2)
+        .when(s["c1"] >= 0, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return per.select("user_id", depth.alias("funnel_depth"))

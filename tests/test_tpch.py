@@ -128,3 +128,46 @@ def test_min_cost_supplier_window_is_part_partitioned(spark, sf_dir):
     a = audit(agg_min_cost_supplier(spark, sf_dir))
     assert a.windows == 1
     assert a.unpartitioned_windows == 0
+
+
+def test_window_funnel_semantics(spark, tmp_path):
+    """Windowed funnel: the span constraint applies to the WHOLE chain,
+    and keeping the latest viable chain start is what lets a later
+    tight chain count when an earlier loose one cannot."""
+    import datetime as dt
+
+    from datamodel_clinicaldata_spark.queries_relational import (
+        events_window_funnel,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes, etype):
+        return (eid, uid, T0 + dt.timedelta(minutes=minutes), etype, 1.0)
+
+    W_MIN = 720  # operator window = 12 h
+    rows = [
+        # user 1: full chain inside the window → depth 3
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "purchase"),
+        # user 2: view→click ok, purchase past the window FROM THE VIEW
+        # (span constraint is chain-wide, not per-step) → depth 2
+        ev(4, 2, 0, "view"), ev(5, 2, W_MIN - 5, "click"),
+        ev(6, 2, W_MIN + 5, "purchase"),
+        # user 3: early lone view, then a LATER tight chain — the greedy
+        # must restart from the later view → depth 3
+        ev(7, 3, 0, "view"), ev(8, 3, 2 * W_MIN, "view"),
+        ev(9, 3, 2 * W_MIN + 10, "click"), ev(10, 3, 2 * W_MIN + 20, "purchase"),
+        # user 4: purchase BEFORE any view/click chain → depth 1 (view only)
+        ev(11, 4, 0, "purchase"), ev(12, 4, 10, "view"),
+        # user 5: click with no prior view → depth 0
+        ev(13, 5, 0, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: r["funnel_depth"]
+        for r in events_window_funnel(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 3, 4: 1, 5: 0}
