@@ -451,3 +451,42 @@ def diag_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.max("late_us").cast("long").alias("max_late_us"),
     )
+
+
+@register(
+    "stream_windowed_distinct_users",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user cardinality via a mergeable HLL sketch
+    (``streaming.windows.windowed_distinct_sketch``) — per-window state
+    is one 2¹²-register sketch instead of a distinct-user set, which is
+    what makes per-window cardinality viable in a stream (count_distinct
+    is not a streaming aggregate) and cheap in a 100 TB rollup (sketches
+    union across partitions/late data). Same oracle contract as the
+    other sketch rows: the exact count plus an in-band accuracy boolean
+    (|est − exact| ≤ 3·rsd·exact, rsd ≈ 1.04/√2¹²; the sketch is
+    deterministic for a given input). The streaming execution of the
+    sketch-only face is pinned in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.streaming.windows import (
+        windowed_distinct_sketch,
+    )
+
+    rsd = 3 * (1.04 / (2**12) ** 0.5)
+    out = windowed_distinct_sketch(read_table(spark, sf_dir, "events"))
+    return out.select(
+        "window_start",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.lit(rsd) * F.col("exact_users")
+        ).alias("hll_ok"),
+    )

@@ -233,3 +233,51 @@ def enrich_events_dim(
     return events.join(
         F.broadcast(dim), F.col(left_key) == F.col(right_key), "left"
     ).drop(right_key)
+
+
+def windowed_distinct_sketch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "6 hours",
+    key_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-tumbling-window distinct-``key_col`` cardinality as a
+    Datasketches HLL (``hll_sketch_agg``) next to the exact count — the
+    windowed-cardinality shape streaming needs at 100 TB: the sketch is
+    a mergeable aggregate, so state per window is one 2^lg_k-register
+    sketch instead of a distinct-keys set, and late data folds in with a
+    sketch union. The exact count rides along for the batch face's
+    oracle check; a stream drops it (count_distinct is unsupported in
+    streaming aggregation — exactly why the sketch is the scale path).
+    Output: (window_start, exact_users, est_users)."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(
+            F.count_distinct(key_col).cast("long").alias("exact_users"),
+            F.expr(f"hll_sketch_estimate(hll_sketch_agg({key_col}, {lg_k}))")
+            .cast("long")
+            .alias("est_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "exact_users", "est_users")
+    )
+
+
+def windowed_distinct_sketch_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "6 hours",
+    key_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """The streaming face of ``windowed_distinct_sketch``: sketch only
+    (no exact count — count_distinct is not a streaming aggregate)."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(
+            F.expr(f"hll_sketch_estimate(hll_sketch_agg({key_col}, {lg_k}))")
+            .cast("long")
+            .alias("est_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "est_users")
+    )

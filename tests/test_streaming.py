@@ -550,3 +550,27 @@ def test_synthetic_stream_reader_restart_never_reemits():
     r3 = SyntheticEventsStreamReader(opts)
     r3.commit({"row": 500})
     assert r3.latestOffset()["row"] > 500
+
+
+def test_windowed_distinct_sketch_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The sketch-only streaming face must produce the identical
+    per-window HLL estimates as a batch run of the same aggregate
+    (the sketch is deterministic for a given input set)."""
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+    from datamodel_clinicaldata_spark.streaming.windows import (
+        stream_events,
+        windowed_distinct_sketch,
+        windowed_distinct_sketch_stream,
+        with_watermark,
+    )
+
+    streaming = windowed_distinct_sketch_stream(
+        with_watermark(stream_events(spark, sf_dir))
+    )
+    _run_stream(streaming, "windowed_hll", tmp_path, "complete")
+    got = spark.sql("SELECT * FROM windowed_hll")
+    want = windowed_distinct_sketch(read_table(spark, sf_dir, "events")).select(
+        "window_start", "est_users"
+    )
+    cols = ["window_start", "est_users"]
+    assert _norm(got, cols) == _norm(want, cols)
