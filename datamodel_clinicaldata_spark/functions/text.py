@@ -150,10 +150,21 @@ def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
     calls became O(n²) and turned a sub-second scan into minutes at
     sf0.001 (repo hoisting doctrine, measured here too)."""
     n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
-    sel = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
-    )
+    n = F.size(hashes)
+
+    def win_min(j):
+        # least() over w element_at probes instead of array_min(slice()):
+        # slice allocates a w-element array PER WINDOW (~10M allocations
+        # at sf0.1 — measured as the row's dominant cost); element_at is
+        # an O(1) read. Past-the-end probes (the short-array tail where
+        # n_win = 1 > n - w + 1) fall back to the last element, which
+        # cannot change the min of the in-range prefix.
+        probes = [
+            F.element_at(hashes, F.least(j + F.lit(i), n)) for i in range(w)
+        ]
+        return F.least(*probes)
+
+    sel = F.transform(F.sequence(F.lit(1), n_win), win_min)
     return F.array_sort(F.array_distinct(sel))
 
 

@@ -63,7 +63,12 @@ def get_spark(
         # PushedFilters mid-token) — the plan audits parse these lists.
         .config("spark.sql.maxMetadataStringLength", "10000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs executors INSIDE the driver JVM, so this one heap
+        # serves all N task threads: 8g across 32 tasks (250 MB each) OOM'd
+        # the 50M-row scale probe after a bench's worth of checkpoint
+        # blocks. 48g on the 128 GiB box ≈ 1.5 GB/task — the same ratio
+        # a real cluster's executors would get.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
