@@ -347,3 +347,64 @@ def binned_interval_join(
         )
         .drop("__bin")
     )
+
+
+def binned_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Interval-OVERLAP join (``a.start < b.end AND b.start < a.end``) —
+    the Allen-algebra sibling of ``binned_interval_join``'s containment.
+    Same binning idea, one extra subtlety: overlapping intervals share
+    MANY bins, so a plain bin equi-join would emit a pair once per
+    shared bin. The classic fix makes each pair match EXACTLY once with
+    no dedup pass: join on bin, then keep only the bin containing the
+    OVERLAP START (``greatest(a.start, b.start) div w``) — a bin both
+    intervals necessarily cover. Join remains an equi-join on
+    (key, bin); cost is |bins_L| + |bins_R| postings, never |L|×|R|.
+
+    All start/end columns must be integer microseconds, end exclusive;
+    malformed (end ≤ start) rows are dropped before exploding (same
+    rationale and sequence-size bound as ``binned_interval_join``)."""
+    w = bin_width_us
+
+    def explode_bins(df, s, e, side):
+        return (
+            df.filter(F.col(e) > F.col(s))
+            .withColumn(
+                f"__bin_{side}",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"CAST({s} AS BIGINT) div {w}"),
+                        F.expr(f"CAST({e} - 1 AS BIGINT) div {w}"),
+                    )
+                ),
+            )
+        )
+
+    lb = explode_bins(left, left_start, left_end, "l")
+    rb = explode_bins(right, right_start, right_end, "r")
+    joined = lb.join(
+        rb,
+        (lb[key] == rb[key]) & (lb["__bin_l"] == rb["__bin_r"]),
+    )
+    overlap_start = F.greatest(F.col(left_start), F.col(right_start))
+    overlap_end = F.least(F.col(left_end), F.col(right_end))
+    return (
+        joined.filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__bin_l") == F.expr(
+                f"CAST(greatest({left_start}, {right_start}) AS BIGINT) div {w}"
+            ))
+        )
+        .drop("__bin_l", "__bin_r")
+        .drop(rb[key])
+        .withColumn("overlap_us", (overlap_end - overlap_start).cast("long"))
+    )

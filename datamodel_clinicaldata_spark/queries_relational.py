@@ -3741,3 +3741,56 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     )
     return per.select("user_id", depth.alias("funnel_depth"))
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 2700000000 AS e
+      FROM events
+    )
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND a.s < b.e AND b.s < a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join (Allen algebra's ``overlaps``/
+    ``during``/``meets`` complement of the containment row): pairs of a
+    user's 45-minute activity intervals that intersect, with the exact
+    overlap duration — the session-collision shape behind concurrency
+    billing and dedup of overlapping capture windows. Uses
+    ``operators.joins.binned_overlap_join``: both sides explode to
+    covering bins, the join is an EQUI-join on (user, bin), and each
+    pair survives only in the bin containing its OVERLAP START — a bin
+    both intervals necessarily cover, so every overlapping pair appears
+    exactly once with no dedup pass and no |L|×|R| nested loop. Oracle
+    is the direct inequality self-join (fine at oracle scale; the
+    binned plan is the 100 TB shape)."""
+    from datamodel_clinicaldata_spark.operators.joins import binned_overlap_join
+
+    e = read_table(spark, sf_dir, "events")
+    width = 2_700_000_000  # 45 min
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.unix_micros("ts").alias("sa"),
+        (F.unix_micros("ts") + width).alias("ea"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.unix_micros("ts").alias("sb"),
+        (F.unix_micros("ts") + width).alias("eb"),
+    )
+    return (
+        binned_overlap_join(
+            a, b, "user_id", "sa", "ea", "sb", "eb", bin_width_us=width
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("user_id", "id_a", "id_b", "overlap_us")
+    )

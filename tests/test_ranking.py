@@ -285,3 +285,40 @@ def test_ordered_prefix_rejects_inplace_running_sum(spark, df):
         ordered_prefix(df, _cols(("v:asc", "id:asc")), running_sum={"v": "v"})
     with pytest.raises(ValueError, match="must differ"):
         ordered_prefix(df, _cols(("v:asc", "id:asc")), running_max={"v": "v"})
+
+
+def test_binned_overlap_join_matches_naive(spark):
+    """Binned overlap equi-join == naive inequality join on
+    boundary-heavy intervals (touching endpoints must NOT overlap;
+    multi-bin overlaps must emit each pair exactly once)."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.operators.joins import binned_overlap_join
+
+    W = 100
+    A = [
+        Row(k=1, ia=1, sa=0, ea=100),
+        Row(k=1, ia=2, sa=50, ea=350),    # spans 4 bins
+        Row(k=1, ia=3, sa=100, ea=101),   # touches ia=1 (no overlap)
+        Row(k=2, ia=4, sa=0, ea=1000),    # other key
+        Row(k=1, ia=5, sa=400, ea=400),   # malformed: dropped
+    ]
+    B = [
+        Row(k=1, ib=1, sb=99, eb=100),    # overlaps ia=1 by 1
+        Row(k=1, ib=2, sb=100, eb=300),   # overlaps ia=2 across bins
+        Row(k=1, ib=3, sb=340, eb=360),   # tail overlap with ia=2
+        Row(k=2, ib=4, sb=500, eb=501),
+        Row(k=1, ib=5, sb=1000, eb=2000), # no partner
+    ]
+    L, R = spark.createDataFrame(A), spark.createDataFrame(B)
+    got = binned_overlap_join(L, R, "k", "sa", "ea", "sb", "eb", bin_width_us=W)
+    naive = L.filter("ea > sa").join(
+        R, (L.k == R.k) & (L.sa < R.eb) & (R.sb < L.ea)
+    ).drop(R.k)
+    g = {(r.ia, r.ib): r.overlap_us for r in got.collect()}
+    n = {(r.ia, r.ib) for r in naive.collect()}
+    assert set(g) == n
+    # exactly-once even for the multi-bin overlap, and exact durations
+    assert g[(2, 2)] == 200 and g[(2, 3)] == 10 and g[(1, 1)] == 1
+    assert g[(4, 4)] == 1
+    assert (1, 2) not in g  # touching endpoints excluded (end exclusive)
