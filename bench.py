@@ -111,12 +111,20 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "events_rfm_scores",
     "timeseries_holt_smoothing",
+    # round 7 late additions: exactly-once binned overlap join, bigram
+    # conditional-LM scoring (posexplode self-join + broadcast dims)
+    "join_interval_overlap",
+    "text_bigram_logprob",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        load_at_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_at_start = None
 
     from datamodel_clinicaldata_spark.registry import QUERIES
     from datamodel_clinicaldata_spark.session import get_spark
@@ -259,6 +267,26 @@ def main() -> None:
         "queries_median": medians,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Host fingerprint (r6→r7 lesson: a +21.5% "regression" took a full
+    # round to attribute to host noise because the artifact carried no
+    # environment evidence; ±7% run-to-run swings on an IDLE box are
+    # normal, far more under load). load1 ≫ 0 at start → distrust deltas.
+    try:
+        la0, la1, la2 = os.getloadavg()
+        mem_kb = 0
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable"):
+                    mem_kb = int(line.split()[1])
+                    break
+        out["host"] = {
+            "loadavg_at_start": load_at_start,  # pre-existing contention
+            "loadavg_at_end": [round(la0, 2), round(la1, 2), round(la2, 2)],
+            "mem_available_gb": round(mem_kb / 1_048_576, 1),
+            "cpus": os.cpu_count(),
+        }
+    except OSError as e:  # noqa: BLE001 — diagnostics only
+        print(f"WARN bench: host fingerprint failed: {e}", file=sys.stderr)
     if lsh_stats:
         out["lsh_candidates"] = lsh_stats
     if cc_stats:

@@ -900,3 +900,65 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok, i FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok,
+               generate_subscripts({_TOKS}, 1) AS i
+        FROM documents
+      )
+    ), bi AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1
+    )
+    SELECT bi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(floor(-ln(CAST(bc.c2 AS DOUBLE) / uc.c1)
+                               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS neg_logprob_e9
+    FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    GROUP BY bi.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional language-model scoring — the context-aware
+    step past ``text_unigram_logprob`` toward CCNet-style perplexity
+    filtering: per document, the total −ln P(w_i | w_{i−1}) of its
+    bigrams under the corpus MLE bigram model (every document's bigrams
+    are in the corpus counts by construction, so no zero-probability
+    smoothing is needed). Engine-exact by the KL-divergence doctrine:
+    each transcendental term quantizes to an e9 BIGINT BEFORE the
+    per-doc sum, so accumulation order cannot move the result (a float
+    sum of ~100 ln terms is order-sensitive; an integer sum is not).
+    Plan: one posexplode → self-join on adjacent positions (equi-join
+    on (doc, pos), no window) → broadcast-joinable bigram/context count
+    dims → one per-doc aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "tok"),
+    )
+    a = toks.select("doc_id", F.col("i").alias("ia"), F.col("tok").alias("w1"))
+    b = toks.select("doc_id", F.col("i").alias("ib"), F.col("tok").alias("w2"))
+    bi = a.join(b, (a["doc_id"] == b["doc_id"]) & (b["ib"] == a["ia"] + 1)).drop(
+        b["doc_id"]
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    uc = bc.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    term = F.floor(
+        -F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    j = bi.join(F.broadcast(bc), ["w1", "w2"]).join(F.broadcast(uc), "w1")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(term).cast("long").alias("neg_logprob_e9"),
+    )
