@@ -3794,3 +3794,67 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("user_id", "id_a", "id_b", "overlap_us")
     )
+
+
+@register(
+    "agg_gini_coefficient",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS rk
+      FROM cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(((2 * CAST(sum(rk * cents) AS HUGEINT)
+                  - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)) * 1000000)
+                // (count(*) * CAST(sum(cents) AS HUGEINT)) AS BIGINT)
+             AS gini_e6
+    FROM ranked
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the concentration
+    diagnostic behind "do 20% of sources contribute 80% of tokens"
+    questions in corpus curation, computed EXACTLY in integers:
+    revenue in cents BIGINT, ranks from the two-phase distributed
+    ``ordered_prefix`` (id tiebreak — ties in cents make rank·cents
+    order-dependent otherwise... with equal cents any rank permutation
+    gives the same Σrk·x, but the id tiebreak also makes the rank
+    column itself reproducible), and the closed form
+    ``gini = (2·Σ rk·xᵢ − (n+1)·Σx) / (n·Σx)`` emitted as the e6-scaled
+    integer quotient — numerator ≈ 2·n·max_cents·n fits in the DECIMAL
+    the multiplication promotes to on the Spark side and HUGEINT on the
+    oracle side, so no float enters the computation at all."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = ordered_prefix(
+        cust, [F.col("cents").asc(), F.col("o_custkey").asc()], rank_col="rk"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("__s"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("__s")
+        - (F.col("n_customers") + 1).cast("decimal(38,0)")
+        * F.col("total_cents")
+    ) * F.lit(1_000_000)
+    den = F.col("n_customers").cast("decimal(38,0)") * F.col("total_cents")
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        F.floor(num / den).cast("long").alias("gini_e6"),
+    )

@@ -962,3 +962,50 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum(term).cast("long").alias("neg_logprob_e9"),
     )
+
+
+@register(
+    "text_chunk_overlap",
+    """
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(CAST(ceil((length(text) - 64) / 448.0) AS BIGINT), 1)
+               AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(length(text[i * 448 + 1 : i * 448 + 512]) AS BIGINT)
+             AS chunk_len,
+           md5(text[i * 448 + 1 : i * 448 + 512]) AS chunk_md5
+    FROM p, unnest(range(0, n_chunks)) AS t(i)
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the standard document →
+    training-sample/RAG-passage splitter: 512-char chunks advancing by
+    448 (64-char overlap so no sentence is lost on a boundary). Chunk
+    count is ``max(ceil((len − overlap)/stride), 1)`` — every document
+    yields ≥ 1 chunk and the last chunk is the (possibly short) tail.
+    Entirely built-in HOFs (sequence → explode → substring): one scan,
+    no shuffle, cardinality = Σ n_chunks; chunk content is pinned
+    cross-engine by its md5. The chunk grid is 1-based-inclusive
+    identical on both engines (``substr(text, i·448+1, 512)`` ↔
+    ``text[i·448+1 : i·448+512]``)."""
+    d = read_table(spark, sf_dir, "documents")
+    size, stride, overlap = 512, 448, 64
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - overlap) / F.lit(float(stride))).cast("long"),
+        F.lit(1),
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    chunked = d.select("doc_id", "text", idx)
+    chunk = F.col("text").substr(
+        (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(size)
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

@@ -200,3 +200,43 @@ def test_winnowing_short_documents(spark):
     out = {r["doc_id"]: r for r in fp.collect()}
     assert out[1]["n"] == 1 and len(out[1]["fps"]) == 1
     assert out[2]["n"] == 2 and len(out[2]["fps"]) == 1  # 2 grams < w → min of all
+
+
+def test_chunk_overlap_boundaries(spark, tmp_path):
+    """Chunk grid edges: short docs yield one whole-text chunk; adjacent
+    chunks overlap by exactly 64 chars; the tail chunk may be short but
+    is never empty; coverage is complete (concatenation of stride
+    prefixes + last chunk reconstructs the text)."""
+    from pyspark.sql import Row
+
+    from datamodel_clinicaldata_spark.queries_text import text_chunk_overlap
+
+    texts = {
+        1: "short doc",                 # < size → 1 chunk
+        2: "x" * 512,                   # exactly one window → 1 chunk
+        3: "a" * 513,                   # one past → 2 chunks (tail 65)
+        4: "".join(chr(97 + i % 26) for i in range(1500)),
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v, lang="en", n_chars=len(v), source="t")
+         for k, v in texts.items()]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = text_chunk_overlap(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_len"] == 9
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 512
+    assert len(by_doc[3]) == 2
+    assert by_doc[3][1]["chunk_len"] == 513 - 448  # tail = 65 incl. overlap
+    import hashlib
+    import math
+
+    for k, text in texts.items():
+        n_expected = max(math.ceil((len(text) - 64) / 448), 1)
+        assert len(by_doc[k]) == n_expected
+        for i, r in by_doc[k].items():
+            want = text[i * 448 : i * 448 + 512]
+            assert r["chunk_len"] == len(want)
+            assert r["chunk_md5"] == hashlib.md5(want.encode()).hexdigest()
