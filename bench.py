@@ -112,9 +112,12 @@ HEADLINE = [
     "events_rfm_scores",
     "timeseries_holt_smoothing",
     # round 7 late additions: exactly-once binned overlap join, bigram
-    # conditional-LM scoring (posexplode self-join + broadcast dims)
+    # conditional-LM scoring (posexplode self-join + broadcast dims),
+    # overlap chunking (explode-heavy scan), exact-integer Gini
     "join_interval_overlap",
     "text_bigram_logprob",
+    "text_chunk_overlap",
+    "agg_gini_coefficient",
 ]
 
 
