@@ -897,3 +897,65 @@ def dedup_algorithms_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_prefix"),
         F.coalesce(F.min("__m") == 7, F.lit(True)).alias("all_equal"),
     )
+
+
+@register(
+    "dedup_boilerplate_chunks",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil((length(text) - 32) / 96.0) AS BIGINT), 1)
+               AS n_chunks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, md5(text[i * 96 + 1 : i * 96 + 128]) AS chunk_md5
+      FROM p, unnest(range(0, n_chunks)) AS t(i)
+    )
+    SELECT chunk_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level duplication — the boilerplate/template detector that
+    document-level dedup cannot see: two distinct documents sharing a
+    verbatim 512-char block (headers, license banners, navigation
+    chrome) surface here even when their overall similarity is low.
+    Same grid mechanics as ``text_chunk_overlap`` but FINER (128-char
+    windows, stride 96): a detector wants blocks small enough to
+    isolate a repeated banner inside otherwise-distinct text — at the
+    512-char packing grid this corpus shows 1 duplicated chunk at
+    sf0.01 where the 128-char grid shows 50 (and 515 at sf0.1), so the
+    finer grid is what keeps every branch of the query data-exercised.
+    Keyed by chunk md5: one explode + one 16-byte-digest groupBy — at
+    corpus scale this is the exact-dedup shuffle shape applied to
+    chunks, and the survivors (n_copies ≥ 2) are precisely the blocks a
+    curation pass strips before training."""
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    size, stride, overlap = 128, 96, 32
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - overlap) / F.lit(float(stride))).cast("long"),
+        F.lit(1),
+    )
+    chunked = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+    )
+    chunk_md5 = F.md5(
+        F.col("text").substr((F.col("i") * stride + 1).cast("int"), F.lit(size))
+    )
+    return (
+        chunked.select("doc_id", chunk_md5.alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
