@@ -334,17 +334,30 @@ def main() -> None:
     # Compact ~1 KB summary as the VERY last stdout line (verdict r6 #6):
     # keeps the driver-required keys (metric/value/unit/queries/sf) while
     # dropping the bulky diagnostics so even a short tail capture parses.
+    # r7 post-mortem: the "compact" line still carried the full 59-entry
+    # per-query dict (~2.4 KB) and the driver's tail window truncated its
+    # HEAD for the fourth round running.  The final line must be genuinely
+    # <= 1 KB: per-query medians live in bench_out.json; here we keep only
+    # the 5 most expensive rows (2-decimal) so the record still names the
+    # hot spots.  An assertion guards the budget so a future edit cannot
+    # silently regrow the line.
     flagship = medians.get("clinical_cohort_week")
+    top5 = dict(
+        sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     compact = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": round(total, 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: round(v, 2) for n, v in top5.items()},
         "sf": out["sf"],
-        "flagship_median": flagship,
+        "flagship_median": round(flagship, 3) if flagship is not None else None,
         "n_queries": len(timings),
+        "full_record": "bench_out.json",
     }
-    print(json.dumps(compact), flush=True)
+    line = json.dumps(compact)
+    assert len(line) <= 1024, f"compact bench line too long: {len(line)}B"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ Design (the 100 TB shape):
 
 from __future__ import annotations
 
+import decimal
 from collections.abc import Iterator
 
 import pandas as pd
@@ -148,7 +149,10 @@ def decode_audio_wav(
             T.StructField("bits_per_sample", T.LongType()),
             T.StructField("n_frames", T.LongType()),
             T.StructField("duration_ms", T.LongType()),
-            T.StructField("sum_sq", T.LongType()),
+            # decimal(38,0), not long: the exact sum of 32-bit-PCM squares
+            # (each up to 2^62) exceeds int64 after just two full-scale
+            # samples; 10^38 headroom covers ~10^13 samples at full scale.
+            T.StructField("sum_sq", T.DecimalType(38, 0)),
             T.StructField("peak_abs", T.LongType()),
             T.StructField("decode_error", T.StringType()),
         ]
@@ -169,9 +173,22 @@ def decode_audio_wav(
                     rows["duration_ms"].append(
                         (n_frames * 1000) // rate if rate else 0
                     )
-                    rows["sum_sq"].append(int((samples * samples).sum()))
+                    # Exact integer sum of squares without int64-accumulator
+                    # wrap (ADVICE r7): for 32-bit PCM each square reaches
+                    # 2^62, so two near-full-scale samples overflow a naive
+                    # int64 sum.  Each square individually fits int64
+                    # (|s| <= 2^31 -> s*s <= 2^62); split it into 32-bit
+                    # halves, sum the halves in uint64 (safe to 2^32
+                    # terms), and recombine with Python ints — exact for
+                    # every PCM width, still fully vectorized.
+                    s64 = samples.astype(np.int64, copy=False)
+                    sq = s64 * s64
+                    ssum = (int((sq >> 32).sum(dtype=np.uint64)) << 32) + int(
+                        (sq & 0xFFFFFFFF).sum(dtype=np.uint64)
+                    )
+                    rows["sum_sq"].append(decimal.Decimal(ssum))
                     rows["peak_abs"].append(
-                        int(np.abs(samples).max()) if len(samples) else 0
+                        int(np.abs(s64).max()) if len(samples) else 0
                     )
                     rows["decode_error"].append(None)
                 except (ValueError, NotImplementedError) as e:

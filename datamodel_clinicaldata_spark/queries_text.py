@@ -939,8 +939,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum, so accumulation order cannot move the result (a float
     sum of ~100 ln terms is order-sensitive; an integer sum is not).
     Plan: one posexplode → self-join on adjacent positions (equi-join
-    on (doc, pos), no window) → broadcast-joinable bigram/context count
-    dims → one per-doc aggregate."""
+    on (doc, pos), no window) → bigram/context count dims joined WITHOUT
+    a broadcast hint (ADVICE r7): the bigram table's cardinality is the
+    corpus's distinct-bigram count, which at the 100 TB shape is not
+    driver-broadcastable — AQE picks broadcast when the dim is actually
+    small and a shuffle hash join on (w1, w2) otherwise — → one per-doc
+    aggregate."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -957,7 +961,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000_000
         + F.lit(0.5)
     ).cast("long")
-    j = bi.join(F.broadcast(bc), ["w1", "w2"]).join(F.broadcast(uc), "w1")
+    j = bi.join(bc, ["w1", "w2"]).join(uc, "w1")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum(term).cast("long").alias("neg_logprob_e9"),

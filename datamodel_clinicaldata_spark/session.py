@@ -14,6 +14,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~60% of MemAvailable), floored at 2g.
+
+    Reads /proc/meminfo (Linux); on other platforms or parse failure,
+    falls back to the 48g bench-host default.
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, (avail_gb * 6) // 10))}g"
+    except OSError:
+        pass
+    return "48g"
+
+
 def get_spark(
     app_name: str = "datamodel_clinicaldata_spark",
     master: str | None = None,
@@ -66,9 +83,15 @@ def get_spark(
         # local[N] runs executors INSIDE the driver JVM, so this one heap
         # serves all N task threads: 8g across 32 tasks (250 MB each) OOM'd
         # the 50M-row scale probe after a bench's worth of checkpoint
-        # blocks. 48g on the 128 GiB box ≈ 1.5 GB/task — the same ratio
-        # a real cluster's executors would get.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # blocks. Default = min(48g, ~60% of MemAvailable) so the bench
+        # host gets its 48g ≈ 1.5 GB/task (the ratio a real cluster's
+        # executors would get) while a smaller / cgroup-limited machine
+        # gets a heap the OS can actually back instead of an OOM-kill
+        # (ADVICE r7). SPARK_GRAFT_DRIVER_MEM overrides unconditionally.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -157,6 +157,26 @@ def test_decode_audio_wav_8bit_stereo(spark):
     assert r["decode_error"] is None
 
 
+def test_decode_audio_wav_pcm32_sum_sq_exceeds_int64(spark):
+    """ADVICE r7 regression: 32-bit PCM squares reach 2^62, so a naive
+    int64 accumulator wraps after two near-full-scale samples. The sum
+    must be EXACT (schema is decimal(38,0)) — here it is 3 * 2^62 + 1,
+    which does not even fit in int64."""
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_audio_wav
+
+    samples = [-(2**31), 2**31 - 1, -(2**31), 1]
+    expected = sum(s * s for s in samples)
+    assert expected > 2**63 - 1  # the naive-int64 trap is actually armed
+    df = spark.createDataFrame(
+        [Row(media_id=9, content=bytearray(_wav_bytes(samples, bits=32)))]
+    )
+    r = decode_audio_wav(df).collect()[0]
+    assert r["bits_per_sample"] == 32
+    assert int(r["sum_sq"]) == expected
+    assert r["peak_abs"] == 2**31
+    assert r["decode_error"] is None
+
+
 def test_decode_audio_wav_dirty_blobs_tagged_not_fatal(spark):
     from datamodel_clinicaldata_spark.operators.multimodal import decode_audio_wav
 
