@@ -146,6 +146,43 @@ def test_doc_and_comment_edits_stale_nothing():
     assert _digest("query_b", BASE) == _digest("query_b", edited)
 
 
+HELPER2 = "datamodel_clinicaldata_spark/operators/fakeops2.py"
+
+
+def test_helper_to_helper_edit_stales_reaching_query():
+    """ADVICE r7 fixpoint pin: helper1.f calls helper2.g (both imported
+    by the query module) — an edit to helper2.g must stale the query
+    that reaches it through helper1, and only that query."""
+    main = MODULE.replace(
+        "from datamodel_clinicaldata_spark.operators.fakeops import used_directly",
+        "from datamodel_clinicaldata_spark.operators.fakeops import used_directly\n"
+        "from datamodel_clinicaldata_spark.operators.fakeops2 import deep_fn",
+    )
+    helpers1 = HELPERS.replace(
+        "return used_transitively(x)", "return deep_fn(used_transitively(x))"
+    )
+    base = {MAIN: main, HELPER: helpers1, HELPER2: "def deep_fn(x):\n    return x\n"}
+    edited = dict(base)
+    edited[HELPER2] = "def deep_fn(x):\n    return x + 1\n"
+    assert _digest("query_b", base) != _digest("query_b", edited)
+    assert _digest("query_a", base) == _digest("query_a", edited)
+
+
+def test_helper_only_imported_by_helper_is_digested():
+    """Transitive-import pin: helper2 is imported ONLY by helper1 (the
+    query module never names it) — an edit there must still stale the
+    query reaching it through helper1's kept slice."""
+    helpers1 = HELPERS.replace(
+        "import os",
+        "from datamodel_clinicaldata_spark.operators.fakeops2 import deep_fn",
+    ).replace("return used_transitively(x)", "return deep_fn(used_transitively(x))")
+    base = {MAIN: MODULE, HELPER: helpers1, HELPER2: "def deep_fn(x):\n    return x\n"}
+    edited = dict(base)
+    edited[HELPER2] = "def deep_fn(x):\n    return x * 3\n"
+    assert _digest("query_b", base) != _digest("query_b", edited)
+    assert _digest("query_a", base) == _digest("query_a", edited)
+
+
 def test_missing_main_module_is_none():
     assert _digest("query_a", {HELPER: HELPERS}) is None
 

@@ -68,6 +68,13 @@ def _green_rev(corr_path: str) -> str | None:
     rel = os.path.relpath(corr_path, REPO)
     touch = _git("log", "-1", "--format=%H", "--", rel)
     if not touch:
+        # Driver artifacts from the in-progress round sit uncommitted in
+        # the worktree until the round-close commit; the tree the driver
+        # evaluated is HEAD, not "unknown" (VERDICT r7 #3) — without this
+        # fallback every name in an uncommitted CORRECTNESS file was
+        # conservatively staled.
+        if os.path.exists(corr_path):
+            return _git("rev-parse", "HEAD")
         return None
     parent = _git("rev-parse", f"{touch}^")
     return parent or touch
@@ -238,17 +245,47 @@ def _digest_from_texts(fn_name: str, main_path: str, get_text) -> str | None:
         h.update(text.encode())
 
     add(main_path, main_kept)
-    seen = {main_path}
+
+    # Helper fixpoint (ADVICE r7): a kept helper slice's own closure is
+    # fed back as seeds and that helper's imports join the candidate set,
+    # so helper1.f -> helper2.g chains (and helpers imported only by
+    # helpers) are digested too — previously a one-hop reduction could
+    # leave a green digest unchanged under a transitively-reached edit
+    # (under-staling, the unsafe direction). Iterates until neither the
+    # closure nor the candidate list grows; helper slices are added in
+    # sorted-path order so the digest is insertion-order-independent.
+    cl = closure - {fn_name}
+    candidates: list[str] = []
     for p in _import_paths(main_text):
-        if p in seen:
-            continue
-        seen.add(p)
-        helper_text = get_text(p)
-        if helper_text is None:
-            continue
-        kept, _ = _reachable_slice(helper_text, closure - {fn_name})
-        if kept.strip():
-            add(p, kept)
+        if p != main_path and p not in candidates:
+            candidates.append(p)
+    texts: dict[str, str | None] = {}
+    kept_slices: dict[str, str] = {}
+    changed = True
+    while changed:
+        changed = False
+        for p in list(candidates):
+            if p not in texts:
+                texts[p] = get_text(p)
+            helper_text = texts[p]
+            if helper_text is None:
+                continue
+            kept, kept_cl = _reachable_slice(helper_text, cl)
+            if not kept.strip():
+                continue
+            if kept_slices.get(p) != kept:
+                kept_slices[p] = kept
+                changed = True
+            new = kept_cl - cl
+            if new:
+                cl |= new
+                changed = True
+            for ip in _import_paths(helper_text):
+                if ip != main_path and ip not in candidates:
+                    candidates.append(ip)
+                    changed = True
+    for p in sorted(kept_slices):
+        add(p, kept_slices[p])
     return h.hexdigest()
 
 
