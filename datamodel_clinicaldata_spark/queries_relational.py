@@ -3008,7 +3008,14 @@ def timeseries_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate identically even on negatives, and DuckDB's ``list_reduce``
     replays the identical integer recurrence (its first-element seed
     matches the fold's null-seeded first step). One shuffle of (key, t,
-    v) triples; final state only, O(1) state per series."""
+    v) triples; the fold ACCUMULATOR is O(1) but the sorted per-series
+    array is O(points-per-key) in one row — a truncating recurrence
+    cannot be segment-pre-folded exactly, so the bound is documented and
+    probed rather than chunked away: the hot-key probe
+    (tools/scale_probe.py probe_hot_key_fold) drives 10⁷ points on ONE
+    key through this exact shape in ~97 s / ~400 MB with the closed-form
+    check green; keys beyond ~10⁷–10⁸ points need the
+    ``operators.folds.cap_series`` guard (flag-and-exclude) upstream."""
     e = read_table(spark, sf_dir, "events")
     rows = e.select(
         "user_id",
@@ -3607,7 +3614,10 @@ def timeseries_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``div 10`` with an explicit math-mod floor (exact-multiple division
     in DECIMAL — the EWMA lesson), seed = (x₀, 0) on both engines
     (DuckDB's first-element seed is the transformed struct). One
-    shuffle of (key, t, v); O(1) state per series."""
+    shuffle of (key, t, v); O(1) ACCUMULATOR but an O(points-per-key)
+    sorted array row per series — same documented bound and hot-key
+    probe as ``timeseries_ewma_fold`` (10⁷-point single key in ~97 s,
+    exact; ``operators.folds.cap_series`` guards beyond that)."""
     e = read_table(spark, sf_dir, "events")
     rows = e.select(
         "user_id",
@@ -3703,7 +3713,10 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     expresses → ``F.aggregate`` fold with a 3-field struct accumulator
     and a proper zero seed; updates read only the PREVIOUS state, so one
     event advances at most one stage. One shuffle of (user, t, stage);
-    O(1) state per user. Oracle replays the greedy as a recursive CTE
+    O(1) accumulator but an O(events-per-user) sorted array row per
+    user — same documented bound and hot-key probe as the EWMA/Holt
+    folds (``operators.folds.cap_series`` guards pathological users).
+    Oracle replays the greedy as a recursive CTE
     (DuckDB's list_reduce both miscomputes struct accumulators and
     cannot seed with a zero element — see the Holt oracle)."""
     e = read_table(spark, sf_dir, "events").filter(

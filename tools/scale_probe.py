@@ -185,12 +185,112 @@ def probe_interval_join(spark, rows: int, partitions: int) -> dict:
     }
 
 
+def probe_hot_key_fold(spark, rows: int, partitions: int) -> dict:
+    """Skew probe for the per-key array recurrences (VERDICT r7 #2):
+    ONE synthetic key holding ``rows`` events driven through the exact
+    collect_list → array_sort → ``F.aggregate`` integer-fold shape of
+    ``timeseries_ewma_fold`` and ``timeseries_holt_smoothing`` — the
+    documented worst case, a single unsplittable series materialized as
+    one array row. Constant input makes both recurrences closed-form
+    ((8v+2v) div 10 == v, so EWMA must end exactly at v; Holt at
+    (v, 0)), so the timing can never come from a wrong fold."""
+    from pyspark.sql import functions as F
+
+    v_const = 123_456_789  # e6-scaled constant; fixed point of both folds
+    base = _synth(spark, rows, partitions).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.struct(
+            F.col("event_id").alias("t"),
+            F.lit(v_const).cast("long").alias("v"),
+            # funnel stages cycle 1→2→3 in time order, so the windowed
+            # greedy must reach depth 3 — its own closed-form check
+            ((F.col("event_id") % 3) + 1).cast("long").alias("s"),
+        ).alias("p"),
+    )
+    per = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.array_sort(F.collect_list("p")).alias("ps"),
+    )
+
+    def idiv10(x):
+        m = ((x % 10) + 10) % 10
+        return ((x - m).cast("decimal(38,0)") / F.lit(10)).cast("long")
+
+    def ewma_step(acc, p):
+        return F.when(acc.isNull(), p["v"]).otherwise(
+            idiv10(8 * acc + 2 * p["v"])
+        )
+
+    def holt_step(acc, p):
+        lvl = idiv10(2 * p["v"] + 8 * (acc["l"] + acc["b"]))
+        trend = idiv10(3 * (lvl - acc["l"]) + 7 * acc["b"])
+        return F.when(
+            acc.isNull(),
+            F.struct(p["v"].alias("l"), F.lit(0).cast("long").alias("b")),
+        ).otherwise(F.struct(lvl.alias("l"), trend.alias("b")))
+
+    big_w = F.lit(1 << 60)
+
+    def funnel_step(acc, p):
+        c1 = F.when(p["s"] == 1, p["t"]).otherwise(acc["c1"])
+        c2 = F.when(
+            (p["s"] == 2) & (acc["c1"] >= 0) & (p["t"] - acc["c1"] <= big_w),
+            F.greatest(acc["c2"], acc["c1"]),
+        ).otherwise(acc["c2"])
+        c3 = F.when(
+            (p["s"] == 3) & (acc["c2"] >= 0) & (p["t"] - acc["c2"] <= big_w),
+            F.greatest(acc["c3"], acc["c2"]),
+        ).otherwise(acc["c3"])
+        return F.struct(c1.alias("c1"), c2.alias("c2"), c3.alias("c3"))
+
+    neg1 = F.lit(-1).cast("long")
+    fun0 = F.struct(neg1.alias("c1"), neg1.alias("c2"), neg1.alias("c3"))
+    funnel = F.aggregate(F.col("ps"), fun0, funnel_step)
+    depth = (
+        F.when(funnel["c3"] >= 0, 3)
+        .when(funnel["c2"] >= 0, 2)
+        .when(funnel["c1"] >= 0, 1)
+        .otherwise(0)
+    )
+
+    t0 = time.time()
+    r = per.select(
+        "n_points",
+        F.aggregate(F.col("ps"), F.lit(None).cast("long"), ewma_step).alias(
+            "ewma"
+        ),
+        F.aggregate(
+            F.col("ps"),
+            F.lit(None).cast("struct<l:bigint,b:bigint>"),
+            holt_step,
+        ).alias("holt"),
+        depth.alias("funnel_depth"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return {
+        "series_points": rows,
+        "sec": round(dt, 2),
+        "points_per_sec": int(rows / dt),
+        "ewma_exact": bool(r["ewma"] == v_const),
+        "holt_exact": bool(
+            r["holt"]["l"] == v_const and r["holt"]["b"] == 0
+        ),
+        "funnel_exact": bool(r["funnel_depth"] == 3),
+        "n_points": int(r["n_points"]),
+    }
+
+
 def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out: dict = {"rows": rows, "partitions": partitions}
     w0, r0 = _shuffle_totals(spark)
     out["prefix_rank"] = probe_prefix_rank(spark, rows, partitions)
     out["sweep_line"] = probe_sweep_line(spark, rows, partitions)
     out["interval_join"] = probe_interval_join(spark, rows, partitions)
+    # Hot-key fold at rows/5 points on ONE key (10M at the default 50M):
+    # the skew worst case for the per-key array recurrences.
+    out["hot_key_fold"] = probe_hot_key_fold(
+        spark, max(rows // 5, 1_000_000), partitions
+    )
     w1, r1 = _shuffle_totals(spark)
     out["shuffle_write_bytes"] = w1 - w0
     out["shuffle_read_bytes"] = r1 - r0
