@@ -11,13 +11,15 @@ Design (the 100 TB shape):
 - Feature extraction = ``mapInPandas`` over the pruned projection
   (media_id + content only — column pruning matters more than usual when
   one column is megabytes wide).
-- UNCOMPRESSED container decode is REAL: ``decode_audio_wav`` parses
-  RIFF/WAV headers + PCM frames (8/16/32-bit) and ``decode_image_bmp``
-  parses BMP headers + BI_RGB pixel rows (8/24/32-bpp, bottom-up and
-  top-down), both pure Python/numpy inside the same Arrow-batched
-  ``mapInPandas``. Only COMPRESSED codecs (JPEG/PNG/MP3/…) remain
-  stubbed: those libraries are not in this container, so
-  ``decode_image`` raises NotImplementedError unless PIL is importable.
+- Container decode is REAL where stdlib suffices: ``decode_audio_wav``
+  parses RIFF/WAV headers + PCM frames (8/16/32-bit),
+  ``decode_image_bmp`` parses BMP headers + BI_RGB pixel rows
+  (8/24/32-bpp, bottom-up and top-down), and ``decode_image_png``
+  decodes PNG (chunk walk + stdlib zlib inflate + all five scanline
+  filters + palette), all pure Python/numpy inside the same
+  Arrow-batched ``mapInPandas``. Only entropy-coded codecs with no
+  stdlib decoder (JPEG/MP3/…) remain stubbed: ``decode_image`` raises
+  NotImplementedError unless PIL is importable.
   Every other operator computes real, deterministic byte-level features
   (histogram, RMS energy, frame slicing) so the full Spark plumbing —
   schema, batching, explode cardinality, partition parallelism — is
@@ -68,19 +70,20 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """COMPRESSED image decode (JPEG/PNG) — requires PIL, which this
+    """ENTROPY-CODED image decode (JPEG) — requires PIL, which this
     environment does not ship. The plumbing (Arrow batch → PIL → pixel
     array) is what a cluster with the codec installed would run; here it
-    raises so callers fall back to ``decode_image_bmp`` (real,
-    uncompressed) or ``byte_histogram`` features."""
+    raises so callers fall back to ``decode_image_png`` /
+    ``decode_image_bmp`` (real, stdlib-only) or ``byte_histogram``
+    features."""
     try:
         import PIL  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "compressed image codec libraries are not available in this "
-            "environment; decode_image_bmp handles uncompressed BMP for "
-            "real, and byte_histogram/frame_sample give deterministic "
-            "features for anything else"
+            "entropy-coded codec libraries (JPEG/MP3) are not available in "
+            "this environment; decode_image_png and decode_image_bmp decode "
+            "PNG/BMP for real with stdlib only, and byte_histogram/"
+            "frame_sample give deterministic features for anything else"
         ) from e
     raise NotImplementedError("real decode path reserved for codec-enabled clusters")
 
@@ -268,6 +271,17 @@ def decode_image_bmp(
     channel sums as exact integers, px_md5 over the row-major RGB bytes
     so two engines can compare decoded content without floats. Dirty or
     compressed blobs produce a tagged NULL row, never a failed batch."""
+    return _image_stats_decode(media, _parse_bmp, id_col, content_col)
+
+
+def _image_stats_decode(
+    media: DataFrame, parse_fn, id_col: str, content_col: str
+) -> DataFrame:
+    """Shared Arrow-batched decode frame for the pure-Python image
+    parsers (BMP, PNG): parse each blob to an HxWxC uint8 array, emit
+    exact integer channel sums + an md5 over the row-major RGB bytes so
+    two engines compare decoded content without floats. Dirty or
+    unsupported blobs produce a tagged NULL row, never a failed batch."""
     import hashlib
 
     schema = T.StructType(
@@ -291,15 +305,17 @@ def decode_image_bmp(
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 rows[id_col].append(mid)
                 try:
-                    w, h, c, px = _parse_bmp(bytes(blob))
+                    w, h, c, px = parse_fn(bytes(blob))
                     rgb = px[:, :, :3]
+                    n_have = rgb.shape[2]  # gray=1 / gray+alpha=2 PNGs
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["channels"].append(c)
                     rows["n_px"].append(w * h)
-                    rows["sum_r"].append(int(rgb[:, :, 0].sum()))
-                    rows["sum_g"].append(int(rgb[:, :, 1].sum()))
-                    rows["sum_b"].append(int(rgb[:, :, 2].sum()))
+                    for i, col in enumerate(("sum_r", "sum_g", "sum_b")):
+                        rows[col].append(
+                            int(rgb[:, :, i].sum()) if i < n_have else None
+                        )
                     rows["px_md5"].append(
                         hashlib.md5(rgb.tobytes()).hexdigest()
                     )
@@ -320,6 +336,127 @@ def decode_image_bmp(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, content_col).mapInPandas(decode, schema)
+
+
+def _parse_png(b: bytes):
+    """Pure-Python PNG decode → (width, height, channels, HxWxC uint8
+    pixel ndarray) using only stdlib ``zlib`` + ``struct`` + numpy:
+    chunk walk, IHDR parse, IDAT concat + inflate, per-scanline
+    unfilter (all five filter types; Sub vectorized as a per-lane
+    cumsum, Up fully vectorized), palette expansion to RGB. Supports
+    bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), interlace 0. Raises ValueError on malformed
+    input, NotImplementedError on other depths / Adam7 interlacing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * n_ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    cur = raw[:, 1:].astype(np.int64)
+    out = np.zeros((height, stride), dtype=np.int64)
+    bpp = n_ch  # bytes per pixel at depth 8
+    for y in range(height):
+        f = int(filters[y])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        row = cur[y]
+        if f == 0:
+            out[y] = row & 0xFF
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = row.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                out[y] = (np.cumsum(lanes, axis=0) % 256).reshape(stride)
+            else:  # unreachable at depth 8, kept for safety
+                acc = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = acc[x - bpp] if x >= bpp else 0
+                    acc[x] = (row[x] + a) & 0xFF
+                out[y] = acc
+        elif f == 2:  # Up
+            out[y] = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[y, x - bpp] if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + int(prev[x]) - c
+                pa, pb, pc = abs(p - a), abs(p - int(prev[x])), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = int(prev[x])
+                else:
+                    pred = c
+                out[y, x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    px = out.astype(np.uint8).reshape(height, width, n_ch)
+    if color_type == 3:
+        idx = px.reshape(height, width)
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return width, height, 3, plte[idx]
+    return width, height, n_ch, px
+
+
+def decode_image_png(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL compressed-image decode with ZERO non-stdlib dependencies:
+    PNG chunk walk + zlib inflate + scanline unfilter (``_parse_png``),
+    pure Python/numpy inside the same Arrow-batched ``mapInPandas``
+    frame as ``decode_image_bmp`` — identical output schema (exact
+    integer channel sums + px_md5), so the two formats are
+    interchangeable downstream. Narrows the remaining codec stub to
+    JPEG/MP3 (entropy coders with no stdlib decoder)."""
+    return _image_stats_decode(media, _parse_png, id_col, content_col)
 
 
 def byte_histogram(

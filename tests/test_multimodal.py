@@ -123,6 +123,167 @@ def _bmp_bytes(px_rows, bpp=24, top_down=False):
     return hdr + dib + body
 
 
+def _png_bytes(px_rows, color_type=2, filters=None, palette=None):
+    """Minimal PNG writer (stdlib only): px_rows is HxW of per-pixel
+    tuples (or palette indices for color_type 3). ``filters`` picks the
+    per-scanline filter type (default all 0); the writer APPLIES the
+    filter so the stored bytes exercise the reader's unfilter path."""
+    import struct
+    import zlib
+
+    h, w = len(px_rows), len(px_rows[0])
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    filters = filters or [0] * h
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    def flat(row):
+        out = []
+        for px in row:
+            out.extend(px if isinstance(px, (tuple, list)) else (px,))
+        return out
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = w * n_ch
+    recon = [[0] * stride for _ in range(h)]
+    raw = b""
+    for y in range(h):
+        recon[y] = flat(px_rows[y])
+        f = filters[y]
+        prev = recon[y - 1] if y else [0] * stride
+        line = []
+        for x in range(stride):
+            a = recon[y][x - n_ch] if x >= n_ch else 0
+            c = prev[x - n_ch] if x >= n_ch else 0
+            if f == 0:
+                v = recon[y][x]
+            elif f == 1:
+                v = recon[y][x] - a
+            elif f == 2:
+                v = recon[y][x] - prev[x]
+            elif f == 3:
+                v = recon[y][x] - ((a + prev[x]) >> 1)
+            else:
+                v = recon[y][x] - paeth(a, prev[x], c)
+            line.append(v & 0xFF)
+        raw += bytes([f]) + bytes(line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    out += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_image_png_rgb_all_filters(spark):
+    """Every scanline filter type (0..4) on one RGB image; channel sums
+    and dimensions must match the pre-filter pixels exactly."""
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_image_png
+
+    px = [
+        [((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 7) % 256) for x in range(6)]
+        for y in range(5)
+    ]
+    blob = _png_bytes(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame([Row(media_id=1, content=bytearray(blob))])
+    r = decode_image_png(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (6, 5, 3)
+    assert r["n_px"] == 30
+    assert r["sum_r"] == sum(p[0] for row in px for p in row)
+    assert r["sum_g"] == sum(p[1] for row in px for p in row)
+    assert r["sum_b"] == sum(p[2] for row in px for p in row)
+    assert r["decode_error"] is None
+
+
+def test_decode_image_png_matches_bmp_pixels(spark):
+    """The SAME pixels through PNG and BMP decode must agree on px_md5 —
+    the cross-format pin that both parsers reconstruct identical RGB."""
+    from datamodel_clinicaldata_spark.operators.multimodal import (
+        decode_image_bmp,
+        decode_image_png,
+    )
+
+    px = [[(x * 19 % 256, y * 23 % 256, (x + y) % 256) for x in range(4)] for y in range(3)]
+    png = _png_bytes(px, color_type=2, filters=[4, 1, 3])
+    bmp = _bmp_bytes(px, bpp=24)
+    p = decode_image_png(
+        spark.createDataFrame([Row(media_id=1, content=bytearray(png))])
+    ).collect()[0]
+    b = decode_image_bmp(
+        spark.createDataFrame([Row(media_id=1, content=bytearray(bmp))])
+    ).collect()[0]
+    assert p["px_md5"] == b["px_md5"]
+    assert (p["sum_r"], p["sum_g"], p["sum_b"]) == (
+        b["sum_r"],
+        b["sum_g"],
+        b["sum_b"],
+    )
+
+
+def test_decode_image_png_palette_gray_rgba(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_image_png
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    pal_png = _png_bytes([[0, 1], [2, 1]], color_type=3, palette=pal)
+    gray_png = _png_bytes([[(10,), (20,)], [(30,), (40,)]], color_type=0)
+    rgba_png = _png_bytes(
+        [[(1, 2, 3, 4), (5, 6, 7, 8)]], color_type=6, filters=[1]
+    )
+    rows = [
+        Row(media_id=1, content=bytearray(pal_png)),
+        Row(media_id=2, content=bytearray(gray_png)),
+        Row(media_id=3, content=bytearray(rgba_png)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_image_png(spark.createDataFrame(rows)).collect()
+    }
+    # palette expands to RGB: one red + one blue + two green pixels
+    assert out[1]["channels"] == 3
+    assert (out[1]["sum_r"], out[1]["sum_g"], out[1]["sum_b"]) == (255, 510, 255)
+    # grayscale: 1 channel, sums replicate the single channel? no —
+    # sum_r is channel 0; gray has only channel 0
+    assert out[2]["channels"] == 1
+    assert out[2]["sum_r"] == 100
+    assert out[3]["channels"] == 4
+    assert (out[3]["sum_r"], out[3]["sum_g"], out[3]["sum_b"]) == (6, 8, 10)
+    assert all(out[i]["decode_error"] is None for i in (1, 2, 3))
+
+
+def test_decode_image_png_dirty_and_unsupported_tagged(spark):
+    from datamodel_clinicaldata_spark.operators.multimodal import decode_image_png
+
+    good = _png_bytes([[(9, 9, 9)]], color_type=2)
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte -> Adam7
+    # interlace byte flips invalidate the CRC; the parser ignores CRCs
+    rows = [
+        Row(media_id=1, content=bytearray(b"not a png")),
+        Row(media_id=2, content=bytearray(good[:20])),
+        Row(media_id=3, content=bytearray(interlaced)),
+        Row(media_id=4, content=bytearray(good)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_image_png(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["decode_error"] is not None
+    assert out[2]["decode_error"] is not None
+    assert "interlaced" in out[3]["decode_error"]
+    assert out[4]["decode_error"] is None
+    assert out[4]["sum_r"] == 9
+
+
 def test_decode_audio_wav_pcm16(spark):
     from datamodel_clinicaldata_spark.operators.multimodal import decode_audio_wav
 
