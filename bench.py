@@ -118,6 +118,14 @@ HEADLINE = [
     "text_bigram_logprob",
     "text_chunk_overlap",
     "agg_gini_coefficient",
+    # round 8: BPE merge-pair induction (distinct-word explode + global
+    # top-k), PSI drift diagnostic (single-pass conditional counts),
+    # nucleus top-p curation (shared-window running sum + partition
+    # total), exact median/MAD robust scaling (two rank passes)
+    "text_bpe_merge_pairs",
+    "diag_distribution_drift_psi",
+    "sample_quality_nucleus",
+    "feature_robust_scale",
 ]
 
 

@@ -3890,3 +3890,179 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         F.expr("__num div __den").cast("long").alias("gini_e6"),
     )
+
+
+@register(
+    "diag_distribution_drift_psi",
+    """
+    WITH e AS (
+      SELECT least(greatest(CAST(floor(value / 50) AS BIGINT), 0), 9)
+               AS bin,
+             epoch_us(ts) AS us
+      FROM events
+    ), mid AS (
+      SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS m
+      FROM e
+    ), counts AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN us <= (SELECT m FROM mid)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+             CAST(sum(CASE WHEN us > (SELECT m FROM mid)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      FROM e GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+             CAST(sum(n_second) AS BIGINT) AS t2,
+             CAST(count(*) AS BIGINT) AS b
+      FROM counts
+    )
+    SELECT bin, n_first, n_second,
+           CAST(floor(
+             ((CAST(n_first + 1 AS DOUBLE) / (t1 + b))
+              - (CAST(n_second + 1 AS DOUBLE) / (t2 + b)))
+             * ln((CAST(n_first + 1 AS DOUBLE) / (t1 + b))
+                  / (CAST(n_second + 1 AS DOUBLE) / (t2 + b)))
+             * 1000000000 + 0.5) AS BIGINT) AS psi_term_e9
+    FROM counts CROSS JOIN tot
+    """,
+)
+def diag_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of the event stream — the standard training-vs-serving /
+    week-over-week drift screen: per value bin (width 50, clamped to 10 bins — sized so the
+    testdata populates every bin; see the repo gate-evidence doctrine),
+    the PSI term
+    (p−q)·ln(p/q) with add-one smoothing (no ln(0) on an empty bin).
+    Consumers sum psi_term_e9 for the headline PSI (>0.2e9 ≈ action).
+    Engine-exact by the KL doctrine: each transcendental term quantizes
+    to an e9 BIGINT PER BIN (order-insensitive; the per-bin double
+    expression is one fixed shape on both engines). Single-pass plan:
+    the time midpoint is a 1-row broadcast (min+max in one aggregate,
+    integer `div` halving), bin counts are one map-side-combined
+    groupBy with conditional sums — the two "halves" never scan
+    separately — and the bin/total join is a 10-row broadcast."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("long"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+        F.unix_micros("ts").alias("us"),
+    )
+    mid = e.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("m")
+    )
+    counts = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("us") <= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("us") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_first").cast("long").alias("t1"),
+        F.sum("n_second").cast("long").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("n_first") + 1).cast("double") / (F.col("t1") + F.col("b"))
+    q = (F.col("n_second") + 1).cast("double") / (F.col("t2") + F.col("b"))
+    return j.select(
+        "bin",
+        "n_first",
+        "n_second",
+        F.floor((p - q) * F.log(p / q) * 1_000_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("psi_term_e9"),
+    )
+
+
+@register(
+    "feature_robust_scale",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_e3
+      FROM events
+    ), ranked AS (
+      SELECT event_type, v_e3,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v_e3 ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), med AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n, v_e3 AS median_e3
+      FROM ranked WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT v.event_type, abs(v.v_e3 - med.median_e3) AS d_e3, v.event_id
+      FROM v JOIN med USING (event_type)
+    ), dev_ranked AS (
+      SELECT event_type, d_e3,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d_e3 ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    )
+    SELECT med.event_type, med.n, med.median_e3,
+           dev_ranked.d_e3 AS mad_e3
+    FROM med JOIN dev_ranked USING (event_type)
+    WHERE dev_ranked.rn = (dev_ranked.n + 1) // 2
+    """,
+)
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling statistics per event type: the exact LOWER median
+    and MAD (median absolute deviation) of the e3-quantized value — the
+    outlier-immune (median, MAD) pair robust z-scoring uses where
+    (mean, stddev) would be dragged by heavy tails. Engine-exact by
+    rank doctrine: both medians are the rank-(n+1)//2 element under a
+    total order (value, event_id) — never an interpolating percentile,
+    whose even-count averaging and float interpolation differ across
+    engines. Plan: one shuffle on event_type; the two rank windows are
+    partition-native; the per-group median dim (|event_types| rows)
+    broadcasts back onto the fact for the deviation pass. Two passes
+    over events are inherent to MAD (deviations need the median)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_e3"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v_e3").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "v_e3",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("v_e3").alias("median_e3"),
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("v_e3") - F.col("median_e3")).alias("d_e3"),
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("d_e3").asc(), F.col("event_id").asc()
+    )
+    mad = (
+        dev.select(
+            "event_type",
+            "d_e3",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d_e3").alias("mad_e3"))
+    )
+    return med.join(mad, "event_type").select(
+        "event_type", "n", "median_e3", "mad_e3"
+    )

@@ -1013,3 +1013,56 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("long").alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+@register(
+    "text_bpe_merge_pairs",
+    f"""
+    WITH words AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ), wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM words WHERE length(w) >= 2 GROUP BY 1
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, cnt
+      FROM wc, unnest(range(1, length(w))) AS t(i)
+    ), tot AS (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM pairs GROUP BY 1
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+             AS rank
+    FROM tot ORDER BY rank LIMIT 20
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step's statistics — corpus-wide adjacent
+    symbol-pair counts at the character stage (Sennrich et al.'s
+    tokenizer induction): the top-20 most frequent pairs are exactly the
+    candidates the first merge would pick. The classic
+    vocabulary-induction shape: word frequencies FIRST (|vocab| rows,
+    map-side combined), then pairs explode off the distinct-word table —
+    pair multiplicity within a word times word count, never a re-scan of
+    the corpus per pair. Global top-k via ``topk_ranked`` (TakeOrdered,
+    no single-partition sort); count-desc with pair-asc tie-break makes
+    the rank reproducible. All counts BIGINT; no floats anywhere."""
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
+
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pairs = wc.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    tot = pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("n"))
+    return topk_ranked(
+        tot, [F.col("n").desc(), F.col("pair").asc()], k=20
+    ).select("pair", "n", F.col("rank"))

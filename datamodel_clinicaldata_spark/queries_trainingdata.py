@@ -641,3 +641,66 @@ def sample_per_source_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "rank", F.row_number().over(win).cast("long")
     ).filter(F.col("rank") <= 10)
+
+
+@register(
+    "sample_quality_nucleus",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY n_tokens DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS total_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked
+    WHERE (cum_tokens - n_tokens) * 5 < total_tokens * 4
+    """,
+)
+def sample_quality_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) corpus curation: per source, keep the smallest
+    prefix of documents — longest first — whose cumulative token mass
+    reaches 80% of the source's total (the data-mixing analog of
+    nucleus sampling: cap each source at its head, cut the low-mass
+    tail). Boundary by reduced-fraction integer cross-multiply (repo
+    pareto doctrine): a row is kept iff the mass BEFORE it is strictly
+    under 4/5 of the total — ``(cum − n)·5 < total·4`` in BIGINT, no
+    float share ever computed — so the crossing row itself is kept and
+    the cut is reproducible across engines. Plan: one scan, one
+    shuffle on source, two frames over the SAME partition+sort (the
+    running sum and the partition total share one window exchange);
+    partition-native — no global ordering anywhere."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    order = [F.col("n_tokens").desc(), F.col("doc_id").asc()]
+    run = Window.partitionBy("source").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(run).cast("long").alias("cum_tokens"),
+        F.sum("n_tokens").over(tot).cast("long").alias("total_tokens"),
+    )
+    return ranked.filter(
+        (F.col("cum_tokens") - F.col("n_tokens")) * 5
+        < F.col("total_tokens") * 4
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")

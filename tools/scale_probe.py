@@ -280,6 +280,178 @@ def probe_hot_key_fold(spark, rows: int, partitions: int) -> dict:
     }
 
 
+def probe_dedup(spark, n_docs: int, partitions: int) -> dict:
+    """Dedup-family probe at ≥1M synthetic documents (VERDICT r7 #6):
+    the largest direct dedup measurement was sf0.1 (~4k docs); this
+    drives ``exact_dedup_groups``, the MinHash BANDING stage (signature
+    → band explode → bucket candidates), and the winnowing postings
+    join at corpus scale, each with a planted-structure exactness check.
+
+    Corpus (fully Spark-side, zero fixtures): n_docs docs in groups of
+    4 (gid = doc_id % G, G = n_docs/4), 18 shared pseudo-words per
+    group from xxhash64(gid, j) over a 30k vocab, plus a salt word —
+    UNIQUE per doc for even gids (near-dup groups: 18/19 words shared),
+    constant WITHIN the group for odd gids (exact-dup groups; per-group
+    rather than global — a single global salt word is an 8-char gram in
+    every odd doc, i.e. planted boilerplate that turns the postings join
+    quadratic: measured 39.5M pairs at 100k docs before the fix, 0.16M
+    after. Corpus-wide boilerplate is exactly what the separate
+    boilerplate-chunk detector handles; this probe measures the
+    postings JOIN). Closed
+    forms: distinct texts == G/2 + n_docs/2; every within-odd-gid pair
+    (6 per group) MUST surface as a candidate in both the banding stage
+    (identical text → identical signature → every band collides) and
+    the winnowing postings join (identical text → identical fingerprint
+    set) — planted recall strictly 1.0 or the probe fails."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.functions.text import (
+        gram_hashes,
+        winnow_from_hashes,
+    )
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        _pairs_from_postings,
+        exact_dedup_groups,
+        minhash_signature,
+    )
+
+    n_docs -= n_docs % 8  # G = n_docs/4 must be even for the parity split
+    grp = n_docs // 4
+    gid = F.col("doc_id") % grp
+    # Words are 8-hex-char tokens (md5 of a vocab index). Two degenerate
+    # corpus designs measured before landing on this one: (a) "w123"
+    # digit words — 8-grams spanning boundaries collide on shared digit
+    # fragments (29.7M spurious postings pairs at 100k docs); (b) a 30k
+    # vocab — winnowing's min-selection picks the corpus-wide
+    # SMALLEST-hash word-grams in every doc containing them (~60 docs
+    # per word at 100k docs), i.e. quadratic buckets by construction
+    # (43M pairs). A 10^8 vocab makes cross-group word sharing
+    # birthday-rare, so pair volume measures the planted structure and
+    # the join machinery, not a degenerate corpus.
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(17)),
+        lambda j: F.substring(
+            F.md5(
+                F.pmod(F.xxhash64(gid * 131 + j), F.lit(100_000_000)).cast(
+                    "string"
+                )
+            ),
+            1,
+            8,
+        ),
+    )
+    salt = F.when(
+        gid % 2 == 0, F.concat(F.lit("u"), F.col("doc_id"))
+    ).otherwise(F.concat(F.lit("c"), gid))
+    docs = (
+        _synth(spark, n_docs, partitions)
+        .select(F.col("event_id").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.array_join(F.concat(words, F.array(salt)), " ").alias("text"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out: dict = {"n_docs": n_docs}
+    try:
+        # planted truth: all C(4,2)=6 pairs inside each odd gid
+        planted = _pairs_from_postings(
+            docs.filter(gid % 2 == 1)
+            .groupBy(gid.alias("g"))
+            .agg(F.collect_list("doc_id").alias("ids"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_planted = planted.count()
+
+        t0 = time.time()
+        groups = exact_dedup_groups(docs, "text", "doc_id")
+        agg = groups.agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("n_copies").alias("n_total"),
+        ).collect()[0]
+        dt = time.time() - t0
+        out["exact"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+            "distinct_exact": bool(
+                agg["n_distinct"] == grp // 2 + n_docs // 2
+                and agg["n_total"] == n_docs
+            ),
+        }
+
+        num_hashes, bands = 32, 8
+        r = num_hashes // bands
+        t0 = time.time()
+        banded = docs.select(
+            "doc_id",
+            minhash_signature(F.col("text"), 3, num_hashes).alias("sig"),
+        ).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bh")
+        cand = _pairs_from_postings(
+            banded.groupBy("band", "bh")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_cand = cand.count()
+        missing = planted.join(cand, ["id_a", "id_b"], "left_anti").count()
+        dt = time.time() - t0
+        out["minhash_banding"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+            "candidates": int(n_cand),
+            "candidate_fraction": round(
+                2.0 * n_cand / (n_docs * (n_docs - 1)), 8
+            ),
+            "planted_pairs": int(n_planted),
+            "planted_recall_1": bool(missing == 0),
+        }
+        cand.unpersist()
+
+        t0 = time.time()
+        posts = (
+            docs.withColumn("gh", gram_hashes(F.col("text"), 8))
+            .select(
+                "doc_id",
+                F.explode(winnow_from_hashes(F.col("gh"), 4)).alias("fp"),
+            )
+        )
+        buckets = (
+            posts.groupBy("fp")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= 5000))
+        )
+        wpairs = _pairs_from_postings(buckets).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_wpairs = wpairs.count()
+        wmissing = planted.join(wpairs, ["id_a", "id_b"], "left_anti").count()
+        dt = time.time() - t0
+        out["winnowing_postings"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+            "pairs": int(n_wpairs),
+            "pair_fraction": round(
+                2.0 * n_wpairs / (n_docs * (n_docs - 1)), 8
+            ),
+            "planted_recall_1": bool(wmissing == 0),
+        }
+        wpairs.unpersist()
+        planted.unpersist()
+    finally:
+        docs.unpersist()
+    return out
+
+
 def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out: dict = {"rows": rows, "partitions": partitions}
     w0, r0 = _shuffle_totals(spark)
@@ -291,6 +463,8 @@ def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out["hot_key_fold"] = probe_hot_key_fold(
         spark, max(rows // 5, 1_000_000), partitions
     )
+    # Dedup family at 1M+ docs (rows/50 at the default 50M).
+    out["dedup"] = probe_dedup(spark, max(rows // 50, 1_000_000), partitions)
     w1, r1 = _shuffle_totals(spark)
     out["shuffle_write_bytes"] = w1 - w0
     out["shuffle_read_bytes"] = r1 - r0
