@@ -126,6 +126,11 @@ HEADLINE = [
     "diag_distribution_drift_psi",
     "sample_quality_nucleus",
     "feature_robust_scale",
+    # round 8 late: per-series CUSUM changepoint (three frames over one
+    # partition+sort) and distributed power iteration (exact-integer
+    # X^T(Xv), bounded 64-long pullbacks, final step in-plan)
+    "timeseries_cusum_changepoint",
+    "embedding_top_eigenvector",
 ]
 
 

@@ -4066,3 +4066,78 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mad, "event_type").select(
         "event_type", "n", "median_e3", "mad_e3"
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_e3
+      FROM events
+    ), ranked AS (
+      SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(sum(v_e3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(sum(v_e3) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC)
+    ), s AS (
+      SELECT user_id, k, n, abs(n * cum - k * tot) AS s_abs
+      FROM ranked
+    ), m AS (
+      SELECT user_id, CAST(max(s_abs) AS BIGINT) AS cusum_max FROM s GROUP BY 1
+    )
+    SELECT s.user_id, CAST(s.n AS BIGINT) AS n, m.cusum_max,
+           CAST(min(s.k) AS BIGINT) AS changepoint_k
+    FROM s JOIN m ON m.user_id = s.user_id AND s.s_abs = m.cusum_max
+    GROUP BY 1, 2, 3
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series — the classic mean-shift
+    screen (where did this user's value level move?): the running
+    deviation-from-mean sum S_k = Σ_{i≤k}(v_i − μ), maximized over k.
+    Engine-exact with ZERO floats by clearing the mean's denominator:
+    n·S_k = n·cum_k − k·total is the same argmax, entirely BIGINT
+    (bounded by n²·max|v| ≈ 10¹⁰ at per-user cardinalities; e3
+    quantized values). Deterministic changepoint: max |n·S_k| with the
+    SMALLEST k on ties. Plan: one shuffle on user_id; the running sum,
+    rank, and per-partition totals are three frames over ONE
+    partition+sort; the argmax resolves as a groupBy max + self-join on
+    the (user, max) pair — no second sort."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_e3"),
+    )
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("event_id").asc()
+    )
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("user_id")
+    s = e.select(
+        "user_id",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("v_e3").over(wrun).cast("long").alias("cum"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("v_e3").over(wall).cast("long").alias("tot"),
+    ).select(
+        "user_id",
+        "k",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("tot")).alias(
+            "s_abs"
+        ),
+    )
+    m = s.groupBy("user_id").agg(F.max("s_abs").cast("long").alias("cusum_max"))
+    return (
+        s.join(m, ["user_id"])
+        .filter(F.col("s_abs") == F.col("cusum_max"))
+        .groupBy("user_id", "n", "cusum_max")
+        .agg(F.min("k").cast("long").alias("changepoint_k"))
+        .select("user_id", "n", "cusum_max", "changepoint_k")
+    )

@@ -745,3 +745,123 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "rank long, vec_id long, simq_e6 long, mmr_score_e6 long"
     )
+
+
+def _eig_oracle() -> str:
+    """Unrolled 3-step power-iteration oracle. Each step is the same
+    stanza: exact-integer dot products (per-term floor before the sum),
+    exact HUGEINT norm-square, then the one fixed-shape double
+    expression w/sqrt(n2)*1e6 quantized back to BIGINT."""
+    step = """
+    d{t} AS (
+      SELECT e.v,
+             CAST(list_sum(list_transform(range(1, 65),
+                  j -> CAST(floor(e.v[j] * vl[j] + 0.5) AS BIGINT)))
+                  AS BIGINT) AS d
+      FROM e CROSS JOIN v{p}
+    ), w{t} AS (
+      SELECT j,
+             CAST(sum(CAST(floor(d * v[j] + 0.5) AS BIGINT)) AS BIGINT) AS w
+      FROM d{t} CROSS JOIN unnest(range(1, 65)) AS t(j) GROUP BY j
+    ), n{t} AS (
+      SELECT CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS n2 FROM w{t}
+    )"""
+    nxt = """
+    , v{t} AS (
+      SELECT list(CAST(floor(w / sqrt(CAST(n2 AS DOUBLE)) * 1000000 + 0.5)
+                       AS BIGINT) ORDER BY j) AS vl
+      FROM w{t} CROSS JOIN n{t}
+    )"""
+    sql = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    v0 AS (SELECT list_transform(range(1, 65),
+                                 j -> CAST(1000000 AS BIGINT)) AS vl),"""
+    for t in (1, 2, 3):
+        sql += step.format(t=t, p=t - 1) + (
+            nxt.format(t=t) if t < 3 else ""
+        ) + ("," if t < 3 else "")
+    sql += """
+    SELECT CAST(j AS BIGINT) AS dim,
+           CAST(floor(w / sqrt(CAST(n2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS v_e6
+    FROM w3 CROSS JOIN n3
+    """
+    return sql
+
+
+@register("embedding_top_eigenvector", _eig_oracle())
+def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by distributed
+    power iteration — the X^T(Xv) step every large-scale PCA/spectral
+    pipeline runs: 3 fixed iterations from the all-ones seed over the
+    64-d vectors. Engine-exact iterative numerics by fixed-point
+    doctrine at EVERY cross-row boundary: dot products quantize per
+    term (float×int products up to ~2^52 are exactly representable, so
+    floor is deterministic) and sum as BIGINT (order-insensitive); the
+    norm-square accumulates exactly in DECIMAL(38,0)/HUGEINT; the only
+    float op is the one fixed-shape w/sqrt(n2)·1e6 renormalization,
+    identical IEEE arithmetic on both engines before re-quantizing.
+
+    Scale shape: each iteration is one scan + a 64-group map-side
+    combined aggregate (posexplode ×64, never a |rows|² gram matrix);
+    the first two 64-value iterates are bounded driver pullbacks (the
+    documented centroid doctrine — 64 longs, not data), and the FINAL
+    iteration stays entirely in-plan: norm as a 1-row broadcast
+    cross-join, no action between read and return."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = 64
+
+    def dot_with(v: list[int]):
+        terms = [
+            F.floor(
+                F.element_at(F.col("embedding"), j + 1).cast("double")
+                * F.lit(v[j])
+                + F.lit(0.5)
+            ).cast("long")
+            for j in range(dims)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    def w_frame(v: list[int]) -> DataFrame:
+        d = emb.select(dot_with(v).alias("d"), "embedding")
+        return (
+            d.select("d", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("d") * F.col("x").cast("double") + F.lit(0.5))
+                    .cast("long")
+                )
+                .cast("long")
+                .alias("w")
+            )
+        )
+
+    v = [1_000_000] * dims
+    for _ in range(2):
+        rows = {r["pos"]: r["w"] for r in w_frame(v).collect()}
+        w = [rows[p] for p in range(dims)]
+        norm2 = sum(x * x for x in w)  # exact Python int
+        nrm = math.sqrt(float(norm2))
+        v = [math.floor(x / nrm * 1_000_000 + 0.5) for x in w]
+
+    w3 = w_frame(v)
+    n3 = w3.agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
+    )
+    return w3.crossJoin(F.broadcast(n3)).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(
+            F.col("w").cast("double")
+            / F.sqrt(F.col("n2").cast("double"))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_e6"),
+    )
