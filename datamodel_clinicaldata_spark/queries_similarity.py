@@ -865,3 +865,92 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_e6"),
     )
+
+
+@register(
+    "diag_corr_embedding_length",
+    """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding::DOUBLE[],
+                  t -> CAST(floor(t * t * 1000000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), y AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS y
+      FROM documents
+    ), j AS (
+      SELECT x.x, y.y FROM x JOIN y ON y.doc_id = x.vec_id
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(floor(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS corr_e6
+    FROM s
+    """,
+)
+def diag_corr_embedding_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between a document's embedding energy
+    (squared L2 norm) and its token count — the embedding-sanity screen
+    for "is this encoder just measuring length?" (a high correlation
+    flags degenerate embeddings before they poison similarity dedup).
+    Exact-moments doctrine: per-dimension energies quantize to e6
+    BIGINT before any cross-row sum; the five moment sums accumulate
+    exactly (DECIMAL(38,0)/HUGEINT where squares exceed int64); the
+    correlation itself is ONE fixed-shape double expression over exact
+    integers, quantized to e6 — so the only float arithmetic is
+    bit-identical on both engines. Plan: two narrow scans, one 1:1
+    equi-join on the id, one 1-row aggregate — the moments combine
+    map-side, nothing is ever centered row-by-row (the textbook
+    numerically-unstable two-pass mean-subtraction is unnecessary when
+    the moments are exact integers)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    x = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda t: F.floor(
+                    t.cast("double") * t.cast("double") * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("x"),
+    )
+    y = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("y"),
+    )
+    j = x.join(y, "doc_id")
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(num / den * 1_000_000 + F.lit(0.5)).cast("long").alias("corr_e6"),
+    )
