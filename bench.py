@@ -131,6 +131,10 @@ HEADLINE = [
     # X^T(Xv), bounded 64-long pullbacks, final step in-plan)
     "timeseries_cusum_changepoint",
     "embedding_top_eigenvector",
+    # round 8: SemDeDup within-cluster pairwise dedup (broadcast argmin
+    # assignment + one cid shuffle) and CUBE grouping-sets aggregate
+    "dedup_semantic_semdedup",
+    "agg_cube_nation_segment",
 ]
 
 

@@ -4141,3 +4141,60 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("k").cast("long").alias("changepoint_k"))
         .select("user_id", "n", "cusum_max", "changepoint_k")
     )
+
+
+@register(
+    "agg_cube_nation_segment",
+    """
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(c.c_mktsegment, 'ALL') AS segment,
+           CAST(GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT)
+             AS grp_level,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY CUBE (n.n_name, c.c_mktsegment)
+    """,
+)
+def agg_cube_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (nation × market segment) — all four grouping
+    granularities (cell, per-nation, per-segment, grand total) in ONE
+    aggregation pass, the OLAP cube the grouping-sets cascade
+    (``rollup_time_cascade``) doesn't cover. NULL group keys are
+    coalesced to 'ALL' and the standard GROUPING bitmask travels as an
+    explicit ``grp_level`` column so subtotal rows are distinguishable
+    from a hypothetical literal-'ALL' nation. Account balances quantize
+    to cents BIGINT per row BEFORE the sum (c_acctbal is a double;
+    order-sensitive float sums across grouping sets is the amplifying
+    shape the fixed-point doctrine exists for).
+
+    Scale shape: CUBE expands each row into its 4 grouping-set
+    contributions BEFORE the exchange, but partial aggregation
+    (map-side combine) collapses them to |distinct cells| per grouping
+    set — the shuffle carries ~(25 segments·nations + 25 + 5 + 1) rows
+    per mapper, not 4×N. The nation dim joins broadcast."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.cube("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("c_mktsegment"))
+            .cast("long")
+            .alias("grp_level"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "grp_level",
+            "n_customers",
+            "acctbal_cents",
+        )
+    )

@@ -954,3 +954,139 @@ def diag_corr_embedding_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_docs"),
         F.floor(num / den * 1_000_000 + F.lit(0.5)).cast("long").alias("corr_e6"),
     )
+
+
+_SEMDEDUP_ASSIGN = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cvec
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_inner_product(e.v, s.cvec) /
+                          sqrt(list_inner_product(e.v, e.v) *
+                               list_inner_product(s.cvec, s.cvec)) DESC,
+                          s.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    f"""
+    {_SEMDEDUP_ASSIGN},
+    pairs AS (
+      SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+             floor(list_inner_product(va.v, vb.v) /
+                   sqrt(list_inner_product(va.v, va.v) *
+                        list_inner_product(vb.v, vb.v))
+                   * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN e va ON va.vec_id = x.vec_id
+      JOIN e vb ON vb.vec_id = y.vec_id
+    )
+    SELECT id_b AS vec_id,
+           CAST(cid AS INTEGER) AS cid,
+           CAST(min(id_a) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+           max(cos_sim) AS max_cos
+    FROM pairs WHERE cos_sim >= 0.40
+    GROUP BY id_b, cid
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and comparing pairs ONLY
+    within a cluster — the step that makes embedding-level dedup
+    feasible when all-pairs cosine is quadratic. A vector is dropped
+    when a same-cluster neighbor with a SMALLER id has cosine ≥ 0.40
+    (greedy keep-lowest-id, fully deterministic; the paper keeps the
+    lowest-similarity-to-centroid copy — same mechanism, different
+    tie-break). Output = one row per dropped vector with its cluster,
+    its keeper (min qualifying smaller id), how many qualifying
+    neighbors it had, and the max (quantized) cosine among them.
+
+    Engine-independence: centroid seeding is the SQL-expressible
+    lowest-16-ids scheme shared with ``similarity_ivf_topk`` (whose
+    oracle replays assignment exactly — argmax over raw-double cosine
+    with cid tie-break folds bit-identically on both engines); pair
+    cosines are ``round_fixed`` e6 BEFORE the >= 0.40 predicate.
+    Threshold 0.40 was chosen against this corpus's near-orthogonal
+    distribution (19/11/185 qualifying pairs at sf0.001/0.01/0.1), so
+    both the drop rule and the keeper argmin are exercised.
+
+    Scale shape: assignment is a broadcast argmin (centroids travel,
+    data does not — one narrow projection per row); the pairwise stage
+    shuffles once on cid and is bounded by Σ|cluster|² instead of N².
+    At 100 TB the cluster count grows as ~sqrt(N) (the paper uses 11k
+    clusters for LAION) so per-cluster populations stay bounded;
+    within-cluster candidate fraction here is ~6% of all-pairs. A
+    pathologically hot cluster is the one skew risk — the same cap
+    doctrine as the LSH bucket join (cap + log) applies; at bench
+    scale the 16-cluster join is measured directly."""
+    from datamodel_clinicaldata_spark.functions.vectors import cosine, round_fixed
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        _centroid_array_expr,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    sampled = e.orderBy("vec_id").limit(16).select("embedding").collect()
+    cent = _centroid_array_expr(
+        [list(map(float, r["embedding"])) for r in sampled]
+    )
+
+    def nearest_cid(vec):
+        scored = F.transform(
+            cent,
+            lambda c: F.struct(
+                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, 1)[0]["cid"]
+
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        nearest_cid(F.col("embedding")).cast("int").alias("cid"),
+    )
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cid",
+            "id_a",
+            "id_b",
+            round_fixed(cosine(F.col("__va"), F.col("__vb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.40)
+    )
+    return (
+        pairs.groupBy("id_b", "cid")
+        .agg(
+            F.min("id_a").cast("long").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .select(
+            F.col("id_b").alias("vec_id"),
+            "cid",
+            "keeper_id",
+            "n_dup_neighbors",
+            "max_cos",
+        )
+    )
