@@ -135,6 +135,9 @@ HEADLINE = [
     # assignment + one cid shuffle) and CUBE grouping-sets aggregate
     "dedup_semantic_semdedup",
     "agg_cube_nation_segment",
+    # round 8: single-pass curation funnel + calendar-bounded rolling corr
+    "curation_filter_funnel",
+    "timeseries_rolling_corr",
 ]
 
 

@@ -4198,3 +4198,99 @@ def agg_cube_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_cents",
         )
     )
+
+
+@register(
+    "timeseries_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', ts::DATE) AS day_idx,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day_idx,
+             CAST(count(*) OVER win AS BIGINT) AS n_days,
+             CAST(sum(x) OVER win AS BIGINT) AS sx,
+             CAST(sum(y) OVER win AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+      FROM daily
+      WINDOW win AS (ORDER BY day_idx
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day_idx AS BIGINT) AS day_idx, n_days,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                 AND n_days * syy - sy * sy > 0
+                THEN CAST(floor(
+                       (n_days * sxy - sx * sy) /
+                       sqrt((n_days * sxx - sx * sx)::DOUBLE *
+                            (n_days * syy - sy * sy)::DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)
+                ELSE NULL END AS corr_e6
+    FROM w
+    """,
+)
+def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling Pearson correlation between two event
+    streams (daily click count vs daily purchase count) — the co-moving
+    metric screen (are these signals coupled this week?) behind ops
+    dashboards and feature-drift monitors. Calendar-true: the frame is
+    RANGE over an epoch-day index, so a missing day shrinks the window
+    rather than silently stretching it to 7 rows.
+
+    Engine-exactness: daily counts are BIGINT, so the five rolling
+    moment sums (Σx, Σy, Σx², Σy², Σxy) are exact integers; the only
+    float work is ONE fixed-shape IEEE expression
+    ``num / sqrt(denx·deny)`` over those integers (the correlation-
+    over-exact-moments doctrine shared with
+    ``diag_corr_embedding_length``), e6-quantized. The denominators are
+    cast to double BEFORE their product so BIGINT·BIGINT cannot
+    overflow regardless of per-day volume. Degenerate windows
+    (zero-variance series) emit NULL via the same integer predicate on
+    both engines.
+
+    Scale shape: the corpus-size work is the per-day conditional-count
+    aggregate (map-side combined, shuffles |days| rows); the rolling
+    window runs over the ≤|calendar days| post-agg frame — bounded by
+    the calendar regardless of SF (window_audit BOUNDED_OK), the same
+    justification as ``events_new_vs_returning``."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    win = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    w = daily.select(
+        "day_idx",
+        F.count(F.lit(1)).over(win).cast("long").alias("n_days"),
+        F.sum("x").over(win).cast("long").alias("sx"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("long").alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.floor(
+        num / F.sqrt(denx.cast("double") * deny.cast("double")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return w.select(
+        "day_idx",
+        "n_days",
+        F.when((denx > 0) & (deny > 0), corr).alias("corr_e6"),
+    )

@@ -1066,3 +1066,88 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ranked(
         tot, [F.col("n").desc(), F.col("pair").asc()], k=20
     ).select("pair", "n", F.col("rank"))
+
+
+@register(
+    "curation_filter_funnel",
+    """
+    WITH f AS (
+      SELECT n_chars, lang, text,
+             length(string_split(text, ' ')) AS n,
+             length(list_distinct(string_split(text, ' '))) AS k
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 500
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 500
+                            AND lang = 'en'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 500
+                            AND lang = 'en' AND 2 * k > n
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(count(DISTINCT CASE WHEN n_chars BETWEEN 100 AND 500
+                                       AND lang = 'en' AND 2 * k > n
+                                      THEN md5(substr(text, 1, 16))
+                                 END) AS BIGINT) AS c4
+      FROM f
+    )
+    SELECT CAST(s.i AS INTEGER) AS stage_idx, s.stage,
+           CASE s.i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+                    WHEN 3 THEN c3 ELSE c4 END AS n_surviving
+    FROM a, (VALUES (0, 'total'), (1, 'length_100_500'), (2, 'lang_en'),
+                    (3, 'unique_token_ratio'), (4, 'exact_dedup_prefix16'))
+             s(i, stage)
+    """,
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel — the per-stage survivor report
+    every corpus pipeline publishes (C4 §2 / Gopher A.1 style): length
+    gate → language gate → repetition gate (unique-token ratio, the
+    Gopher "fraction of unique words" filter) → exact dedup on a
+    16-char-prefix key, each stage counted CUMULATIVELY so the funnel
+    reads as documents-surviving-so-far.
+
+    Single-pass shape: all four stage predicates are per-row
+    expressions computed in ONE scan (the repetition ratio uses
+    ``array_distinct`` — a per-row HOF, no token explode and no
+    shuffle), folded by one map-side-combined aggregate; the dedup
+    stage rides the same aggregate as a conditional count-distinct
+    (Spark plans it as a single expand, still one pass over the data).
+    The 1-row wide result unpivots to the tall funnel via ``stack``.
+    Thresholds bisect this corpus at every SF (sf0.01:
+    500→426→186→80→78) so every gate is exercised — integer
+    cross-multiply ``2·k > n`` keeps the ratio predicate exact.
+
+    Scale shape: one scan of the corpus, shuffle traffic = partial-agg
+    rows only (the count-distinct expand shuffles 16-byte digests for
+    funnel survivors, the exact-dedup shuffle shape). At 100 TB this is
+    the cheapest possible funnel: no per-stage rescan, no join."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    k = F.size(F.array_distinct(toks))
+    len_ok = F.col("n_chars").between(100, 500)
+    lang_ok = len_ok & (F.col("lang") == "en")
+    rep_ok = lang_ok & ((2 * k) > n)
+    key = F.md5(F.substring("text", 1, 16))
+    wide = d.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        F.sum(len_ok.cast("long")).cast("long").alias("c1"),
+        F.sum(lang_ok.cast("long")).cast("long").alias("c2"),
+        F.sum(rep_ok.cast("long")).cast("long").alias("c3"),
+        F.count_distinct(F.when(rep_ok, key)).cast("long").alias("c4"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(5, 0, 'total', c0, 1, 'length_100_500', c1,"
+            " 2, 'lang_en', c2, 3, 'unique_token_ratio', c3,"
+            " 4, 'exact_dedup_prefix16', c4)"
+            " AS (stage_idx, stage, n_surviving)"
+        )
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_surviving").cast("long").alias("n_surviving"),
+    )
