@@ -138,6 +138,12 @@ HEADLINE = [
     # round 8: single-pass curation funnel + calendar-bounded rolling corr
     "curation_filter_funnel",
     "timeseries_rolling_corr",
+    # round 8: LOO target encoding (agg-then-broadcast-back, no skewed
+    # window), k-anonymity profile, lag-join ACF, map-only syllable fold
+    "feature_target_encoding",
+    "pii_k_anonymity",
+    "timeseries_autocorr",
+    "text_syllable_complexity",
 ]
 
 

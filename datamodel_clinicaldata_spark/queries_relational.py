@@ -4294,3 +4294,233 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.when((denx > 0) & (deny > 0), corr).alias("corr_e6"),
     )
+
+
+@register(
+    "feature_target_encoding",
+    """
+    WITH o AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT segment,
+             CAST(sum(price_cents) AS HUGEINT) AS seg_sum,
+             CAST(count(*) AS BIGINT) AS seg_n
+      FROM o GROUP BY segment
+    )
+    SELECT o.o_orderkey, o.segment, o.price_cents,
+           CASE WHEN s.seg_n > 1
+                THEN CAST(((s.seg_sum - o.price_cents) * 1000000)
+                          // (s.seg_n - 1) AS BIGINT)
+                ELSE NULL END AS loo_enc_cents_e6
+    FROM o JOIN s USING (segment)
+    """,
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical → numeric feature for gradient-boosted / linear models:
+    each order's segment is encoded as the mean order value of all
+    OTHER orders in that segment, so the row's own target never leaks
+    into its feature (the encoding used at train time; at serving time
+    the full-group mean applies). Exact by construction: prices
+    quantize to cents BIGINT per row, the LOO mean is the integral
+    quotient ((seg_sum − x)·10⁶) div (n−1) — Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero, so the engines agree even on
+    negative-balance corners; the subtraction happens in decimal(38,0)/
+    HUGEINT so the ×10⁶ product cannot overflow at any SF. Singleton
+    groups emit NULL (no other rows to average) via the same integer
+    predicate on both engines.
+
+    Scale shape: one fact⟶dim equi-join (AQE picks broadcast when
+    customer fits), a 5-row per-segment aggregate (map-side combined),
+    and the stats joined back by broadcast — bounded by segment
+    cardinality, not data size. No window over the fact table: a
+    PARTITION BY segment window would funnel whole segments through
+    single tasks (5 giant skewed partitions at 100 TB); the
+    aggregate-then-broadcast-back shape is the skew-safe equivalent."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    s = j.groupBy("segment").agg(
+        F.sum(F.col("price_cents").cast("decimal(38,0)")).alias("seg_sum"),
+        F.count(F.lit(1)).cast("long").alias("seg_n"),
+    )
+    enc = (
+        j.join(F.broadcast(s), "segment")
+        .withColumn(
+            "__num",
+            (F.col("seg_sum") - F.col("price_cents")) * F.lit(1_000_000),
+        )
+        .withColumn(
+            "loo_enc_cents_e6",
+            F.when(
+                F.col("seg_n") > 1,
+                F.expr("__num div (seg_n - 1)").cast("long"),
+            ),
+        )
+    )
+    return enc.select(
+        "o_orderkey", "segment", "price_cents", "loo_enc_cents_e6"
+    )
+
+
+@register(
+    "pii_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(count(*) FILTER (WHERE g.n < k.k) AS BIGINT)
+             AS groups_below_k,
+           CAST(coalesce(sum(g.n) FILTER (WHERE g.n < k.k), 0) AS BIGINT)
+             AS rows_below_k,
+           CAST(count(*) AS BIGINT) AS total_groups
+    FROM g CROSS JOIN (VALUES (2), (5), (10), (25)) k(k)
+    GROUP BY k.k
+    """,
+)
+def pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    governance check run before releasing a dataset: a row is
+    re-identifiable when its (nation, market segment, balance band)
+    combination is shared by fewer than k individuals. Output is the
+    risk PROFILE across k ∈ {2, 5, 10, 25}: how many quasi-identifier
+    groups (and how many underlying rows) fall below each threshold —
+    the profile form stays informative at every SF, where a single
+    fixed k would saturate (sf0.001: every group small) or empty out
+    (sf0.1: 2 risky groups at k=5).
+
+    Plan: ONE aggregate builds the group-size frame (map-side combined
+    shuffle of quasi-identifier keys — the only corpus-size work), then
+    the 4-threshold profile folds over that small frame via a
+    cross-join with a 4-row literal table and conditional counts. At
+    100 TB the group frame is |distinct QI tuples| rows — bounded by
+    the identifier domain, not the data; everything downstream is
+    dimension-sized."""
+    c = read_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 25)])).alias("k")
+    )
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.sum((F.col("n") < F.col("k")).cast("long"))
+            .cast("long")
+            .alias("groups_below_k"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_below_k"),
+            F.count(F.lit(1)).cast("long").alias("total_groups"),
+        )
+    )
+
+
+@register(
+    "timeseries_autocorr",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', ts::DATE) AS day_idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT l.lag, a.x AS xa, b.x AS xb
+      FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) l(lag)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day_idx = a.day_idx + l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+             CAST(sum(xa * xa) AS BIGINT) AS sxx,
+             CAST(sum(xb * xb) AS BIGINT) AS syy,
+             CAST(sum(xa * xb) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN CAST(floor(
+                       (n_pairs * sxy - sx * sy) /
+                       sqrt((n_pairs * sxx - sx * sx)::DOUBLE *
+                            (n_pairs * syy - sy * sy)::DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)
+                ELSE NULL END AS acf_e6
+    FROM m
+    """,
+)
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 sample autocorrelation of the daily event-volume series
+    — the seasonality/persistence screen (is there a weekly cycle? does
+    volume mean-revert?) run before any forecasting model. Distinct
+    plan shape from ``timeseries_rolling_corr``: a LAG SELF-JOIN on the
+    day index (each lag compares the series against its shifted self
+    over the overlapping span) instead of a sliding frame, which is the
+    shape that generalizes to irregular/multi-series ACF where a RANGE
+    window cannot express the pairing.
+
+    Engine-exactness: daily counts are BIGINT so all five moment sums
+    per lag are exact integers; one fixed-shape IEEE
+    ``num / sqrt(denx·deny)`` expression at the end, e6-quantized,
+    with the denominators cast to double BEFORE their product
+    (overflow-proof), NULL on zero-variance spans — the shared
+    correlation-over-exact-moments doctrine.
+
+    Scale shape: corpus-size work is the single per-day count
+    aggregate; the lag join and moment fold run over the ≤|calendar
+    days|·7 post-agg frame (the 7-row lag table broadcasts). No
+    windows, no skew: per-lag groups are calendar-bounded."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
+    )
+    a = daily.select(F.col("day_idx").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day_idx").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    m = pairs.groupBy(F.col("lag").cast("long").alias("lag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = F.floor(
+        num / F.sqrt(denx.cast("double") * deny.cast("double")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return m.select(
+        "lag",
+        "n_pairs",
+        F.when((denx > 0) & (deny > 0), acf).alias("acf_e6"),
+    )
