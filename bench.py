@@ -144,6 +144,9 @@ HEADLINE = [
     "pii_k_anonymity",
     "timeseries_autocorr",
     "text_syllable_complexity",
+    # round 8: linear per-doc shingle-novelty profile (df enrichment
+    # join, no pair generation)
+    "text_shingle_novelty",
 ]
 
 
