@@ -302,3 +302,66 @@ def test_aqe_skew_join_split(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_curation_funnel_single_scan(spark, sf_dir):
+    """The funnel's claim is ONE pass: every stage predicate is a per-row
+    expression folded by one aggregate (the count-distinct expand may
+    re-exchange, but must not re-SCAN). A second documents scan means a
+    per-stage rescan crept in — linear cost × stages at 100 TB."""
+    a = audit(QUERIES["curation_filter_funnel"](spark, sf_dir))
+    doc_scans = [s for s in a.scans if "documents" in s["location"]]
+    assert len(doc_scans) == 1
+    assert a.windows == 0
+    assert a.sort_merge_joins == 0
+
+
+def test_target_encoding_no_window_no_smj(spark, sf_dir):
+    """LOO encoding must use aggregate-then-broadcast-back, NOT a
+    PARTITION BY segment window (5 giant skewed partitions at 100 TB).
+    The 5-row stats frame must come back as a broadcast join."""
+    a = audit(QUERIES["feature_target_encoding"](spark, sf_dir))
+    assert a.windows == 0
+    assert a.broadcast_hash_joins >= 1
+
+
+def test_syllable_complexity_map_only(spark, sf_dir):
+    """The syllable fold is per-row HOFs only: one scan, ZERO exchanges.
+    Any shuffle here means an explode/groupBy replaced the in-row fold."""
+    a = audit(QUERIES["text_syllable_complexity"](spark, sf_dir))
+    assert a.exchanges == 0
+    assert a.broadcast_exchanges == 0
+    assert a.windows == 0
+    assert len(a.scans) == 1
+
+
+def test_shingle_novelty_linear_shape(spark, sf_dir):
+    """Novelty is df ENRICHMENT, not pair generation: digest groupBy +
+    one equi-join back, no windows. (Two scans of documents — one per
+    join branch — are expected; what must never appear is a pair join
+    keyed on the shingle with both sides carrying doc_ids.)"""
+    a = audit(QUERIES["text_shingle_novelty"](spark, sf_dir))
+    assert a.windows == 0
+    plan_joins = a.broadcast_hash_joins + a.sort_merge_joins + a.exchanges
+    assert plan_joins > 0  # the df join exists in some physical form
+
+
+def test_rolling_corr_and_autocorr_bounded(spark, sf_dir):
+    """rolling_corr: its ONE unpartitioned window runs over the ≤|days|
+    post-agg frame (window_audit BOUNDED_OK). autocorr: windowless by
+    design — the lag join replaces the frame."""
+    a = audit(QUERIES["timeseries_rolling_corr"](spark, sf_dir))
+    assert a.windows == 1
+    ac = audit(QUERIES["timeseries_autocorr"](spark, sf_dir))
+    assert ac.windows == 0
+    assert ac.broadcast_hash_joins >= 1  # 7-row lag table broadcasts
+
+
+def test_cube_single_aggregate_pass(spark, sf_dir):
+    """CUBE must plan as Expand + ONE aggregation over one customer scan
+    with the nation dim broadcast — not four unioned rescans."""
+    a = audit(QUERIES["agg_cube_nation_segment"](spark, sf_dir))
+    cust_scans = [s for s in a.scans if "customer" in s["location"]]
+    assert len(cust_scans) == 1
+    assert a.broadcast_hash_joins == 1
+    assert a.sort_merge_joins == 0
