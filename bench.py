@@ -147,6 +147,11 @@ HEADLINE = [
     # round 8: linear per-doc shingle-novelty profile (df enrichment
     # join, no pair generation)
     "text_shingle_novelty",
+    # round 8: distributed skyline (ordered_prefix dominance pass),
+    # gaps-and-islands streaks, session path top-k
+    "agg_skyline_pareto",
+    "events_longest_streak",
+    "events_top_paths",
 ]
 
 

@@ -4524,3 +4524,236 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.when((denx > 0) & (deny > 0), acf).alias("acf_e6"),
     )
+
+
+@register(
+    "agg_skyline_pareto",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT price_cents, p_size, n_parts,
+             min(p_size) OVER (ORDER BY price_cents, p_size
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm
+      FROM pts
+    )
+    SELECT price_cents, p_size, n_parts
+    FROM w WHERE pm IS NULL OR p_size < pm
+    """,
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-front) query — the classic multi-criteria
+    OLAP operator (Börzsönyi et al., ICDE 2001): the parts no other
+    part beats on BOTH price and size (minimize both). Distinct from
+    ``agg_pareto_abc`` (share-of-total ABC banding): skyline is a
+    DOMINANCE filter, the "show me the efficient frontier" query behind
+    product search and cost/perf trade-off dashboards.
+
+    Algorithm, distributed: collapse to DISTINCT (price, size) points
+    with multiplicity (bounded by the value domain, not the row count —
+    after this, dominance among duplicates is moot since equal points
+    never dominate each other), then one ``ordered_prefix`` pass in
+    (price asc, size asc) order carrying the running max of the
+    composite ``g = −(size·C + price)`` with C > max price: a point
+    survives iff its inclusive running max equals its own g. Proof
+    sketch: over distinct sorted points, g is injective and a prior
+    point has size' < size (strict dominator) or size' = size (then
+    price' < price, also a dominator) exactly when its g exceeds ours —
+    so "g is a new running max" ⟺ "no dominator precedes". One exact
+    pass, no self-join, no quadratic NOT-EXISTS; the oracle states the
+    same frontier via the exclusive-prefix-min window form.
+
+    Scale shape: one map-side-combined aggregate to the domain-bounded
+    point frame, then ordered_prefix's single range exchange (the
+    distributed substitute for the unpartitioned window a naive skyline
+    would use — its only unpartitioned window is the ≤n_partitions
+    offsets frame). At 100 TB the point frame is |price domain × size
+    domain| ≤ ~10M rows regardless of input size."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    p = read_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    C = 10_000_000  # > max price_cents; keeps g injective over points
+    scored = pts.withColumn(
+        "__g", -(F.col("p_size") * F.lit(C) + F.col("price_cents"))
+    )
+    pref = ordered_prefix(
+        scored,
+        [F.col("price_cents").asc(), F.col("p_size").asc()],
+        running_max={"__g": "__gmax"},
+    )
+    return pref.filter(F.col("__gmax") == F.col("__g")).select(
+        "price_cents", "p_size", "n_parts"
+    )
+
+
+@register(
+    "events_longest_streak",
+    """
+    WITH d0 AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', ts::DATE) AS di
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             di - row_number() OVER (PARTITION BY user_id ORDER BY di)
+               AS grp
+      FROM d0
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user longest run of CONSECUTIVE active
+    calendar days — the engagement-streak metric (Duolingo-style) and
+    the canonical SQL islands pattern, which no other registered query
+    exercises (``pattern_consecutive_click_purchase`` is event-adjacency
+    within a sequence; this is calendar adjacency with gaps). The
+    identity: for distinct active days sorted per user,
+    ``day_index − row_number()`` is constant exactly within a
+    consecutive run, so one partitioned window + two aggregates recover
+    every streak. Probed to bisect: longest streaks span 5–30 days
+    across users at every SF.
+
+    All windows are partitioned by user_id (no global ordering
+    anywhere); the distinct-day projection shuffles (user, day) pairs
+    once and everything after is per-user. Integer-only output. At
+    100 TB per-user day sets are calendar-bounded (≤ span days), so no
+    skew: the heaviest user holds ≤|calendar| rows after the
+    distinct."""
+    e = read_table(spark, sf_dir, "events")
+    d0 = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("di")
+    g = d0.withColumn("grp", F.col("di") - F.row_number().over(w))
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                       > 43200
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    ),
+    r AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sid
+    ),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM p GROUP BY path)
+    SELECT path, n_sessions,
+           CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                AS BIGINT) AS rank
+    FROM c ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths — clickstream path analysis: which
+    3-step event-type sequences do sessions start with, and how often?
+    The product-analytics "path exploration" query (GA4/Amplitude
+    style). Sessions are 12-hour-gap islands per user — the threshold
+    the corpus's own interarrival histogram supports (median session
+    length 2 events at the 12 h cut; a 30 min cut would make every
+    session a singleton and the path trivially depth-1).
+
+    Determinism: ordering inside a user is (ts, event_id) — the id
+    tie-break doctrine; gap comparison uses floor-of-epoch-seconds on
+    BOTH engines (sub-second timestamps truncate identically); the
+    top-20 ranks on (count desc, path asc), a total order. Path
+    assembly sorts (rn, type) structs in-plan, never relying on
+    collect_list order.
+
+    Scale shape: two window passes — session ids over the user
+    partition, then in-session rank over (user, session); the second
+    exchange is the price of the refined key, both partitioned (no
+    global windows). The rn ≤ 3 filter caps the per-session state
+    BEFORE aggregation (the collect_list holds ≤3 structs — no
+    unbounded-session skyscraper rows), and the final count + top-k is
+    ``topk_ranked`` (TakeOrdered, never a global sort)."""
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    prev_sec = F.lag(sec).over(wu)
+    l = e.withColumn(
+        "brk",
+        F.when(
+            prev_sec.isNull() | ((sec - prev_sec) > 43200), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    s = l.withColumn(
+        "sid",
+        F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(ws)).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return topk_ranked(
+        c, [F.col("n_sessions").desc(), F.col("path").asc()], k=20
+    ).select("path", "n_sessions", "rank")

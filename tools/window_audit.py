@@ -31,6 +31,7 @@ BOUNDED_OK = {
     "funnel_time_to_convert": (1, "offsets window over ≤n_partitions stats rows"),
     "graph_pagerank_dup_hubs": (1, "offsets window over ≤n_partitions stats rows"),
     "diag_late_arrivals": (1, "offsets window over ≤n_partitions stats rows"),
+    "agg_skyline_pareto": (1, "offsets window over ≤n_partitions stats rows"),
     # calendar-bounded post-agg frames (≤ |days| rows regardless of SF)
     "events_new_vs_returning": (1, "cumsum over ≤|calendar days| rows"),
     "timeseries_rolling_corr": (1, "rolling moments over ≤|calendar days| rows"),
