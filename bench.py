@@ -152,6 +152,10 @@ HEADLINE = [
     "agg_skyline_pareto",
     "events_longest_streak",
     "events_top_paths",
+    # round 8: exact-integer chi-square, KL-doctrine entropy, RAKE
+    "diag_chisq_independence",
+    "events_user_entropy",
+    "text_rake_keywords",
 ]
 
 

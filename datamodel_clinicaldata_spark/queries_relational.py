@@ -4757,3 +4757,153 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ranked(
         c, [F.col("n_sessions").desc(), F.col("path").asc()], k=20
     ).select("path", "n_sessions", "rank")
+
+
+@register(
+    "diag_chisq_independence",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(date_part('isodow', ts) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM c
+    ),
+    m AS (
+      SELECT c.event_type, c.dow, c.o,
+             CAST(sum(c.o) OVER (PARTITION BY c.event_type) AS BIGINT) AS r,
+             CAST(sum(c.o) OVER (PARTITION BY c.dow) AS BIGINT) AS col
+      FROM c
+    )
+    SELECT t.n AS n_events, t.n_cells,
+           CAST(sum(
+             (CAST(m.o AS HUGEINT) * t.n - CAST(m.r AS HUGEINT) * m.col)
+             * (CAST(m.o AS HUGEINT) * t.n - CAST(m.r AS HUGEINT) * m.col)
+             * 1000000
+             // (CAST(m.r AS HUGEINT) * m.col * t.n)
+           ) AS BIGINT) AS chisq_e6
+    FROM m, t
+    GROUP BY t.n, t.n_cells
+    """,
+)
+def diag_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and
+    ISO weekday — the categorical-association screen (is behavior
+    day-of-week dependent?) behind seasonality diagnostics and feature
+    selection. χ² = Σ (o−e)²/e with e = row·col/N; clearing the
+    rational denominator gives the per-cell term
+    (o·N − r·c)² / (r·c·N), which this query evaluates ENTIRELY in
+    integer arithmetic: each term is an e6-quantized integral quotient
+    (decimal(38,0)/HUGEINT — o·N alone reaches ~10¹⁰ and its square
+    10²⁰, past int64) summed exactly, so no float enters at any point
+    and accumulation order cannot move the statistic.
+
+    Scale shape: corpus-size work is ONE conditional-count aggregate to
+    the ≤|types|·|weekdays| contingency frame (35 cells here); margins
+    come from two windows over that dimension-bounded frame and the
+    final fold is a 1-row aggregate. The single N-row total rides the
+    same contingency frame (no second scan — the plan-folded-totals
+    doctrine from r7 #4)."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts")).alias("__dow_raw"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    # ISO weekday (Mon=1..Sun=7) from Spark's Sun=1..Sat=7 dayofweek
+    c = c.select(
+        "event_type",
+        ((F.col("__dow_raw") + 5) % 7 + 1).cast("long").alias("dow"),
+        "o",
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    m = c.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(wr).cast("long").alias("r"),
+        F.sum("o").over(wc).cast("long").alias("col"),
+    )
+    n = F.sum("o").cast("long")
+    term = F.expr(
+        "(CAST(o AS DECIMAL(38,0)) * __n - CAST(r AS DECIMAL(38,0)) * col)"
+        " * (CAST(o AS DECIMAL(38,0)) * __n - CAST(r AS DECIMAL(38,0)) * col)"
+        " * 1000000 div (CAST(r AS DECIMAL(38,0)) * col * __n)"
+    )
+    tot = m.agg(
+        n.alias("__n"), F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("__n").alias("n_events"), "n_cells")
+        .agg(F.sum(term).cast("long").alias("chisq_e6"))
+        .select("n_events", "n_cells", "chisq_e6")
+    )
+
+
+@register(
+    "events_user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           CAST(max(t.n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(sum(CAST(floor(
+                     -(CAST(c.c AS DOUBLE) / t.n)
+                      * ln(CAST(c.c AS DOUBLE) / t.n)
+                     * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000000000.0, 4) AS entropy_nats
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (a 0-entropy user does one thing; a
+    log|types| user does everything uniformly) used for segmentation
+    and bot screening. Follows the KL-divergence engine-exactness
+    doctrine verbatim (``text_source_kl_divergence``): each probability
+    is one double division of exact BIGINT counts, each −p·ln p term is
+    the identical IEEE double on both engines and quantizes to a 10⁻¹²
+    fixed-point BIGINT BEFORE the per-user sum (the reported statistic
+    must not be a combine-order-dependent float sum), one cast +
+    division + round(4) at output. Σp = 1 bounds the term set so the
+    e12 sum cannot overflow.
+
+    Scale shape: one conditional-count aggregate to the (user × type)
+    frame, per-user totals as a second map-side-combined aggregate of
+    that frame (NOT a window over it — at 100 TB a per-user window and
+    a groupBy cost the same shuffle, but the aggregate's frame is
+    |users| rows, smaller state), one equi-join back on user_id, one
+    final per-user fold. Everything after the first aggregate is
+    bounded by |users|·|types|."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = c.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.floor(-p * F.log(p) * 1_000_000_000_000.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                F.sum(term).cast("double") / 1_000_000_000_000.0, 4
+            ).alias("entropy_nats"),
+        )
+    )

@@ -1300,3 +1300,113 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(__novel * 1000000) div n_shingles").alias("novelty_e6"),
         )
     )
+
+
+@register(
+    "text_rake_keywords",
+    r"""
+    WITH pocc AS (
+      SELECT doc_id, p AS phrase
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 list_transform(
+                   string_split_regex(text, '\b(?:a|the)\b'),
+                   x -> trim(x)
+                 ),
+                 x -> x <> ''
+               )) AS p
+        FROM documents
+      )
+    ),
+    pw AS (
+      SELECT phrase,
+             unnest(string_split(phrase, ' ')) AS word,
+             CAST(length(string_split(phrase, ' ')) AS BIGINT) AS plen
+      FROM pocc
+    ),
+    ws AS (
+      SELECT word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM pw GROUP BY word
+    ),
+    pd AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM pocc GROUP BY phrase
+    ),
+    pwd AS (
+      SELECT pd.phrase, pd.n_occurrences,
+             unnest(string_split(pd.phrase, ' ')) AS word
+      FROM pd
+    ),
+    scored AS (
+      SELECT pwd.phrase, pwd.n_occurrences,
+             CAST(sum((ws.deg * 1000000) // ws.freq) AS BIGINT)
+               AS score_e6
+      FROM pwd JOIN ws USING (word)
+      GROUP BY pwd.phrase, pwd.n_occurrences
+    )
+    SELECT phrase, n_occurrences, score_e6,
+           CAST(row_number() OVER (ORDER BY score_e6 DESC, phrase)
+                AS BIGINT) AS rank
+    FROM scored ORDER BY score_e6 DESC, phrase LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs; each word scores
+    degree/frequency (degree = Σ lengths of phrases it occurs in,
+    frequency = its occurrence count — co-occurring in long phrases
+    raises a word's score); a phrase scores the sum of its member-word
+    scores; top-20 phrases corpus-wide. The stopword set is the
+    corpus's own function words ({'a', 'the'} — probed: the only two
+    non-content tokens in its 31-word vocabulary).
+
+    Engine-exactness: word scores are integral quotients
+    (deg·10⁶ div freq, shared truncation semantics) and phrase scores
+    exact BIGINT sums of them; the top-20 ranks on
+    (score desc, phrase asc), a total order. Phrase extraction is
+    per-row HOFs (regex split on word-boundary stopwords → trim →
+    drop empties) — identical fragment algebra in Java regex and RE2,
+    no explode until phrases exist.
+
+    Scale shape: phrase explode is linear in corpus size; word stats
+    are one groupBy over a vocabulary-bounded key (the join back to
+    score phrases is a dim join AQE can broadcast); phrase scoring
+    groups DISTINCT phrases once (score is occurrence-invariant, so
+    occurrences fold to a count before scoring — no score×n_occ
+    inflation pass); final top-20 is TakeOrdered, never a global
+    sort."""
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
+
+    d = read_table(spark, sf_dir, "documents")
+    frags = F.split(F.col("text"), r"\b(?:a|the)\b")
+    phrases = F.filter(
+        F.transform(frags, lambda x: F.trim(x)), lambda x: x != ""
+    )
+    pocc = d.select(F.explode(phrases).alias("phrase"))
+    words = F.split(F.col("phrase"), " ")
+    pw = pocc.select(
+        "phrase",
+        F.explode(words).alias("word"),
+        F.size(words).cast("long").alias("plen"),
+    )
+    ws = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    ).withColumn("wscore_e6", F.expr("(deg * 1000000) div freq"))
+    pd_ = pocc.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pwd = pd_.select(
+        "phrase", "n_occurrences", F.explode(words).alias("word")
+    )
+    scored = (
+        pwd.join(ws.select("word", "wscore_e6"), "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("wscore_e6").cast("long").alias("score_e6"))
+    )
+    return topk_ranked(
+        scored, [F.col("score_e6").desc(), F.col("phrase").asc()], k=20
+    ).select("phrase", "n_occurrences", "score_e6", "rank")
