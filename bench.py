@@ -156,6 +156,10 @@ HEADLINE = [
     "diag_chisq_independence",
     "events_user_entropy",
     "text_rake_keywords",
+    # round 8: langid eval matrix, HUGEINT ANOVA, burstiness
+    "eval_langid_confusion",
+    "diag_anova_returnflag",
+    "text_token_burstiness",
 ]
 
 

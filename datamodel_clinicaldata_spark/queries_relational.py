@@ -4907,3 +4907,98 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "diag_anova_returnflag",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS s_g,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS q_g
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS HUGEINT) AS s,
+             CAST(sum((q_g * n_g - s_g * s_g) * 1000000 // n_g)
+                  AS HUGEINT) AS ssw_e6,
+             CAST(sum((s_g * s_g * 1000000) // n_g) AS HUGEINT) AS ssb_part
+      FROM g
+    )
+    SELECT k, n,
+           CAST(ssw_e6 AS DOUBLE) / 1000000.0 AS ssw_cents2,
+           CAST(ssb_part - (s * s * 1000000) // n AS DOUBLE) / 1000000.0
+             AS ssb_cents2,
+           CAST(((ssb_part - (s * s * 1000000) // n) * (n - k) * 1000000)
+                // (ssw_e6 * (k - 1)) AS BIGINT) AS f_e6
+    FROM t
+    """,
+)
+def diag_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic: does mean line-item price differ
+    across return-flag classes (R/A/N)? The between/within variance-ratio test behind
+    "is this categorical feature informative" screens. Sums of squares
+    from the per-group moment identity (SSW = Σ_g (Q_g − S_g²/n_g),
+    SSB = Σ_g S_g²/n_g − S²/N) with every rational term cleared to an
+    e6-quantized INTEGRAL quotient in decimal(38,0)/HUGEINT — cents
+    squares reach ~10²⁴ and the F numerator ~10³⁰, far past int64 but
+    exact in 128-bit — so no float enters the statistic and group
+    combine-order cannot move it; F_e6 itself is one more integral
+    quotient. (The quantization perturbs F by <10⁻⁶ relative — the
+    doctrine's standard trade.)
+
+    Scale shape: ONE map-side-combined aggregate carries (n, Σx, Σx²)
+    per return flag — the classic distributive-moments pattern, a single
+    shuffle of 3 keys; everything downstream is a 7-row fold. No
+    windows, no joins, no second scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s_g"),
+        F.sum(
+            (cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))
+        ).alias("q_g"),
+    )
+    # Exact decimal floor-division: Spark's `div` returns BIGINT and
+    # silently WRAPS when the quotient itself exceeds int64 (these
+    # intermediate quotients reach ~10²³); (num − pmod(num, den)) / den
+    # divides exactly (zero remainder ⇒ the decimal division is exact)
+    # and stays in decimal(38,*). All operands here are non-negative
+    # (Cauchy–Schwarz), so floor ≡ DuckDB's truncating `//`.
+    def fdiv(num: str, den: str) -> str:
+        return (
+            f"CAST((({num}) - pmod(({num}), ({den}))) / ({den})"
+            " AS DECIMAL(38,0))"
+        )
+
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.col("s_g")).cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.expr(fdiv("(q_g * n_g - s_g * s_g) * 1000000", "n_g"))
+        ).cast("decimal(38,0)").alias("ssw_e6"),
+        F.sum(F.expr(fdiv("s_g * s_g * 1000000", "n_g")))
+        .cast("decimal(38,0)")
+        .alias("ssb_part"),
+    )
+    ssb_e6 = f"(ssb_part - {fdiv('s * s * 1000000', 'n')})"
+    return t.select(
+        "k",
+        "n",
+        (F.col("ssw_e6").cast("double") / 1_000_000.0).alias("ssw_cents2"),
+        (F.expr(f"CAST({ssb_e6} AS DOUBLE)") / 1_000_000.0).alias(
+            "ssb_cents2"
+        ),
+        F.expr(
+            f"CAST({ssb_e6} * (n - k) * 1000000"
+            " div (ssw_e6 * (k - 1)) AS BIGINT)"
+        ).alias("f_e6"),
+    )

@@ -1056,11 +1056,28 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         nearest_cid(F.col("embedding")).cast("int").alias("cid"),
     )
-    a = assigned.select(
-        "cid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    # Norm hoist (anchor-norm doctrine): dot(v, v) once per VECTOR here,
+    # not inside the per-pair cosine — the naive cosine(a, b) costs three
+    # 64-d folds per pair, i.e. 3× the work across Σ|cluster|² pairs. The
+    # hoisted self-dot is the identical IEEE double the in-pair form
+    # would produce, so the e6-quantized cosine (and the oracle match)
+    # is bit-unchanged.
+    from datamodel_clinicaldata_spark.functions.vectors import as_double, dot
+
+    ad = assigned.select(
+        "vec_id", "cid", as_double(F.col("embedding")).alias("__v")
+    ).select("vec_id", "cid", "__v", dot(F.col("__v"), F.col("__v")).alias("__n"))
+    a = ad.alias("la").select(
+        F.col("la.cid").alias("cid"),
+        F.col("la.vec_id").alias("id_a"),
+        F.col("la.__v").alias("__va"),
+        F.col("la.__n").alias("__na"),
     )
-    b = assigned.select(
-        "cid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    b = ad.alias("lb").select(
+        F.col("lb.cid").alias("cid"),
+        F.col("lb.vec_id").alias("id_b"),
+        F.col("lb.__v").alias("__vb"),
+        F.col("lb.__n").alias("__nb"),
     )
     pairs = (
         a.join(b, "cid")
@@ -1069,9 +1086,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             "id_a",
             "id_b",
-            round_fixed(cosine(F.col("__va"), F.col("__vb")), 6).alias(
-                "cos_sim"
-            ),
+            round_fixed(
+                dot(F.col("__va"), F.col("__vb"))
+                / F.sqrt(F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.40)
     )

@@ -9,7 +9,7 @@ or by construction (md5 digests).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.functions.text import (
@@ -1280,8 +1280,16 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = d.select("doc_id", F.explode(grams).alias("h"))
-    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("ndocs"))
-    j = sh.join(df_, "h")
+    # df as a count-over-partition window instead of groupBy + join-back:
+    # the join shape scans+explodes documents TWICE (once per branch) and
+    # shuffles the postings a second time for the join probe; the window
+    # shuffles the postings ONCE on h and counts in place. Skew profile
+    # is identical — a hot boilerplate shingle lands its df postings in
+    # one task under either shape — but the window does strictly less
+    # work (bench: 3.9 s → see SCALING.md round-8 notes).
+    j = sh.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("h")).cast("long")
+    )
     return (
         j.groupBy("doc_id")
         .agg(
@@ -1410,3 +1418,150 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ranked(
         scored, [F.col("score_e6").desc(), F.col("phrase").asc()], k=20
     ).select("phrase", "n_occurrences", "score_e6", "rank")
+
+
+@register(
+    "eval_langid_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_hits(LANG_MARKERS['en'])} AS s_en,
+             {_hits(LANG_MARKERS['de'])} AS s_de,
+             {_hits(LANG_MARKERS['fr'])} AS s_fr,
+             {_hits(LANG_MARKERS['es'])} AS s_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END AS lang_pred
+      FROM scored
+    ),
+    cells AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, lang_pred, n,
+           CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_actual,
+           CAST(sum(n) OVER (PARTITION BY lang_pred) AS BIGINT) AS n_predicted,
+           (n * 1000000) // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+             AS recall_share_e6,
+           (n * 1000000) // CAST(sum(n) OVER (PARTITION BY lang_pred) AS BIGINT)
+             AS precision_share_e6
+    FROM cells
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation confusion matrix for the language-ID heuristic
+    against the labeled ``lang`` column — the quality-report surface a
+    training-data pipeline publishes for every classifier-driven filter
+    (per-cell counts plus row/column-normalized shares, i.e. the
+    diagonal's recall and precision per class). Complements
+    ``text_lang_id`` (which emits per-doc predictions): this is the
+    aggregated evaluation artifact.
+
+    Exactness: counts are BIGINT; the normalized shares are integral
+    quotients against the margin totals (shared ``div``/``//``
+    truncation). Margins come from two windows PARTITIONED over the
+    ≤(|langs|+1)² cell frame — dimension-bounded, never global.
+
+    Scale shape: the per-doc marker scoring is per-row HOFs in one
+    scan; the only corpus-size shuffle is the (lang, lang_pred)
+    conditional count to ≤36 cells; margins and shares are free."""
+    from datamodel_clinicaldata_spark.functions.text import lang_id
+
+    d = read_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wr = Window.partitionBy("lang")
+    wc = Window.partitionBy("lang_pred")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.sum("n").over(wr).cast("long").alias("n_actual"),
+        F.sum("n").over(wc).cast("long").alias("n_predicted"),
+    ).select(
+        "lang",
+        "lang_pred",
+        "n",
+        "n_actual",
+        "n_predicted",
+        F.expr("(n * 1000000) div n_actual").alias("recall_share_e6"),
+        F.expr("(n * 1000000) div n_predicted").alias("precision_share_e6"),
+    )
+
+
+@register(
+    "text_token_burstiness",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS n_docs_containing,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(c * c) AS HUGEINT) AS q
+      FROM tc GROUP BY tok
+    )
+    SELECT m.tok,
+           m.n_docs_containing,
+           CAST(m.s AS BIGINT) AS total_count,
+           CAST(((n.n_docs * m.q - m.s * m.s) * 1000000)
+                // ((n.n_docs - 1) * m.s) AS BIGINT) AS dispersion_e6
+    FROM m, n
+    """,
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness via the variance-to-mean dispersion index
+    (Church & Gale 1995): over the FULL document universe (absent docs
+    count as zero — the moment identity makes the zeros free),
+    D = var/mean = (N·Σc² − S²) / ((N−1)·S). D ≈ 1 is Poisson
+    (topic-neutral function words); D ≫ 1 is bursty (topical/
+    boilerplate tokens that pile into few documents) — the lexical
+    screen that separates stopword-like from content-bearing terms
+    without a stopword list.
+
+    Exactness: per-doc counts are BIGINT, the cleared-denominator form
+    is one e6 integral quotient per token computed in HUGEINT/
+    decimal(38,0) (N·Q passes int64 once corpora grow), zero floats.
+
+    Scale shape: one (doc, token) count aggregate — the same shuffle
+    every token statistic in this file pays — then a vocabulary-keyed
+    moment fold (map-side combined); the 1-row doc total cross-joins
+    back by broadcast (plan-folded, no second scan of the counts).
+    Output is vocabulary-sized."""
+    d = read_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tc = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = tc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_containing"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    return m.crossJoin(F.broadcast(n)).select(
+        "tok",
+        "n_docs_containing",
+        F.col("s").cast("long").alias("total_count"),
+        F.expr(
+            "CAST(((n_docs * q - s * s) * 1000000)"
+            " div ((n_docs - 1) * s) AS BIGINT)"
+        ).alias("dispersion_e6"),
+    )
