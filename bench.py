@@ -160,6 +160,10 @@ HEADLINE = [
     "eval_langid_confusion",
     "diag_anova_returnflag",
     "text_token_burstiness",
+    # round 8: exact weighted quantiles (ordered_prefix + cross-multiply
+    # boundaries), per-period-normalized seasonal index
+    "agg_weighted_quantiles",
+    "orders_seasonal_index",
 ]
 
 

@@ -5002,3 +5002,132 @@ def diag_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (ssw_e6 * (k - 1)) AS BIGINT)"
         ).alias("f_e6"),
     )
+
+
+@register(
+    "agg_weighted_quantiles",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT v, w,
+             CAST(sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pts
+    ),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM pts)
+    SELECT t.total AS total_weight,
+           CAST(min(CASE WHEN 4 * c.cum >= t.total THEN c.v END) AS BIGINT)
+             AS wq25_cents,
+           CAST(min(CASE WHEN 2 * c.cum >= t.total THEN c.v END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(min(CASE WHEN 4 * c.cum >= 3 * t.total THEN c.v END)
+                AS BIGINT) AS wq75_cents
+    FROM c, t
+    GROUP BY t.total
+    """,
+)
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (p25/p50/p75 of line-item price weighted
+    by quantity) — the inventory-weighted robust statistic that
+    ``approx_percentile`` cannot give exactly and per-row sorting cannot
+    give scalably. The quantile boundary is the integer cross-multiply
+    ``4·cum ≥ k·total`` (share-boundary doctrine — no float division
+    anywhere), evaluated on the running weight sum.
+
+    Distributed shape: prices collapse to the DISTINCT value domain
+    with summed weights (domain-bounded frame, the skyline trick), the
+    running weight sum comes from ONE ``ordered_prefix`` range-shuffle
+    pass (never an unpartitioned window over the value frame), the
+    1-row total broadcasts back (plan-folded, no second scan), and the
+    three boundary picks are conditional mins in one aggregate. At
+    100 TB: one map-side-combined aggregate over cents keys + one
+    range exchange of the ≤|price domain| frame."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    c = ordered_prefix(
+        pts, [F.col("v").asc()], running_sum={"w": "cum"}
+    ).select("v", "w", F.col("cum").cast("long").alias("cum"))
+    t = pts.agg(F.sum("w").cast("long").alias("total"))
+    j = c.crossJoin(F.broadcast(t))
+    return j.groupBy(F.col("total").alias("total_weight")).agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("total"), F.col("v")))
+        .cast("long")
+        .alias("wq25_cents"),
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("v")))
+        .cast("long")
+        .alias("wmedian_cents"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("total"), F.col("v")))
+        .cast("long")
+        .alias("wq75_cents"),
+    )
+
+
+@register(
+    "orders_seasonal_index",
+    """
+    WITH m AS (
+      SELECT CAST(date_part('month', o_orderdate) AS BIGINT) AS month,
+             CAST(count(DISTINCT date_trunc('month', o_orderdate))
+                  AS BIGINT) AS n_periods,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(rev) AS HUGEINT) AS total,
+             CAST(sum(n_periods) AS BIGINT) AS k
+      FROM m
+    )
+    SELECT m.month, m.n_periods,
+           CAST(m.rev AS BIGINT) AS rev_cents,
+           CAST((m.rev * t.k * 1000000) // (m.n_periods * t.total)
+                AS BIGINT) AS seasonal_index_e6
+    FROM m, t
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal index per calendar month: average revenue of
+    each month-of-year across the order history, normalized by the
+    overall per-period average (index 10⁶ = an average month; > 10⁶ =
+    seasonally strong). n_periods counts the DISTINCT (year, month)
+    periods contributing, so partial first/last years don't bias the
+    per-period average — the ratio-of-averages clears to one integral
+    quotient (rev_m·K·10⁶) div (k_m·total) in HUGEINT/decimal(38,0)
+    (rev·K·10⁶ passes int64 at scale; the quotient itself is ~10⁶ so
+    Spark's div-wrap trap does not bite).
+
+    Scale shape: one aggregate to 12 rows (count-distinct of the
+    ≤|months| period keys rides the same pass as an expand), the 1-row
+    total broadcasts back. Nothing downstream exceeds 12 rows."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    m = o.groupBy(
+        F.month(F.col("o_orderdate")).cast("long").alias("month")
+    ).agg(
+        F.count_distinct(F.date_trunc("month", F.col("o_orderdate")))
+        .cast("long")
+        .alias("n_periods"),
+        F.sum(cents.cast("decimal(38,0)")).alias("rev"),
+    )
+    t = m.agg(
+        F.sum("rev").cast("decimal(38,0)").alias("total"),
+        F.sum("n_periods").cast("long").alias("k"),
+    )
+    return m.crossJoin(F.broadcast(t)).select(
+        "month",
+        "n_periods",
+        F.col("rev").cast("long").alias("rev_cents"),
+        F.expr(
+            "CAST(rev * k * 1000000 div (n_periods * total) AS BIGINT)"
+        ).alias("seasonal_index_e6"),
+    )
