@@ -5057,7 +5057,11 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ordered_prefix(
         pts, [F.col("v").asc()], running_sum={"w": "cum"}
     ).select("v", "w", F.col("cum").cast("long").alias("cum"))
-    t = pts.agg(F.sum("w").cast("long").alias("total"))
+    # Total = max running sum, derived from c (which ordered_prefix
+    # materializes via localCheckpoint) — NOT from a second aggregate
+    # over pts, which would re-scan lineitem (plan-folded-totals
+    # doctrine, r7 #4).
+    t = c.agg(F.max("cum").cast("long").alias("total"))
     j = c.crossJoin(F.broadcast(t))
     return j.groupBy(F.col("total").alias("total_weight")).agg(
         F.min(F.when(4 * F.col("cum") >= F.col("total"), F.col("v")))
