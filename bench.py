@@ -164,6 +164,9 @@ HEADLINE = [
     # boundaries), per-period-normalized seasonal index
     "agg_weighted_quantiles",
     "orders_seasonal_index",
+    # round 8: float-free rolling OLS slope, VAD islands over RMS frame
+    "window_rolling_regression",
+    "multimodal_vad_segments",
 ]
 
 

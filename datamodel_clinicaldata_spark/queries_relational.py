@@ -5135,3 +5135,83 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(rev * k * 1000000 div (n_periods * total) AS BIGINT)"
         ).alias("seasonal_index_e6"),
     )
+
+
+@register(
+    "window_rolling_regression",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT x,
+             CAST(count(*) OVER win AS BIGINT) AS n_days,
+             CAST(sum(x) OVER win AS HUGEINT) AS sx,
+             CAST(sum(y) OVER win AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) OVER win AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) OVER win AS HUGEINT) AS sxy
+      FROM daily
+      WINDOW win AS (ORDER BY x RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(x AS BIGINT) AS day_idx, n_days,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                THEN CAST((n_days * sxy - sx * sy) * 1000000
+                          // (n_days * sxx - sx * sx) AS BIGINT)
+                ELSE NULL END AS slope_cents_e6
+    FROM w
+    """,
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day OLS revenue-trend slope per day — the rolling
+    regression behind "is revenue accelerating this month" panels.
+    Unlike ``timeseries_rolling_corr`` (whose statistic needs one IEEE
+    sqrt), the OLS slope is a PURE RATIONAL of the rolling moments, so
+    this query is float-free end to end: daily revenue quantizes to
+    cents BIGINT, the four rolling moment sums are exact integers, and
+    the slope is one e6 integral quotient in HUGEINT/decimal(38,0)
+    (the ×10⁶ numerator reaches ~10²¹; the quotient itself is a
+    per-day cents drift that fits int64, so ``div`` is safe — the
+    div-wrap bound is checked in the docstring, not assumed).
+    Zero-variance windows (a single active day) emit NULL via the same
+    integer predicate. The x anchor (1992-01-01, before the order
+    history) only shifts the intercept, never the slope.
+
+    Scale shape: one map-side-combined aggregate to the per-day frame;
+    the RANGE window runs over ≤|calendar days| post-agg rows —
+    calendar-bounded (window_audit BOUNDED_OK), missing days shrink
+    the window honestly."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    win = Window.orderBy("x").rangeBetween(-27, 0)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    w = daily.select(
+        "x",
+        F.count(F.lit(1)).over(win).cast("long").alias("n_days"),
+        F.sum(dec("x")).over(win).alias("sx"),
+        F.sum(dec("y")).over(win).alias("sy"),
+        F.sum(dec("x") * dec("x")).over(win).alias("sxx"),
+        F.sum(dec("x") * dec("y")).over(win).alias("sxy"),
+    )
+    den = F.expr("n_days * sxx - sx * sx")
+    return w.select(
+        F.col("x").cast("long").alias("day_idx"),
+        "n_days",
+        F.when(
+            den > 0,
+            F.expr(
+                "CAST((n_days * sxy - sx * sy) * 1000000"
+                " div (n_days * sxx - sx * sx) AS BIGINT)"
+            ),
+        ).alias("slope_cents_e6"),
+    )
