@@ -167,6 +167,10 @@ HEADLINE = [
     # round 8: float-free rolling OLS slope, VAD islands over RMS frame
     "window_rolling_regression",
     "multimodal_vad_segments",
+    # round 8: exact DAU/WAU via temporal contribution explode,
+    # sign-only Simpson's paradox screen
+    "events_dau_wau_stickiness",
+    "diag_simpsons_paradox",
 ]
 
 

@@ -5215,3 +5215,194 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("slope_cents_e6"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', ts::DATE) AS di
+      FROM events
+    ),
+    dau AS (
+      SELECT di, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY di
+    ),
+    contrib AS (
+      SELECT user_id, di + o.o AS target_di
+      FROM ud, unnest(range(0, 7)) o(o)
+    ),
+    wau AS (
+      SELECT target_di AS di,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY target_di
+    )
+    SELECT dau.di AS day_idx, dau.dau, wau.wau,
+           (dau.dau * 1000000) // wau.wau AS stickiness_e6
+    FROM dau JOIN wau USING (di)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the canonical engagement ratio
+    (what share of the week's actives showed up today), EXACT windowed
+    distinct counts rather than the HLL estimate
+    (``stream_windowed_distinct_users`` is the sketch twin). The
+    trailing-7-day distinct-user count cannot ride a window function
+    (COUNT(DISTINCT) OVER a frame isn't available distributed), so the
+    query uses the TEMPORAL CONTRIBUTION EXPLODE: each (user, day)
+    activity contributes itself to the 7 target days it keeps the user
+    "weekly active" for, and WAU(d) is a plain count-distinct per
+    target day — linear ×7 work, no quadratic self-join, no window.
+    Days trailing the span's end are emitted only for days that have a
+    DAU row (inner join), so phantom post-calendar targets drop out.
+
+    Exactness: integer counts, one integral-quotient ratio
+    (``div``/``//`` truncation).
+
+    Scale shape: one (user, day) distinct shuffle; the ×7 explode
+    multiplies rows BEFORE the count-distinct aggregate whose map-side
+    partials collapse per (day, user) — bounded by 7·|user-days|; at
+    100 TB this is the standard sliding-window-distinct trick that
+    avoids holding 7 days of state per key."""
+    e = read_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+    ).distinct()
+    dau = ud.groupBy("di").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("di"), F.col("di") + 6)
+        ).alias("target_di"),
+    )
+    wau = contrib.groupBy(F.col("target_di").alias("di")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "di")
+        .select(
+            F.col("di").alias("day_idx"),
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").alias("stickiness_e6"),
+        )
+    )
+
+
+@register(
+    "diag_simpsons_paradox",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS stratum,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM base GROUP BY stratum
+    ),
+    strat AS (
+      SELECT stratum,
+             CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS sign
+      FROM g
+    ),
+    agg AS (
+      SELECT CASE WHEN sum(n) * sum(sxy) - sum(sx) * sum(sy) > 0 THEN 1
+                  WHEN sum(n) * sum(sxy) - sum(sx) * sum(sy) < 0 THEN -1
+                  ELSE 0 END AS agg_sign
+      FROM g
+    )
+    SELECT agg.agg_sign,
+           CAST(sum(CASE WHEN strat.sign > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_strata_pos,
+           CAST(sum(CASE WHEN strat.sign < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_strata_neg,
+           CAST(sum(CASE WHEN strat.sign <> 0
+                          AND strat.sign <> agg.agg_sign
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_strata_reversed
+    FROM strat, agg
+    GROUP BY agg.agg_sign
+    """,
+)
+def diag_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: does the SIGN of the discount–quantity
+    association flip between the pooled data and the within-stratum
+    view (strata = return flag)? The aggregation-bias diagnostic run
+    before trusting any pooled correlation — a nonzero
+    ``n_strata_reversed`` with a confident aggregate sign is the
+    classic confounding alarm.
+
+    Float-free: association signs come from the OLS-slope NUMERATOR
+    n·Σxy − Σx·Σy (its sign equals the correlation's sign; the
+    positive denominator is irrelevant), computed in HUGEINT/
+    decimal(38,0) over exact integer (discount-percent, quantity)
+    pairs — sign extraction needs no division at all. The pooled sign
+    reuses the same per-stratum moment sums (one scan; the pooled
+    moments are the stratum sums).
+
+    Scale shape: one map-side-combined aggregate to |strata| rows;
+    the sign fold and the cross join against the 1-row pooled sign are
+    dimension-sized. The moment-sums-compose-exactly property is what
+    makes this single-pass — a float slope per stratum would not
+    compose into the pooled slope."""
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("stratum"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    strat = g.select(
+        "stratum",
+        F.when(num > 0, F.lit(1))
+        .when(num < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sign"),
+    )
+    anum = F.expr(
+        "sum(n) * sum(sxy) - sum(sx) * sum(sy)"
+    )
+    agg = g.agg(
+        F.when(anum > 0, F.lit(1))
+        .when(anum < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("agg_sign")
+    )
+    return (
+        strat.crossJoin(F.broadcast(agg))
+        .groupBy("agg_sign")
+        .agg(
+            F.sum((F.col("sign") > 0).cast("long"))
+            .cast("long")
+            .alias("n_strata_pos"),
+            F.sum((F.col("sign") < 0).cast("long"))
+            .cast("long")
+            .alias("n_strata_neg"),
+            F.sum(
+                (
+                    (F.col("sign") != 0)
+                    & (F.col("sign") != F.col("agg_sign"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_strata_reversed"),
+        )
+    )
