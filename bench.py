@@ -171,6 +171,8 @@ HEADLINE = [
     # sign-only Simpson's paradox screen
     "events_dau_wau_stickiness",
     "diag_simpsons_paradox",
+    # round 8: integer sign-test burst detector
+    "events_burst_detection",
 ]
 
 

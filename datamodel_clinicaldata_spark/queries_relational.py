@@ -5406,3 +5406,79 @@ def diag_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_strata_reversed"),
         )
     )
+
+
+@register(
+    "events_burst_detection",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', ts::DATE) AS di,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT di, x,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS s,
+             CAST(sum(x * x) OVER win AS BIGINT) AS q
+      FROM daily
+      WINDOW win AS (ORDER BY di
+                     RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(di AS BIGINT) AS day_idx, x AS n_events, n AS n_baseline,
+           CASE WHEN n >= 7
+                 AND (n * x - s) > 0
+                 AND (n * x - s) * (n * x - s) * (n - 1)
+                     > 4 * n * (n * q - s * s)
+                THEN 1 ELSE 0 END AS burst_flag
+    FROM w
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume burst detector: flag days whose event count exceeds
+    the trailing-14-day baseline by more than two standard deviations —
+    the ops-alerting z-score screen, EXCLUSIVE of the current day (the
+    candidate must not contaminate its own baseline; the frame is
+    14 PRECEDING..1 PRECEDING) and gated on ≥7 baseline days so early
+    days can't alarm on a 2-point variance.
+
+    Fully integer: z > 2 clears to
+    (n·x − S)² · (n−1) > 4·n·(n·Q − S²) with a positivity guard on
+    (n·x − S) (a 2σ DROP is not a burst) — exact BIGINT comparisons,
+    no σ, no sqrt, no floats. Same cleared-denominator family as the
+    CUSUM and rolling-regression rows, but as a pure PREDICATE (sign
+    test), the cheapest possible form.
+
+    Scale shape: one per-day count aggregate, one calendar-bounded
+    RANGE window (window_audit BOUNDED_OK). Flag exercised by the
+    corpus at sf0.001 (1 burst day) and sf0.1 (2); sf0.01's quiet
+    calendar is itself gate evidence that the guard holds."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    win = Window.orderBy("di").rangeBetween(-14, -1)
+    w = daily.select(
+        "di",
+        "x",
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum("x").over(win).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("q"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_term = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return w.select(
+        F.col("di").alias("day_idx"),
+        F.col("x").alias("n_events"),
+        F.col("n").alias("n_baseline"),
+        F.when(
+            (F.col("n") >= 7)
+            & (dev > 0)
+            & (dev * dev * (F.col("n") - 1) > 4 * F.col("n") * var_term),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("burst_flag"),
+    )

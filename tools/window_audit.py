@@ -36,6 +36,7 @@ BOUNDED_OK = {
     "events_new_vs_returning": (1, "cumsum over ≤|calendar days| rows"),
     "timeseries_rolling_corr": (1, "rolling moments over ≤|calendar days| rows"),
     "window_rolling_regression": (1, "rolling moments over ≤|calendar days| rows"),
+    "events_burst_detection": (1, "rolling moments over ≤|calendar days| rows"),
 }
 
 # Query construction itself runs Spark jobs (adaptive/iterative operators
