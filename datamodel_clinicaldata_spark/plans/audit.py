@@ -47,22 +47,87 @@ class PlanAudit:
 
 
 def _window_specs(plan: str) -> list[str]:
-    """Argument lists of every windowspecdefinition (one nesting level —
-    enough for the specifiedwindowframe(...) trailing arg)."""
-    return re.findall(r"windowspecdefinition\(((?:[^()]|\([^()]*\))*)\)", plan)
+    """Argument lists of every windowspecdefinition.
+
+    TWO nesting levels: the trailing specifiedwindowframe(...) argument
+    itself contains paren-atoms (``unboundedpreceding$()``,
+    ``currentrow$()``), so a one-level pattern silently fails to match
+    ANY frame that ends at the current row — i.e. almost every window —
+    and the audit under-counted to zero for rank/running frames (found
+    round 8: only literal-bound RANGE frames like ``(RangeFrame, -14,
+    -1)`` were ever visible). Audits before this fix proved less than
+    they claimed; counts were re-baselined against the fixed pattern."""
+    return re.findall(
+        r"windowspecdefinition\("
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)"
+        r"\)",
+        plan,
+    )
 
 
 def _is_unpartitioned(spec: str) -> bool:
     """A window spec lists partition columns first, then 'col ASC/DESC ...'
     ordering entries; if the FIRST argument is already an ordering entry,
-    the window has no partitioning → all rows go through one task."""
+    the window has no partitioning → all rows go through one task.
+
+    NOTE (round 8): spec-level detection misreads Catalyst's decorrelated
+    LATERAL rewrite, where the partition key lives only in the Window
+    OPERATOR's bracket, not inside windowspecdefinition — prefer
+    ``unpartitioned_window_lines`` (operator-level) for auditing; this
+    stays for spec-shape assertions."""
     first = spec.split(",")[0]
     return " ASC" in first or " DESC" in first
 
 
+_BOUNDED_CHILDREN = (
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def unpartitioned_window_lines(plan: str) -> list[str]:
+    """Window OPERATOR lines that run unpartitioned over an input not
+    bounded by construction.
+
+    Operator-level parsing (round 8 — replaces windowspecdefinition
+    counting, which had two defects: a one-nesting-level regex silently
+    matched NOTHING for any frame ending in ``currentrow$()`` /
+    ``unboundedpreceding$()`` — i.e. almost every window — and the spec
+    string omits the partition key in Catalyst's decorrelated-LATERAL
+    rewrite, yielding a false positive on a correctly partitioned
+    window). The operator renders as ``Window [exprs], [partition],
+    [order]`` when partitioned and ``Window [exprs], [order]`` when not;
+    the trailing bracket groups are flat, so they parse reliably from
+    the end of the line. A window whose DIRECT child (next plan line) is
+    a TakeOrdered/limit/WindowGroupLimit node ranks ≤k survivors — the
+    ``topk_ranked`` shape — and is skipped as bounded by construction;
+    everything else unpartitioned must be allowlisted with a measured
+    justification in tools/window_audit.py."""
+    lines = plan.splitlines()
+    flagged: list[str] = []
+    for i, line in enumerate(lines):
+        if "Window [" not in line or "WindowGroupLimit" in line:
+            continue
+        tail = line[line.rindex(")") + 1 :] if ")" in line else line
+        groups = re.findall(r"\[([^\[\]]*)\]", tail)
+        if len(groups) >= 2 and groups[-2].strip():
+            continue  # operator-level partition present
+        if groups and not (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
+            continue  # partition-only window (no order clause)
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        if any(b in nxt for b in _BOUNDED_CHILDREN):
+            continue  # rank over ≤k limit survivors
+        flagged.append(line.strip())
+    return flagged
+
+
 def audit(df: DataFrame) -> PlanAudit:
     plan = physical_plan(df)
-    unpartitioned = sum(1 for s in _window_specs(plan) if _is_unpartitioned(s))
+    unpartitioned = len(unpartitioned_window_lines(plan))
     # executedPlan().toString() renders each FileScan on one line:
     # "FileScan parquet [cols] Batched: true, ..., Location: InMemoryFileIndex
     #  (1 paths)[file:/...], ..., PushedFilters: [...], ReadSchema: struct<...>"
@@ -97,6 +162,5 @@ def audit(df: DataFrame) -> PlanAudit:
 def assert_no_unpartitioned_window(df: DataFrame) -> None:
     """Fail if any window in the plan moves all rows to one partition
     (the WindowExec 'No Partition Defined' degradation)."""
-    for spec in _window_specs(physical_plan(df)):
-        if _is_unpartitioned(spec):
-            raise AssertionError(f"unpartitioned window found: {spec[:120]}")
+    for line in unpartitioned_window_lines(physical_plan(df)):
+        raise AssertionError(f"unpartitioned window found: {line[:160]}")

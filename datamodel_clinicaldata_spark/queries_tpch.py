@@ -175,22 +175,25 @@ def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topk_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q15 (top supplier): quarterly revenue per supplier, keep the
-    max-revenue supplier(s). The scalar ``max`` subquery becomes an
-    unpartitioned window max over the *aggregated* frame (|suppliers|
-    rows, not |lineitem|) — rounding before the max so the equality
-    predicate compares identical doubles on both engines. Supplier dim
-    joins the one-row-per-supplier revenue frame broadcast-side."""
-    from pyspark.sql.window import Window
-
+    max-revenue supplier(s). The scalar ``max`` subquery is a 1-row
+    aggregate over the *aggregated* frame (|suppliers| rows, not
+    |lineitem|) cross-joined back by broadcast — rounding before the max
+    so the equality predicate compares identical doubles on both
+    engines. (Round 8: this replaced an unpartitioned global-max window,
+    which funneled the supplier rollup through a SinglePartition
+    exchange; the map-side-combined aggregate + broadcast costs no
+    single-task pass at any dimension size.) Supplier dim joins the
+    one-row-per-supplier revenue frame broadcast-side."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(_disc_price()), 4).alias("total_revenue")
     )
-    top = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return s.join(
         F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")

@@ -336,14 +336,17 @@ def test_syllable_complexity_map_only(spark, sf_dir):
 
 
 def test_shingle_novelty_linear_shape(spark, sf_dir):
-    """Novelty is df ENRICHMENT, not pair generation: digest groupBy +
-    one equi-join back, no windows. (Two scans of documents — one per
-    join branch — are expected; what must never appear is a pair join
-    keyed on the shingle with both sides carrying doc_ids.)"""
+    """Novelty is df ENRICHMENT, not pair generation: ONE scan+explode,
+    df via a count window PARTITIONED on the digest (round-8 rewrite —
+    the groupBy+join-back shape scanned documents twice and shuffled
+    postings twice). What must never appear: an unpartitioned window,
+    or a pair join keyed on the shingle with both sides carrying
+    doc_ids (a second documents scan would be its symptom)."""
     a = audit(QUERIES["text_shingle_novelty"](spark, sf_dir))
-    assert a.windows == 0
-    plan_joins = a.broadcast_hash_joins + a.sort_merge_joins + a.exchanges
-    assert plan_joins > 0  # the df join exists in some physical form
+    assert a.windows == 1
+    assert a.unpartitioned_windows == 0
+    doc_scans = [s for s in a.scans if "documents" in s["location"]]
+    assert len(doc_scans) == 1
 
 
 def test_rolling_corr_and_autocorr_bounded(spark, sf_dir):

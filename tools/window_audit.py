@@ -18,14 +18,16 @@ import time
 
 # name -> (max allowed unpartitioned windows, why that's bounded)
 BOUNDED_OK = {
-    # topk_ranked: rank window over ≤k rows surviving orderBy().limit(k)
-    "sample_weighted_reservoir": (1, "rank over ≤50 TakeOrdered survivors"),
-    "text_cms_heavy_hitters": (1, "rank over ≤20 TakeOrdered survivors"),
-    "text_bm25_rank": (1, "rank over ≤10 TakeOrdered survivors"),
-    "text_pmi_cooccurrence": (1, "rank over ≤20 TakeOrdered survivors"),
+    # topk_ranked rank-over-limit-survivor windows are now auto-skipped
+    # structurally (audit sees the TakeOrdered/WindowGroupLimit child);
+    # entries here are only for bounded shapes the plan cannot reveal.
     # ordered_prefix: exclusive-prefix window over the per-partition stats
     # frame (≤ spark.sql.shuffle.partitions rows)
     "agg_pareto_abc": (1, "offsets window over ≤n_partitions stats rows"),
+    "agg_gini_coefficient": (1, "offsets window over ≤n_partitions stats rows"),
+    "agg_weighted_quantiles": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
+    "events_max_concurrency": (2, "offsets windows over ≤n_partitions stats rows"),
+    "events_rfm_scores": (1, "offsets window over ≤n_partitions stats rows (3 ranks share it)"),
     "text_zipf_fit": (1, "offsets window over ≤n_partitions stats rows"),
     "diag_join_key_skew": (1, "offsets window over ≤n_partitions stats rows"),
     "funnel_time_to_convert": (1, "offsets window over ≤n_partitions stats rows"),
