@@ -368,3 +368,34 @@ def test_cube_single_aggregate_pass(spark, sf_dir):
     assert len(cust_scans) == 1
     assert a.broadcast_hash_joins == 1
     assert a.sort_merge_joins == 0
+
+
+def test_audit_detects_planted_violations(spark, sf_dir):
+    """The audit must be able to FAIL — round 8 found the spec regex had
+    been vacuously 'clean' for every currentrow$()-terminated frame.
+    Plant one specimen of each shape and pin the verdicts:
+    unpartitioned rank ⇒ flagged; same rank behind a limit (topk shape)
+    ⇒ bounded, not flagged; partitioned rank ⇒ not flagged;
+    decorrelated-LATERAL style (partition only in the operator bracket)
+    is covered by the registry sweep via sql_lateral_top_orders."""
+    from pyspark.sql import Window as W
+
+    df = read_table(spark, sf_dir, "nation")
+    bad = df.withColumn(
+        "r", F.row_number().over(W.orderBy("n_nationkey"))
+    )
+    assert audit(bad).unpartitioned_windows == 1
+    bounded = df.orderBy("n_nationkey").limit(5).withColumn(
+        "r", F.row_number().over(W.orderBy("n_nationkey"))
+    )
+    assert audit(bounded).unpartitioned_windows == 0
+    good = df.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("n_regionkey").orderBy("n_nationkey")
+        ),
+    )
+    assert audit(good).unpartitioned_windows == 0
+    # global no-order frame (the q15 shape this round rewrote) ⇒ flagged
+    glob = df.withColumn("m", F.max("n_nationkey").over(W.partitionBy()))
+    assert audit(glob).unpartitioned_windows == 1
