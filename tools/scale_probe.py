@@ -452,6 +452,136 @@ def probe_dedup(spark, n_docs: int, partitions: int) -> dict:
     return out
 
 
+
+
+def probe_similarity(spark, n_vecs: int, partitions: int) -> dict:
+    """Similarity-family probe at ≥1M synthetic 64-d vectors (round 8):
+    the family's largest direct measurement was sf0.1 (~5k vectors).
+    Drives the two blocking primitives whose 100 TB story is
+    "assignment is a broadcast argmin; data never moves":
+
+    - IVF/SemDeDup centroid assignment: 16 centroids broadcast as a
+      literal array, nearest-by-cosine argmin per vector (the
+      ``similarity_ivf_topk`` / ``dedup_semantic_semdedup`` stage) —
+      n_vecs × 16 cosine folds, zero shuffle before the cell counts.
+    - Hyperplane LSH bucketing: 16 sign bits per vector packed to a
+      long (the ``similarity_neardup_lsh`` stage), bucket histogram.
+
+    Corpus (zero fixtures): v(id)[j] = (xxhash64(gen·67+j) mod 2e6+1
+    − 1e6)/1e6 ∈ [−1, 1]; ids 0–15 are the centroid seeds; ids 16–31
+    are PLANTED NEAR-DUPLICATES of the seeds (one dimension perturbed
+    by +0.001 — random 64-d vectors are near-orthogonal, cos ≈ ±0.12,
+    while the perturbed copy keeps cos ≈ 0.9999 to its seed), so the
+    assignment gate is non-tautological: all 16 must land in their
+    seed's cell or the probe fails."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.functions.vectors import dot, sign_bits
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        _centroid_array_expr,
+    )
+
+    base = spark.range(n_vecs).repartition(partitions).withColumnRenamed(
+        "id", "vec_id"
+    )
+    gen = F.when(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 32),
+        F.col("vec_id") - 16,
+    ).otherwise(F.col("vec_id"))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            (
+                F.pmod(F.xxhash64(gen * 67 + j), F.lit(2_000_001))
+                - F.lit(1_000_000)
+            ).cast("double")
+            / 1_000_000.0
+        ),
+    )
+    vec = F.when(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 32),
+        F.concat(
+            F.array((F.element_at(raw, 1) + F.lit(0.001))),
+            F.slice(raw, 2, 63),
+        ),
+    ).otherwise(raw)
+    df = base.select("vec_id", vec.alias("v"))
+
+    seeds = [
+        [float(x) for x in r["v"]]
+        for r in df.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cent = _centroid_array_expr(seeds)
+    vnorm = dot(F.col("v"), F.col("v"))
+    scored = F.transform(
+        cent,
+        lambda c: F.struct(
+            (
+                -dot(F.col("v"), c["cvec"])
+                / F.sqrt(vnorm * dot(c["cvec"], c["cvec"]))
+            ).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    assigned = df.select(
+        "vec_id",
+        "v",
+        F.slice(F.array_sort(scored), 1, 1)[0]["cid"].cast("int").alias("cid"),
+    )
+
+    t0 = time.time()
+    cells = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ivf_sec = time.time() - t0
+    planted = {
+        r["vec_id"]: r["cid"]
+        for r in assigned.filter(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") < 32)
+        ).collect()
+    }
+    ivf_recall = sum(
+        1 for vid, cid in planted.items() if cid == vid - 16
+    ) / 16.0
+    assert ivf_recall == 1.0, f"planted IVF assignment broke: {planted}"
+
+    import random
+
+    rng = random.Random(43)
+    planes = [
+        [rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(16)
+    ]
+    t0 = time.time()
+    buckets = (
+        df.select(sign_bits(F.col("v"), planes).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand_pairs"),
+        )
+        .collect()[0]
+    )
+    lsh_sec = time.time() - t0
+    total_pairs = n_vecs * (n_vecs - 1) / 2
+    return {
+        "n_vecs": n_vecs,
+        "ivf_assign_sec": round(ivf_sec, 1),
+        "ivf_vecs_per_sec": int(n_vecs / ivf_sec),
+        "ivf_cells": len(cells),
+        "ivf_max_cell": max(r["n"] for r in cells),
+        "ivf_planted_recall": ivf_recall,
+        "lsh_bucket_sec": round(lsh_sec, 1),
+        "lsh_vecs_per_sec": int(n_vecs / lsh_sec),
+        "lsh_buckets": int(buckets["n_buckets"]),
+        "lsh_max_bucket": int(buckets["max_bucket"]),
+        "lsh_candidate_fraction": float(buckets["cand_pairs"]) / total_pairs,
+    }
+
+
 def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out: dict = {"rows": rows, "partitions": partitions}
     w0, r0 = _shuffle_totals(spark)
@@ -465,6 +595,10 @@ def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     )
     # Dedup family at 1M+ docs (rows/50 at the default 50M).
     out["dedup"] = probe_dedup(spark, max(rows // 50, 1_000_000), partitions)
+    # Similarity family at 1M+ vectors (rows/50 at the default 50M).
+    out["similarity"] = probe_similarity(
+        spark, max(rows // 50, 1_000_000), partitions
+    )
     w1, r1 = _shuffle_totals(spark)
     out["shuffle_write_bytes"] = w1 - w0
     out["shuffle_read_bytes"] = r1 - r0
