@@ -691,3 +691,75 @@ def contrastive_triplets(
             round_fixed(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
         )
     )
+
+
+def assign_cells(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cid",
+    impl: str = "expr",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) cell assignment — the IVF /
+    SemDeDup blocking stage. Centroids broadcast as a constant; data
+    never moves: assignment is a narrow map at any scale.
+
+    Two implementations, one contract:
+
+    - ``impl="expr"`` — pure Catalyst HOFs (the oracle-replayable form:
+      sequential-fold dot products match DuckDB's ``list_inner_product``
+      term-for-term, and ties break on the LOWest cid via the
+      (−cos, cid) struct sort). This is the form every oracle-gated
+      query must use.
+    - ``impl="arrow"`` — Arrow-batched numpy matmul over
+      ``mapInPandas``: one BLAS GEMM per batch instead of
+      n_centroids × dim interpreted fold steps per row. Measured 5.3×
+      faster end-to-end at 1M×64×16, 4.6 s vs 24.5 s warm incl. vector
+      generation (tools/scale_probe.py). numpy's pairwise
+      summation can differ from the sequential fold in the last ulp, so
+      argmax may flip ONLY on near-exact cosine ties — fine for
+      production blocking, NOT oracle-replayable; tests pin full
+      agreement on the fixture corpus (near-orthogonal vectors, top-2
+      gap ≫ ulp).
+
+    Returns the input columns plus ``out_col`` (int cell id)."""
+    import numpy as np
+
+    if impl == "expr":
+        cent = _centroid_array_expr(cents)
+        from datamodel_clinicaldata_spark.functions.vectors import dot
+
+        vnorm = dot(F.col(vec_col), F.col(vec_col))
+        scored = F.transform(
+            cent,
+            lambda c: F.struct(
+                (
+                    -dot(F.col(vec_col), c["cvec"])
+                    / F.sqrt(vnorm * dot(c["cvec"], c["cvec"]))
+                ).alias("negcos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return df.withColumn(
+            out_col,
+            F.slice(F.array_sort(scored), 1, 1)[0]["cid"].cast("int"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"assign_cells: unknown impl {impl!r}")
+
+    C = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} int"
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            vn[vn == 0.0] = 1.0
+            cos = (V / vn) @ Cn.T  # (n, k)
+            pdf[out_col] = np.argmax(cos, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)

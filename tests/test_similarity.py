@@ -303,3 +303,32 @@ def test_mmr_rerank_prefers_diversity(spark, tmp_path):
     # jump to the diverse 3 because 2 is a near-copy of the selected 1
     assert out[3] == 3
     assert out[4] == 2
+
+
+def test_assign_cells_expr_arrow_agree(spark, sf_dir):
+    """The Arrow/GEMM assignment path must agree with the
+    oracle-replayable Catalyst-fold path on the fixture corpus.
+    Disagreement is only possible on near-exact cosine ties (numpy's
+    pairwise summation vs the sequential fold differ in the last ulp);
+    the fixture's near-orthogonal vectors keep the top-2 gap orders of
+    magnitude above ulp, so agreement must be EXACT here."""
+    from datamodel_clinicaldata_spark.operators.similarity import assign_cells
+    from datamodel_clinicaldata_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.orderBy("vec_id").limit(16).collect()
+    ]
+    a = {
+        r["vec_id"]: r["cid"]
+        for r in assign_cells(e, cents, impl="expr").collect()
+    }
+    b = {
+        r["vec_id"]: r["cid"]
+        for r in assign_cells(e, cents, impl="arrow").collect()
+    }
+    assert a == b
+    # seeds must claim their own cells under both paths (cos(v,v)=1)
+    for vid in range(16):
+        assert a[vid] == vid

@@ -536,6 +536,22 @@ def probe_similarity(spark, n_vecs: int, partitions: int) -> dict:
         .collect()
     )
     ivf_sec = time.time() - t0
+    # Arrow/GEMM assignment path (operators.similarity.assign_cells):
+    # same contract, one BLAS matmul per batch — the production form
+    # when oracle replay is not required.
+    from datamodel_clinicaldata_spark.operators.similarity import assign_cells
+
+    t0 = time.time()
+    arrow_cells = (
+        assign_cells(df, seeds, vec_col="v", impl="arrow")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ivf_arrow_sec = time.time() - t0
+    assert sorted(r["n"] for r in arrow_cells) == sorted(
+        r["n"] for r in cells
+    ), "arrow assignment cell histogram diverged from the expr path"
     planted = {
         r["vec_id"]: r["cid"]
         for r in assigned.filter(
@@ -574,6 +590,8 @@ def probe_similarity(spark, n_vecs: int, partitions: int) -> dict:
         "ivf_cells": len(cells),
         "ivf_max_cell": max(r["n"] for r in cells),
         "ivf_planted_recall": ivf_recall,
+        "ivf_arrow_sec": round(ivf_arrow_sec, 1),
+        "ivf_arrow_vecs_per_sec": int(n_vecs / ivf_arrow_sec),
         "lsh_bucket_sec": round(lsh_sec, 1),
         "lsh_vecs_per_sec": int(n_vecs / lsh_sec),
         "lsh_buckets": int(buckets["n_buckets"]),
