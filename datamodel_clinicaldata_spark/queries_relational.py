@@ -4834,12 +4834,23 @@ def diag_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(o AS DECIMAL(38,0)) * __n - CAST(r AS DECIMAL(38,0)) * col)"
         " * 1000000 div (CAST(r AS DECIMAL(38,0)) * col * __n)"
     )
-    tot = m.agg(
-        n.alias("__n"), F.count(F.lit(1)).cast("long").alias("n_cells")
+    # Totals as a GLOBAL window over the ≤36-cell contingency frame —
+    # a separate 1-row aggregate cross-joined back would re-execute the
+    # events scan (Spark lineage re-runs; the SQL CTE the oracle reads
+    # once is not how DataFrames share). The unpartitioned window is
+    # bounded by |types|·|weekdays| (window_audit BOUNDED_OK).
+    wall = Window.partitionBy()
+    m2 = m.select(
+        "event_type",
+        "dow",
+        "o",
+        "r",
+        "col",
+        F.sum("o").over(wall).cast("long").alias("__n"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_cells"),
     )
     return (
-        m.crossJoin(F.broadcast(tot))
-        .groupBy(F.col("__n").alias("n_events"), "n_cells")
+        m2.groupBy(F.col("__n").alias("n_events"), "n_cells")
         .agg(F.sum(term).cast("long").alias("chisq_e6"))
         .select("n_events", "n_cells", "chisq_e6")
     )

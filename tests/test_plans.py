@@ -399,3 +399,32 @@ def test_audit_detects_planted_violations(spark, sf_dir):
     # global no-order frame (the q15 shape this round rewrote) ⇒ flagged
     glob = df.withColumn("m", F.max("n_nationkey").over(W.partitionBy()))
     assert audit(glob).unpartitioned_windows == 1
+
+
+def test_weighted_quantiles_single_lineitem_scan(spark, sf_dir):
+    """The grand total must come from the checkpointed prefix frame
+    (max running sum), never a second lineitem aggregate. ordered_prefix
+    checkpoints its input, so the FINAL plan contains no parquet scan at
+    all — every branch reads the checkpoint (a lineitem re-scan would
+    surface as a FileScan here)."""
+    a = audit(QUERIES["agg_weighted_quantiles"](spark, sf_dir))
+    assert len(a.scans) == 0
+
+
+def test_dau_wau_no_window_no_selfjoin(spark, sf_dir):
+    """Windowed distinct rides the temporal contribution explode: no
+    window operator, no sort-merge self-join over user-days."""
+    a = audit(QUERIES["events_dau_wau_stickiness"](spark, sf_dir))
+    assert a.windows == 0
+    assert a.unpartitioned_windows == 0
+
+
+def test_chisq_single_events_scan(spark, sf_dir):
+    """Margins and the N total all derive from the 35-cell contingency
+    frame — one events scan, windows only over the cell frame."""
+    a = audit(QUERIES["diag_chisq_independence"](spark, sf_dir))
+    ev_scans = [s for s in a.scans if "events" in s["location"]]
+    assert len(ev_scans) == 1
+    # margins + totals: two partitioned windows + the one global window
+    # bounded by the contingency-cell count (window_audit BOUNDED_OK)
+    assert a.unpartitioned_windows == 1

@@ -36,6 +36,7 @@ BOUNDED_OK = {
     "agg_skyline_pareto": (1, "offsets window over ≤n_partitions stats rows"),
     # calendar-bounded post-agg frames (≤ |days| rows regardless of SF)
     "events_new_vs_returning": (1, "cumsum over ≤|calendar days| rows"),
+    "diag_chisq_independence": (1, "margins over ≤|types×weekdays| contingency cells"),
     "timeseries_rolling_corr": (1, "rolling moments over ≤|calendar days| rows"),
     "window_rolling_regression": (1, "rolling moments over ≤|calendar days| rows"),
     "events_burst_detection": (1, "rolling moments over ≤|calendar days| rows"),
