@@ -173,6 +173,10 @@ HEADLINE = [
     "diag_simpsons_paradox",
     # round 8: integer sign-test burst detector
     "events_burst_detection",
+    # round 8 late: mergeable equi-width histogram, grid-blocked
+    # spatial neighbors join (geohash shape, exactly-once pairs)
+    "agg_histogram_equiwidth",
+    "join_spatial_grid_neighbors",
 ]
 
 

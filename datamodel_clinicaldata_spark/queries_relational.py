@@ -5493,3 +5493,134 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("burst_flag"),
     )
+
+
+@register(
+    "agg_histogram_equiwidth",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / 30000) AS BIGINT), 19) AS bin,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT bin,
+           CAST(bin * 30000 AS BIGINT) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY bin
+    """,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram of order value (fixed $30k bins, top bin
+    open) — the complement of ``feature_quantile_bins``' equi-DEPTH
+    deciles: fixed boundaries make histograms MERGEABLE across
+    partitions/days (the property dashboards and drift monitors need;
+    equi-depth edges shift with the data). Per-bin count/min/max/sum in
+    exact cents.
+
+    Scale shape: one map-side-combined aggregate to ≤20 rows — the
+    cheapest distributive statistic there is; bin ids are integer
+    division so the oracle is trivially engine-identical."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    b = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 30000).cast("long"), F.lit(19)
+        ).alias("bin"),
+        cents.alias("cents"),
+    )
+    return b.groupBy("bin").agg(
+        (F.col("bin") * 30000).cast("long").alias("bin_lo"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select("bin", "bin_lo", "n_orders", "min_cents", "max_cents", "sum_cents")
+
+
+@register(
+    "join_spatial_grid_neighbors",
+    """
+    WITH p AS (
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1000 AS x,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)
+                  AS BIGINT) % 1000 AS y
+      FROM customer
+    ),
+    a AS (SELECT id, x, y, x // 8 AS cx, y // 8 AS cy FROM p),
+    b AS (
+      SELECT p.id, p.x, p.y,
+             p.x // 8 + d.dx AS cx, p.y // 8 + d.dy AS cy
+      FROM p, (VALUES (-1), (0), (1)) dxs(dx), (VALUES (-1), (0), (1)) dys(dy),
+           LATERAL (SELECT dxs.dx AS dx, dys.dy AS dy) d
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb_dist
+    FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 8
+    """,
+)
+def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial neighbors join — all point pairs within
+    Chebyshev distance 8 on a 1000×1000 plane, the geospatial
+    (geohash-style) shape: the naive form is a distance-predicate theta
+    join (a broadcast nested loop at any scale); the grid rewrite snaps
+    each point to a cell of width = the distance bound, explodes ONE
+    side into its 3×3 neighbor cells, equi-joins on the cell id, and
+    applies the exact distance filter to the candidates. Each
+    qualifying pair is emitted EXACTLY once (the probe side covers the
+    build side's cell at most once per pair), so no dedup pass.
+    Coordinates derive from two independent md5 slices of the key (a
+    single Knuth hash with an offset was probed first and REJECTED: the
+    two coordinates were affinely dependent mod 1000 — every point on
+    one lattice line, 1.9M pairs at sf0.1 vs 32k under independent
+    bits; a degenerate synthetic plane measures the wrong thing).
+
+    Exactness: coordinates, cells, and distances are exact integers
+    end-to-end; the portable md5-slice hash is the repo's established
+    cross-engine idiom (``split_leakage_safe``).
+
+    Scale shape: candidate volume is Σ per-cell n_a·n_b over 9 cells —
+    density-bounded, the spatial analogue of the LSH bucket join; one
+    equi-join shuffle on cell ids, the 9× explode happens before the
+    exchange's partial aggregation of nothing (it's a join, so 9× probe
+    rows shuffle — the standard cost of grid blocking). A hot cell is
+    the skew risk, same cap-and-log doctrine as every blocking join in
+    this repo."""
+    c = read_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    p = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000).alias("x"),
+        (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 1000).alias("y"),
+    )
+    a = p.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("x") / 8).cast("long").alias("cx"),
+        (F.col("y") / 8).cast("long").alias("cy"),
+    )
+    offs = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    b = p.select("id", "x", "y", offs.alias("o")).select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        ((F.col("x") / 8).cast("long") + F.col("o.dx")).alias("cx"),
+        ((F.col("y") / 8).cast("long") + F.col("o.dy")).alias("cy"),
+    )
+    cheb = F.greatest(
+        F.abs(F.col("xa") - F.col("xb")), F.abs(F.col("ya") - F.col("yb"))
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (cheb <= 8))
+        .select("id_a", "id_b", cheb.cast("long").alias("cheb_dist"))
+    )
