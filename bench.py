@@ -177,6 +177,9 @@ HEADLINE = [
     # spatial neighbors join (geohash shape, exactly-once pairs)
     "agg_histogram_equiwidth",
     "join_spatial_grid_neighbors",
+    # round 8 late: Wilson lower-bound ranking, exact-integer KS test
+    "topk_suppliers_wilson",
+    "diag_ks_two_sample",
 ]
 
 

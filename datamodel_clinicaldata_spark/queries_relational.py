@@ -5624,3 +5624,159 @@ def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") < F.col("id_b")) & (cheb <= 8))
         .select("id_a", "id_b", cheb.cast("long").alias("cheb_dist"))
     )
+
+
+@register(
+    "topk_suppliers_wilson",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT l_suppkey, n, r,
+             CAST(floor(
+               ( r / n + 3.8416 / (2 * n)
+                 - 1.96 * sqrt( (r / n) * (1 - r / n) / n
+                                + 3.8416 / (4 * n * n) ) )
+               / (1 + 3.8416 / n) * 1000000 + 0.5) AS BIGINT)
+               AS wilson_lb_e6
+      FROM s
+    )
+    SELECT l_suppkey, n, r, wilson_lb_e6,
+           CAST(row_number() OVER (ORDER BY wilson_lb_e6 DESC, l_suppkey)
+                AS BIGINT) AS rank
+    FROM w ORDER BY wilson_lb_e6 DESC, l_suppkey LIMIT 20
+    """,
+)
+def topk_suppliers_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking under uncertainty: top-20 suppliers by the Wilson-score
+    LOWER bound (z = 1.96) of their return rate — the small-sample-safe
+    sort behind every "best rated" list (a 2/2 supplier must not outrank
+    a 195/600 one; the raw rate does exactly that). The bound is ONE
+    fixed-shape IEEE expression over the exact integer pair (r, n) —
+    identical text on both engines, so the e6-quantized value is
+    engine-identical (the correlation-doctrine argument: no float ever
+    crosses an aggregation boundary; floats exist only per-row between
+    exact inputs and the quantizer).
+
+    Scale shape: one map-side-combined aggregate to the supplier
+    dimension, per-row scoring, TakeOrdered top-20 — no global sort, no
+    window over unbounded input."""
+    from datamodel_clinicaldata_spark.operators.ranking import topk_ranked
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("r"),
+    )
+    w = s.withColumn(
+        "wilson_lb_e6",
+        F.expr(
+            "CAST(floor("
+            "( r / n + 3.8416 / (2 * n)"
+            "  - 1.96 * sqrt( (r / n) * (1 - r / n) / n"
+            "                 + 3.8416 / (4 * n * n) ) )"
+            " / (1 + 3.8416 / n) * 1000000 + 0.5) AS BIGINT)"
+        ),
+    )
+    return topk_ranked(
+        w, [F.col("wilson_lb_e6").desc(), F.col("l_suppkey").asc()], k=20
+    ).select("l_suppkey", "n", "r", "wilson_lb_e6", "rank")
+
+
+@register(
+    "diag_ks_two_sample",
+    """
+    WITH g AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST((CAST(o_orderkey AS HUGEINT) * 2654435761) % 2 AS BIGINT)
+               AS grp
+      FROM orders
+    ),
+    pts AS (
+      SELECT v,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM g GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             CAST(sum(c0) OVER w AS BIGINT) AS cum0,
+             CAST(sum(c1) OVER w AS BIGINT) AS cum1
+      FROM pts WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (SELECT max(cum0) AS n0, max(cum1) AS n1 FROM c)
+    SELECT CAST(t.n0 AS BIGINT) AS n0, CAST(t.n1 AS BIGINT) AS n1,
+           CAST(max(abs(CAST(c.cum0 AS HUGEINT) * t.n1
+                        - CAST(c.cum1 AS HUGEINT) * t.n0)) * 1000000
+                // (CAST(t.n0 AS HUGEINT) * t.n1) AS BIGINT) AS ks_e6
+    FROM c, t
+    GROUP BY t.n0, t.n1
+    """,
+)
+def diag_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the order-value
+    distributions of two deterministic halves (Knuth-hash split of
+    o_orderkey) — the non-parametric same-distribution test behind
+    train/test-split audits and drift monitors. D = max|F₀(v) − F₁(v)|
+    clears the denominators to max|cum₀·n₁ − cum₁·n₀| over the sorted
+    value domain: EXACT integers end-to-end (the supremum over empirical
+    CDF steps needs no float, no binning, no approximation), one e6
+    integral quotient at the end.
+
+    Scale shape: values collapse to the distinct cents domain with both
+    groups' counts in one conditional aggregate; the two running counts
+    ride ONE ``ordered_prefix`` range-shuffle pass (never an
+    unpartitioned window over the domain frame); totals and the max
+    fold read the checkpointed prefix frame — no second orders scan.
+    The cross-multiplied supremum runs in decimal(38,0)/HUGEINT (cum·n
+    products pass int64 at corpus scale)."""
+    from datamodel_clinicaldata_spark.functions.sampling import knuth_mod
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    o = read_table(spark, sf_dir, "orders")
+    g = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        knuth_mod(F.col("o_orderkey"), 2).cast("long").alias("grp"),
+    )
+    pts = g.groupBy("v").agg(
+        F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("c0"),
+        F.sum((F.col("grp") == 1).cast("long")).cast("long").alias("c1"),
+    )
+    c = ordered_prefix(
+        pts,
+        [F.col("v").asc()],
+        running_sum={"c0": "cum0", "c1": "cum1"},
+    ).select(
+        F.col("cum0").cast("long").alias("cum0"),
+        F.col("cum1").cast("long").alias("cum1"),
+    )
+    t = c.agg(
+        F.max("cum0").cast("long").alias("n0"),
+        F.max("cum1").cast("long").alias("n1"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    num = F.abs(
+        F.col("cum0").cast("decimal(38,0)") * F.col("n1")
+        - F.col("cum1").cast("decimal(38,0)") * F.col("n0")
+    )
+    return (
+        j.groupBy("n0", "n1")
+        .agg(F.max(num).alias("__ks_num"))
+        .select(
+            "n0",
+            "n1",
+            F.expr(
+                "CAST(__ks_num * 1000000"
+                " div (CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)"
+            ).alias("ks_e6"),
+        )
+    )
