@@ -180,6 +180,9 @@ HEADLINE = [
     # round 8 late: Wilson lower-bound ranking, exact-integer KS test
     "topk_suppliers_wilson",
     "diag_ks_two_sample",
+    # round 8 late: integer Spearman rank agreement, balanced downsample
+    "eval_rank_correlation_spearman",
+    "sample_balanced_downsample",
 ]
 
 

@@ -5780,3 +5780,81 @@ def diag_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_e6"),
         )
     )
+
+
+@register(
+    "eval_rank_correlation_spearman",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ret
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT l_suppkey,
+             CAST(row_number() OVER (ORDER BY rev DESC, l_suppkey)
+                  AS BIGINT) AS rank_rev,
+             CAST(row_number() OVER (ORDER BY ret DESC, l_suppkey)
+                  AS BIGINT) AS rank_ret
+      FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum((rank_rev - rank_ret) * (rank_rev - rank_ret))
+                AS BIGINT) AS sum_d2,
+           CAST(1000000 - CAST(6000000 * CAST(sum((rank_rev - rank_ret)
+                        * (rank_rev - rank_ret)) AS HUGEINT)
+                // (CAST(count(*) AS HUGEINT)
+                    * (count(*) * count(*) - 1)) AS BIGINT) AS BIGINT)
+             AS spearman_e6
+    FROM r
+    """,
+)
+def eval_rank_correlation_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two supplier orderings (by
+    revenue vs by return count) — the metric-agreement check run when
+    replacing a ranking signal (do the orderings agree before we swap
+    the cheaper one in?). With tie-broken total orders (id tie-break
+    doctrine), ρ = 1 − 6Σd²/(n(n²−1)) is EXACT integer arithmetic end
+    to end: ranks, rank differences, Σd², and the final e6 integral
+    quotient in HUGEINT/decimal (6·10⁶·Σd² passes int64 once n grows;
+    the quotient is ≤ 2·10⁶ so div is wrap-safe).
+
+    Scale shape: one aggregate to the supplier dimension, two rank
+    passes via ``ordered_prefix`` over that dimension frame (never an
+    unpartitioned window over unbounded input), a 1-row fold."""
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(cents).cast("long").alias("rev"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("ret"),
+    )
+    r1 = ordered_prefix(
+        s, [F.col("rev").desc(), F.col("l_suppkey").asc()], rank_col="rank_rev"
+    )
+    r2 = ordered_prefix(
+        r1,
+        [F.col("ret").desc(), F.col("l_suppkey").asc()],
+        rank_col="rank_ret",
+    )
+    d2 = (F.col("rank_rev") - F.col("rank_ret")) * (
+        F.col("rank_rev") - F.col("rank_ret")
+    )
+    return r2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    ).select(
+        "n_suppliers",
+        "sum_d2",
+        F.expr(
+            "CAST(1000000 - CAST(CAST(6000000 AS DECIMAL(38,0)) * sum_d2"
+            " div (CAST(n_suppliers AS DECIMAL(38,0))"
+            "      * (n_suppliers * n_suppliers - 1)) AS BIGINT) AS BIGINT)"
+        ).alias("spearman_e6"),
+    )

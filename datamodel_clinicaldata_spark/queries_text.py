@@ -1565,3 +1565,55 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((n_docs - 1) * s) AS BIGINT)"
         ).alias("dispersion_e6"),
     )
+
+
+@register(
+    "sample_balanced_downsample",
+    """
+    WITH m AS (
+      SELECT CAST(min(n) AS BIGINT) AS cap
+      FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                        % 4294967296, doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rnk
+    FROM r, m WHERE r.rnk <= m.cap
+    """,
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — cap every language at the minority
+    class's size (the standard rebalancing step before training a
+    classifier on skewed labels). Selection within a class is a
+    DETERMINISTIC pseudo-random order (Knuth multiplicative hash of
+    doc_id, id tie-break), so the sample is reproducible, unbiased by
+    ingestion order, and engine-identical — never ``ORDER BY rand()``.
+    The cap is the exact min class count (plan-folded 1-row broadcast).
+
+    Scale shape: per-class rank windows are PARTITIONED by lang; one
+    class-count aggregate for the cap; the filter keeps ≤ cap·|classes|
+    rows. The hot-class partition holds that class's rows — the same
+    per-key bound every partitioned window in this repo carries."""
+    from datamodel_clinicaldata_spark.functions.sampling import knuth_key
+
+    d = read_table(spark, sf_dir, "documents")
+    cap = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").cast("long").alias("cap")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (knuth_key("doc_id") % F.lit(4294967296)).asc(), F.col("doc_id").asc()
+    )
+    r = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    return (
+        r.crossJoin(F.broadcast(cap))
+        .filter(F.col("rnk") <= F.col("cap"))
+        .select("doc_id", "lang", "rnk")
+    )

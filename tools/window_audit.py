@@ -27,6 +27,7 @@ BOUNDED_OK = {
     "agg_gini_coefficient": (1, "offsets window over ≤n_partitions stats rows"),
     "agg_weighted_quantiles": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
     "diag_ks_two_sample": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
+    "eval_rank_correlation_spearman": (2, "two offsets windows over ≤n_partitions stats rows"),
     "events_max_concurrency": (2, "offsets windows over ≤n_partitions stats rows"),
     "events_rfm_scores": (1, "offsets window over ≤n_partitions stats rows (3 ranks share it)"),
     "text_zipf_fit": (1, "offsets window over ≤n_partitions stats rows"),
