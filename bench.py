@@ -183,6 +183,10 @@ HEADLINE = [
     # round 8 late: integer Spearman rank agreement, balanced downsample
     "eval_rank_correlation_spearman",
     "sample_balanced_downsample",
+    # round 8 late: bounded-frame exact rolling median, fixed-point
+    # 3-step Markov projection
+    "timeseries_rolling_median",
+    "events_markov_3step",
 ]
 
 

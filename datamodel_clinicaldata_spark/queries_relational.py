@@ -5858,3 +5858,193 @@ def eval_rank_correlation_spearman(spark: SparkSession, sf_dir: str) -> DataFram
             "      * (n_suppliers * n_suppliers - 1)) AS BIGINT) AS BIGINT)"
         ).alias("spearman_e6"),
     )
+
+
+@register(
+    "timeseries_rolling_median",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', ts::DATE) AS di,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT di, x,
+             list_sort(list(x) OVER (ORDER BY di
+                       RANGE BETWEEN 14 PRECEDING AND CURRENT ROW)) AS vals
+      FROM daily
+    )
+    SELECT CAST(di AS BIGINT) AS day_idx, x AS n_events,
+           CAST(length(vals) AS BIGINT) AS n_window,
+           CAST(vals[(length(vals) + 1) // 2] AS BIGINT) AS median_events
+    FROM w
+    """,
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 15-day rolling EXACT median of daily event volume — the
+    robust smoother that a rolling mean is not (one burst day drags a
+    mean for two weeks; the median shrugs). Even-sized windows take the
+    LOWER median (the repo's exact-median doctrine, same as
+    ``feature_robust_scale``), so the statistic is always an observed
+    integer value — no float interpolation, nothing to quantize.
+
+    Mechanism: ``collect_list`` over the RANGE frame, sorted in-plan,
+    middle element by index — legitimate ONLY because the frame is
+    calendar-bounded (≤15 values per row; the collect_list-in-window
+    skew hazard documented in SCALING.md applies to unbounded per-key
+    frames, not to a constant-width one). The window itself runs over
+    the ≤|calendar days| post-agg frame (window_audit BOUNDED_OK)."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    win = Window.orderBy("di").rangeBetween(-14, 0)
+    w = daily.select(
+        "di",
+        "x",
+        F.array_sort(F.collect_list("x").over(win)).alias("vals"),
+    )
+    n = F.size("vals")
+    return w.select(
+        F.col("di").alias("day_idx"),
+        F.col("x").alias("n_events"),
+        n.cast("long").alias("n_window"),
+        F.element_at("vals", ((n + 1) / 2).cast("int"))
+        .cast("long")
+        .alias("median_events"),
+    )
+
+
+@register(
+    "events_markov_3step",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    e AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT cur, nxt,
+             CAST(CAST(c AS HUGEINT) * 1000000000000
+                  // sum(c) OVER (PARTITION BY cur) AS BIGINT) AS p_e12
+      FROM e
+    ),
+    f AS (
+      SELECT event_type AS state, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1 GROUP BY 1
+    ),
+    s0 AS (
+      SELECT state,
+             CAST(CAST(c AS HUGEINT) * 1000000000000
+                  // sum(c) OVER () AS BIGINT) AS s_e12
+      FROM f
+    ),
+    s1 AS (
+      SELECT p.nxt AS state,
+             CAST(sum(CAST(s0.s_e12 AS HUGEINT) * p.p_e12)
+                  // 1000000000000 AS BIGINT) AS s_e12
+      FROM s0 JOIN p ON p.cur = s0.state GROUP BY p.nxt
+    ),
+    s2 AS (
+      SELECT p.nxt AS state,
+             CAST(sum(CAST(s1.s_e12 AS HUGEINT) * p.p_e12)
+                  // 1000000000000 AS BIGINT) AS s_e12
+      FROM s1 JOIN p ON p.cur = s1.state GROUP BY p.nxt
+    ),
+    s3 AS (
+      SELECT p.nxt AS state,
+             CAST(sum(CAST(s2.s_e12 AS HUGEINT) * p.p_e12)
+                  // 1000000000000 AS BIGINT) AS s_e12
+      FROM s2 JOIN p ON p.cur = s2.state GROUP BY p.nxt
+    )
+    SELECT coalesce(s0.state, s3.state) AS state,
+           coalesce(s0.s_e12, 0) AS start_e12,
+           coalesce(s3.s_e12, 0) AS step3_e12
+    FROM s0 FULL OUTER JOIN s3 ON s3.state = s0.state
+    """,
+)
+def events_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step Markov projection: starting from the EMPIRICAL
+    first-event distribution, where is a user likely to be three
+    transitions later? The chain-forecast query behind journey
+    planning, extending ``events_markov_transitions`` (the one-step
+    matrix) with iterated matrix–vector products. Fixed-point doctrine
+    throughout (the PageRank playbook): transition probabilities and
+    state masses are e12 BIGINTs, each step's Σ s·p products run in
+    HUGEINT/decimal(38,0) and re-quantize by ONE truncating integral
+    division — no float ever crosses a step boundary, so iteration
+    order cannot move the result and both engines agree bit-for-bit.
+
+    Scale shape: the corpus-size work is one lead() pass (user-
+    partitioned) + the first-event rank; everything after lives on the
+    ≤|states|² edge frame — three dimension-sized joins. The two
+    global windows (row-normalize per cur, start-distribution total)
+    run over ≤|states|²/≤|states| rows (window_audit BOUNDED_OK)."""
+    e = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    edges = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    p = edges.select(
+        "cur",
+        "nxt",
+        F.expr(
+            "CAST(CAST(c AS DECIMAL(38,0)) * 1000000000000"
+            " div (sum(c) OVER (PARTITION BY cur)) AS BIGINT)"
+        ).alias("p_e12"),
+    )
+    f = (
+        e.select("user_id", "event_type", F.row_number().over(wu).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("state"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = f.select(
+        "state",
+        F.expr(
+            "CAST(CAST(c AS DECIMAL(38,0)) * 1000000000000"
+            " div (sum(c) OVER ()) AS BIGINT)"
+        ).alias("s_e12"),
+    )
+    s0 = s
+    for _ in range(3):
+        s = (
+            s.join(p, p["cur"] == s["state"])
+            .groupBy(F.col("nxt").alias("__state"))
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(s_e12 AS DECIMAL(38,0)) * p_e12)"
+                    " div 1000000000000 AS BIGINT)"
+                ).alias("s_e12")
+            )
+            .select(F.col("__state").alias("state"), "s_e12")
+        )
+    return (
+        s0.select(F.col("state").alias("st0"), F.col("s_e12").alias("start_e12"))
+        .join(
+            s.select(F.col("state").alias("st3"), F.col("s_e12").alias("step3_e12")),
+            F.col("st3") == F.col("st0"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("st0"), F.col("st3")).alias("state"),
+            F.coalesce(F.col("start_e12"), F.lit(0)).cast("long").alias("start_e12"),
+            F.coalesce(F.col("step3_e12"), F.lit(0)).cast("long").alias("step3_e12"),
+        )
+    )

@@ -42,6 +42,8 @@ BOUNDED_OK = {
     "timeseries_rolling_corr": (1, "rolling moments over ≤|calendar days| rows"),
     "window_rolling_regression": (1, "rolling moments over ≤|calendar days| rows"),
     "events_burst_detection": (1, "rolling moments over ≤|calendar days| rows"),
+    "timeseries_rolling_median": (1, "15-value collect frame over ≤|calendar days| rows"),
+    "events_markov_3step": (2, "row-normalize/total windows over ≤|states|² edge rows"),
 }
 
 # Query construction itself runs Spark jobs (adaptive/iterative operators
