@@ -187,6 +187,9 @@ HEADLINE = [
     # 3-step Markov projection
     "timeseries_rolling_median",
     "events_markov_3step",
+    # round 8 late: per-source dup-rate scorecard, Heaps growth curve
+    "diag_duplicate_rate_by_source",
+    "text_vocab_growth_heaps",
 ]
 
 

@@ -1617,3 +1617,104 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= F.col("cap"))
         .select("doc_id", "lang", "rnk")
     )
+
+
+@register(
+    "diag_duplicate_rate_by_source",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           (CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+            * 1000000) // CAST(count(*) AS BIGINT) AS dup_rate_e6
+    FROM documents GROUP BY source
+    """,
+)
+def diag_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the ingest-quality scorecard
+    (which feed is re-sending content?) that decides where dedup budget
+    goes. One conditional count-distinct of 16-byte digests per source;
+    the rate is an integral quotient of exact counts.
+
+    Scale shape: one scan; the count-distinct shuffles (source, digest)
+    pairs with map-side partial dedup — the exact-dedup shuffle shape,
+    keyed by source."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("long").alias("n_distinct"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        F.expr("((n_docs - n_distinct) * 1000000) div n_docs").alias(
+            "dup_rate_e6"
+        ),
+    )
+
+
+@register(
+    "text_vocab_growth_heaps",
+    """
+    WITH fo AS (
+      SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    n AS (SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM documents)
+    SELECT CAST(t.decile AS BIGINT) AS decile,
+           CAST(n.max_id * t.decile // 10 AS BIGINT) AS doc_id_cutoff,
+           CAST(count(*) FILTER (WHERE fo.first_doc
+                                       <= n.max_id * t.decile // 10)
+                AS BIGINT) AS vocab_size
+    FROM fo, n, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(decile)
+    GROUP BY t.decile, n.max_id
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-token count as the
+    corpus grows through 10 doc-id cutoffs — the companion diagnostic
+    to ``text_zipf_fit`` (Zipf describes the frequency profile, Heaps
+    the vocabulary's sub-linear growth V ≈ K·nᵝ; a growth curve that
+    FLATTENS early flags a closed template vocabulary, one that stays
+    linear flags noise/IDs). Computed from each token's FIRST-
+    OCCURRENCE doc id (one groupBy), so the ten cumulative vocabulary
+    sizes need ten conditional counts over the vocab frame — NOT ten
+    distinct-count passes over the corpus.
+
+    Exactness: integer ids, integer cutoffs (max_id·d/10 in integer
+    division on both engines via the shared truncation), exact counts.
+
+    Scale shape: one explode + one vocabulary-keyed min aggregate;
+    the decile table cross-joins the VOCAB frame (vocabulary-sized,
+    not corpus-sized); the max-id total broadcasts."""
+    d = read_table(spark, sf_dir, "documents")
+    fo = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+    )
+    n = d.agg(F.max("doc_id").cast("long").alias("max_id"))
+    dec = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    j = fo.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(dec))
+    return (
+        j.groupBy("decile", "max_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("first_doc")
+                    <= F.expr("max_id * decile div 10")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("vocab_size")
+        )
+        .select(
+            "decile",
+            F.expr("max_id * decile div 10").alias(
+                "doc_id_cutoff"
+            ),
+            "vocab_size",
+        )
+    )
