@@ -6048,3 +6048,251 @@ def events_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("step3_e12"), F.lit(0)).cast("long").alias("step3_e12"),
         )
     )
+
+
+@register(
+    "diag_mannwhitney_u",
+    """
+    WITH g AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST((CAST(o_orderkey AS HUGEINT) * 2654435761) % 2 AS BIGINT)
+               AS grp
+      FROM orders
+    ),
+    pts AS (
+      SELECT v,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM g GROUP BY v
+    ),
+    c AS (
+      SELECT v, c0, c1,
+             CAST(sum(c0) OVER w AS BIGINT) AS cum0,
+             CAST(sum(c1) OVER w AS BIGINT) AS cum1
+      FROM pts WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT CAST(max(cum0) AS BIGINT) AS n0,
+             CAST(max(cum1) AS BIGINT) AS n1,
+             sum(CAST(c0 AS HUGEINT)
+                 * (2 * (cum0 - c0 + cum1 - c1) + (c0 + c1) + 1)) AS r0x2
+      FROM c
+    )
+    SELECT n0, n1,
+           CAST(r0x2 AS BIGINT) AS r0_x2,
+           CAST(r0x2 - CAST(n0 AS HUGEINT) * (n0 + 1) AS BIGINT) AS u0_x2,
+           CAST((r0x2 - CAST(n0 AS HUGEINT) * (n0 + 1)) * 1000000
+                // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT) AS auc_e6
+    FROM t
+    """,
+)
+def diag_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the order-value distributions of two
+    deterministic halves (same Knuth-hash split as ``diag_ks_two_sample``)
+    — the rank-sum stochastic-dominance test drift monitors reach for
+    when means are skew-fragile. Ties get textbook midranks, kept EXACT
+    by carrying 2×rank everywhere: for a distinct value v with c₀+c₁
+    occurrences after ``cum_before`` smaller points, every occurrence's
+    doubled midrank is ``2·cum_before + (c₀+c₁) + 1`` — an odd integer,
+    never a float. 2R₀ folds in one conditional aggregate; 2U₀ = 2R₀ −
+    n₀(n₀+1); the common-language effect size AUC = U₀/(n₀n₁) is one e6
+    integral quotient. Output magnitudes are O(n²) like the Spearman
+    row's Σd² — BIGINT-safe to n ≈ 2·10⁹ per group, DECIMAL(38,0)
+    internally throughout.
+
+    Scale shape: values collapse to the distinct cents domain with both
+    group counts in one aggregate; the two running counts ride ONE
+    ``ordered_prefix`` range-shuffle (the same pass the KS row pays);
+    the 2R₀ fold reads the checkpointed prefix frame — no second orders
+    scan, no unpartitioned window anywhere."""
+    from datamodel_clinicaldata_spark.functions.sampling import knuth_mod
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    o = read_table(spark, sf_dir, "orders")
+    g = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        knuth_mod(F.col("o_orderkey"), 2).cast("long").alias("grp"),
+    )
+    pts = g.groupBy("v").agg(
+        F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("c0"),
+        F.sum((F.col("grp") == 1).cast("long")).cast("long").alias("c1"),
+    )
+    c = ordered_prefix(
+        pts,
+        [F.col("v").asc()],
+        running_sum={"c0": "cum0", "c1": "cum1"},
+    )
+    t = c.agg(
+        F.max(F.col("cum0").cast("long")).alias("n0"),
+        F.max(F.col("cum1").cast("long")).alias("n1"),
+        F.sum(
+            F.col("c0").cast("decimal(38,0)")
+            * (
+                2 * (F.col("cum0") - F.col("c0") + F.col("cum1") - F.col("c1"))
+                + (F.col("c0") + F.col("c1"))
+                + 1
+            ).cast("decimal(38,0)")
+        ).alias("__r0x2"),
+    )
+    return t.select(
+        "n0",
+        "n1",
+        F.col("__r0x2").cast("long").alias("r0_x2"),
+        F.expr(
+            "CAST(__r0x2 - CAST(n0 AS DECIMAL(38,0)) * (n0 + 1) AS BIGINT)"
+        ).alias("u0_x2"),
+        F.expr(
+            "CAST((__r0x2 - CAST(n0 AS DECIMAL(38,0)) * (n0 + 1)) * 1000000"
+            " div (CAST(2 AS DECIMAL(38,0)) * n0 * n1) AS BIGINT)"
+        ).alias("auc_e6"),
+    )
+
+
+@register(
+    "agg_modal_segment_per_nation",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_seg
+      FROM customer GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c_nationkey, c_mktsegment, n_seg,
+             CAST(sum(n_seg) OVER (PARTITION BY c_nationkey) AS BIGINT)
+               AS n_all,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY n_seg DESC, c_mktsegment) AS rn
+      FROM s
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           c_mktsegment AS modal_segment, n_seg, n_all
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_modal_segment_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a deterministic tie-break: each nation's
+    most common market segment (ties broken lexicographically — the id
+    tie-break doctrine applied to a categorical). Spark has no exact
+    ``mode()`` aggregate that pins tie order, so the engine states it as
+    count-then-rank: groupBy (nation, segment) → per-nation rank window
+    → keep rank 1, with the nation total riding the SAME partition
+    window (one exchange serves both).
+
+    Scale shape: the only full-data shuffle is the (nation, segment)
+    count — partial aggregation makes it |nations|×|segments| rows of
+    map-side-combined counts; the rank window is PARTITIONED by nation
+    over that dimension-sized frame. Mode-of-millions-of-groups works
+    identically: the window never sees more rows per task than one
+    group's distinct values."""
+    cu = read_table(spark, sf_dir, "customer")
+    s = cu.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg")
+    )
+    wp = Window.partitionBy("c_nationkey")
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_seg").desc(), F.col("c_mktsegment").asc()
+    )
+    r = s.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("modal_segment"),
+        "n_seg",
+        F.sum("n_seg").over(wp).cast("long").alias("n_all"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return r.filter(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "timeseries_anomaly_mad",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', ts::DATE) AS di,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    rk AS (
+      SELECT di, x, row_number() OVER (ORDER BY x, di) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    m AS (
+      SELECT max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med FROM rk
+    ),
+    d AS (
+      SELECT di, x, med, abs(x - med) AS dev FROM daily, m
+    ),
+    rk2 AS (
+      SELECT di, dev, row_number() OVER (ORDER BY dev, di) AS rn,
+             count(*) OVER () AS n
+      FROM d
+    ),
+    md AS (
+      SELECT max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad FROM rk2
+    )
+    SELECT CAST(di AS BIGINT) AS day_idx, x AS n_events,
+           CAST(med AS BIGINT) AS median_events,
+           CAST(md.mad AS BIGINT) AS mad, CAST(dev AS BIGINT) AS dev
+    FROM d, md WHERE dev > 3 * md.mad
+    """,
+)
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly screen over daily event volume:
+    flag days whose count sits more than 3 MADs from the corpus median —
+    the robust outlier detector (one anomalous day CANNOT drag the
+    threshold the way it drags a mean/stddev z-score). Both the median
+    and the MAD are EXACT lower-median order statistics of integers
+    (the repo's exact-median doctrine), so the ``dev > 3·mad`` predicate
+    is pure integer comparison — no quantile interpolation, nothing to
+    round.
+
+    Scale shape: events collapse to the per-day count in one map-side-
+    combined shuffle; everything after runs on the CALENDAR-bounded
+    daily frame (≤ tens of thousands of rows at ANY corpus size — a
+    decade is ~3.7k days), so the two order-statistic windows are
+    bounded by construction (window_audit BOUNDED_OK) and the med/mad
+    1-row frames broadcast back. The shared ``daily`` subtree reuses one
+    exchange across the median and deviation branches."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "di"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    def _lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.orderBy(F.col(val).asc(), F.col("di").asc())
+        rk = df.select(
+            val,
+            "di",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        return rk.filter(
+            F.col("rn") == F.expr("(n + 1) div 2")
+        ).select(F.col(val).cast("long").alias(out))
+
+    med = daily.select("x", "di").transform(
+        lambda df: _lower_median(df, "x", "med")
+    )
+    d = daily.crossJoin(F.broadcast(med)).select(
+        "di", "x", "med", F.abs(F.col("x") - F.col("med")).alias("dev")
+    )
+    mad = d.select("dev", "di").transform(
+        lambda df: _lower_median(df, "dev", "mad")
+    )
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            F.col("di").cast("long").alias("day_idx"),
+            F.col("x").alias("n_events"),
+            F.col("med").alias("median_events"),
+            F.col("mad").cast("long").alias("mad"),
+            F.col("dev").cast("long").alias("dev"),
+        )
+    )
