@@ -22,6 +22,7 @@ from datamodel_clinicaldata_spark.functions.text import (
     lang_id,
     quality_struct,
     token_count,
+    tokens,
     winnow_from_hashes,
 )
 from datamodel_clinicaldata_spark.registry import register
@@ -1716,5 +1717,135 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id_cutoff"
             ),
             "vocab_size",
+        )
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_e6
+    FROM tf GROUP BY 1
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena profile: the fraction of each source's
+    vocabulary seen exactly once (plus the dis-legomena count — the
+    Good-Turing mass estimators' raw inputs). A LOW hapax ratio flags a
+    templated/closed vocabulary (boilerplate, generated text); a high
+    one flags noise, IDs, or OCR damage — the cheap screen run before
+    paying for LM-based quality scoring. Companion to the corpus-level
+    ``text_vocab_growth_heaps`` / ``text_zipf_fit`` rows, sliced where
+    curation acts: per source. All-integer output; the ratio is one e6
+    integral quotient per source.
+
+    Scale shape: one explode, one map-side-combined (source, tok) count
+    shuffle, one vocabulary-sized per-source fold — no windows, no
+    joins; the hot shuffle key is (source, tok), so a skewed source
+    still spreads across its vocabulary."""
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("dis"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("hapax_e6"),
+    )
+
+
+@register(
+    "text_source_vocab_jaccard",
+    f"""
+    WITH v AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+      )
+    ), sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS vsz FROM v GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, inter,
+           sa.vsz AS vocab_a, sb.vsz AS vocab_b,
+           CAST(inter * 1000000 // (sa.vsz + sb.vsz - inter) AS BIGINT)
+             AS jaccard_e6
+    FROM inter
+    JOIN sz sa ON sa.source = source_a
+    JOIN sz sb ON sb.source = source_b
+    """,
+)
+def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between every pair of sources — the
+    corpus-mixing diagnostic that says which slices are near-redundant
+    (two crawls of the same site) vs complementary (code vs prose)
+    BEFORE paying for document-level dedup across them. Exact set
+    Jaccard on the per-source vocabularies: |A∩B| from a self-join of
+    the distinct (source, token) frame on token, |A|,|B| from one
+    vocabulary count, one e6 integral quotient.
+
+    Scale shape: the self-join key is the TOKEN — a token appearing in
+    k sources fans out to k(k−1)/2 pairs, bounded by the SOURCE count
+    (tens-to-hundreds in any real mixture), not the corpus; the pair
+    aggregate is |sources|²-sized and the vocab-size dim broadcasts
+    onto it twice. No token list is ever collected; everything is one
+    explode + two map-side-combined aggregates + one equi-join."""
+    d = read_table(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"),
+                                  F.col("vsz").alias("vocab_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"),
+                                  F.col("vsz").alias("vocab_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            "vocab_a",
+            "vocab_b",
+            F.expr(
+                "CAST(inter * 1000000"
+                " div (vocab_a + vocab_b - inter) AS BIGINT)"
+            ).alias("jaccard_e6"),
         )
     )
