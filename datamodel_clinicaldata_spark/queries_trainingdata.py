@@ -704,3 +704,124 @@ def sample_quality_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_tokens") - F.col("n_tokens")) * 5
         < F.col("total_tokens") * 4
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "sample_systematic",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM r WHERE (rn - 1) % 5 = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-k-th) sampling per source: rank documents inside
+    each source by id and keep every 5th — the inspection-set /
+    eval-shard draw that guarantees EXACTLY ⌈n/5⌉ rows per stratum with
+    uniform coverage of the id range, where Bernoulli sampling only
+    hits the rate in expectation. Fully deterministic (id order, no
+    hash, no RNG) and replayable by any engine.
+
+    Scale shape: one rank window PARTITIONED by source (each stratum
+    ranks inside its own hash partition — the per-stratum ordering
+    doctrine of ``sample_per_source_reservoir``), one modulus filter;
+    no global ordering, no second pass."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter((F.col("rn") - 1) % 5 == 0)
+    )
+
+
+@register(
+    "sample_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM freq
+    ), scored AS (
+      SELECT toks.doc_id, toks.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(floor(-ln(CAST(freq.c AS DOUBLE) / tot.total)
+                                 * 1000000000 + 0.5) AS BIGINT))
+                  // count(*) AS BIGINT) AS avg_e9
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT source, n_tokens, avg_e9,
+             ntile(3) OVER (PARTITION BY source
+                            ORDER BY avg_e9, doc_id) AS tile
+      FROM scored
+    )
+    SELECT source,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(avg_e9) AS BIGINT) AS min_avg_e9,
+           CAST(max(avg_e9) AS BIGINT) AS max_avg_e9
+    FROM b GROUP BY 1, 2
+    """,
+)
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): score
+    every document under the corpus unigram LM, then cut each source
+    into perplexity TERTILES — head = most-fluent third, tail = the
+    third that perplexity filtering would drop, bucketed PER SOURCE so
+    one clean source cannot crowd a noisy one out of the kept set.
+    Engine-exact ordering: each token's −ln p quantizes to an e9 BIGINT
+    before the per-doc sum (order-insensitive integer addition — the
+    ``text_bigram_logprob`` doctrine), the per-doc mean is an integral
+    ``div``, and the tertile assignment is ntile over the total order
+    (avg_e9, doc_id) — deterministic on both engines.
+
+    Scale shape: explode → one broadcast-joinable unigram dim → per-doc
+    agg; the ntile window is PARTITIONED by source over the doc-level
+    frame; the final rollup is |sources|×3 rows. No global ordering —
+    each stratum ranks inside its own partition."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(CAST(floor(-ln(CAST(c AS DOUBLE) / total)"
+                " * 1000000000 + 0.5) AS BIGINT)) div count(*) AS BIGINT)"
+            ).alias("avg_e9"),
+        )
+    )
+    wt = Window.partitionBy("source").orderBy("avg_e9", "doc_id")
+    b = scored.select(
+        "source", "n_tokens", "avg_e9", F.ntile(3).over(wt).alias("tile")
+    )
+    return b.groupBy(
+        "source",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("avg_e9").cast("long").alias("min_avg_e9"),
+        F.max("avg_e9").cast("long").alias("max_avg_e9"),
+    )
