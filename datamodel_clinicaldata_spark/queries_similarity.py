@@ -810,25 +810,41 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join, no action between read and return."""
     import math
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    # Bare-scan spread (partitioning doctrine): each iteration's per-row
+    # work is a 64-term dot + 64-way posexplode — single-task on a
+    # one-split bench file without this; no-op on a many-split scan.
+    emb = ensure_min_parallelism(read_table(spark, sf_dir, "embeddings"))
     dims = 64
 
-    def dot_with(v: list[int]):
-        terms = [
-            F.floor(
-                F.element_at(F.col("embedding"), j + 1).cast("double")
-                * F.lit(v[j])
-                + F.lit(0.5)
-            ).cast("long")
-            for j in range(dims)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
     def w_frame(v: list[int]) -> DataFrame:
-        d = emb.select(dot_with(v).alias("d"), "embedding")
+        # The iterate travels as DATA (a broadcast 1-row array frame),
+        # not as 64 literals baked into the expression tree: every
+        # iteration then compiles to the IDENTICAL generated code, so
+        # codegen caches across iterations — the measured per-iteration
+        # cost drops from ~1 s (fresh 64-term codegen compile each
+        # round) to ~0.1 s of actual vector math. Arithmetic is
+        # term-for-term the literal version: x·v_j in double (v_j is an
+        # exact e6-scale integer ≤ 2^52, so the product floor is
+        # deterministic), per-term floor to BIGINT, exact integer sum.
+        vdf = spark.createDataFrame([(v,)], "vl array<bigint>")
+        d = emb.crossJoin(F.broadcast(vdf)).select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("vl"),
+                    lambda x, c: F.floor(x * c.cast("double") + F.lit(0.5)).cast(
+                        "long"
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, t: a + t,
+            ).alias("d"),
+            "embedding",
+        )
         return (
             d.select("d", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("pos")
@@ -1032,11 +1048,19 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine as the LSH bucket join (cap + log) applies; at bench
     scale the 16-cluster join is measured directly."""
     from datamodel_clinicaldata_spark.functions.vectors import cosine, round_fixed
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
     from datamodel_clinicaldata_spark.operators.similarity import (
         _centroid_array_expr,
     )
 
-    e = read_table(spark, sf_dir, "embeddings")
+    # Bare-scan parallelism spread (partitioning doctrine): the per-row
+    # work downstream is 64-d vector math — on a single-split bench file
+    # the assignment AND the within-cluster pair dots would otherwise run
+    # in ONE task (AQE broadcast-joins the tiny side and coalesces the
+    # rest, so nothing re-spreads later). No-op on a many-split scan.
+    e = ensure_min_parallelism(read_table(spark, sf_dir, "embeddings"))
     sampled = e.orderBy("vec_id").limit(16).select("embedding").collect()
     cent = _centroid_array_expr(
         [list(map(float, r["embedding"])) for r in sampled]

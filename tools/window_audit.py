@@ -27,6 +27,7 @@ BOUNDED_OK = {
     "agg_gini_coefficient": (1, "offsets window over ≤n_partitions stats rows"),
     "agg_weighted_quantiles": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
     "diag_ks_two_sample": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
+    "diag_mannwhitney_u": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
     "eval_rank_correlation_spearman": (2, "two offsets windows over ≤n_partitions stats rows"),
     "events_max_concurrency": (2, "offsets windows over ≤n_partitions stats rows"),
     "events_rfm_scores": (1, "offsets window over ≤n_partitions stats rows (3 ranks share it)"),
@@ -43,6 +44,7 @@ BOUNDED_OK = {
     "window_rolling_regression": (1, "rolling moments over ≤|calendar days| rows"),
     "events_burst_detection": (1, "rolling moments over ≤|calendar days| rows"),
     "timeseries_rolling_median": (1, "15-value collect frame over ≤|calendar days| rows"),
+    "timeseries_anomaly_mad": (6, "two order-statistic windows (rank+count) over the ≤|calendar days| daily frame, re-rendered across the median/MAD/output branches"),
     "events_markov_3step": (2, "row-normalize/total windows over ≤|states|² edge rows"),
 }
 
