@@ -635,3 +635,227 @@ def resize_nearest(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, content_col).mapInPandas(resize, schema)
+
+
+def synth_bmp_from_ids(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic BMP test-pattern synthesizer (the fake-codec
+    charter): one 24-bpp bottom-up BI_RGB blob per input id, whose
+    pixel values are a CLOSED-FORM function of (id, x, y) —
+
+        r = (3·id + 7x +  y) % 256
+        g = (2·id + 5x + 3y) % 256
+        b = (  id + 37x + 11y) % 256,   W = 4 + id%5,  H = 3 + id%4
+
+    — so a SQL oracle can recompute every decoded statistic without any
+    image library. Ids divisible by 97 emit a TRUNCATED blob instead,
+    exercising the decoder's tagged-dirty path deterministically.
+    Runs as one Arrow-batched ``mapInPandas`` over the pruned id column;
+    blob bytes follow the exact layout ``_parse_bmp`` documents
+    (BGR storage, 4-byte row padding, bottom-up rows)."""
+    import struct
+
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                if did % 97 == 0:
+                    blob = b"BM\x00\x00"  # truncated header → tagged dirty
+                else:
+                    w, h = 4 + did % 5, 3 + did % 4
+                    x = np.arange(w)[None, :]
+                    y = np.arange(h)[:, None]
+                    r = (3 * did + 7 * x + 1 * y) % 256
+                    g = (2 * did + 5 * x + 3 * y) % 256
+                    b = (1 * did + 37 * x + 11 * y) % 256
+                    bgr = np.stack(
+                        np.broadcast_arrays(b, g, r), axis=2
+                    ).astype(np.uint8)
+                    row_bytes = (w * 3 + 3) & ~3
+                    body = b"".join(
+                        bgr[yy].tobytes().ljust(row_bytes, b"\x00")
+                        for yy in range(h - 1, -1, -1)  # bottom-up
+                    )
+                    dib = struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                    )
+                    off = 14 + len(dib)
+                    blob = (
+                        b"BM"
+                        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                        + dib
+                        + body
+                    )
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def synth_wav_from_ids(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic RIFF/WAV test-pattern synthesizer (fake-codec
+    charter, audio twin of ``synth_bmp_from_ids``): one 16-bit mono
+    8 kHz PCM blob per id whose samples are the closed form
+
+        s_i = ((id·31 + i·17) % 4001) − 2000,   n = 50 + id%32
+
+    so a SQL oracle recomputes the decoded energy/peak exactly. Ids
+    ≡ 0 (mod 89) emit a truncated blob → the decoder's tagged-dirty
+    path. One Arrow-batched ``mapInPandas`` over the pruned id column."""
+    import struct
+
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    rate, bits, channels = 8000, 16, 1
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                if did % 89 == 0:
+                    blob = b"RIFF\x00\x00"  # truncated → tagged dirty
+                else:
+                    n = 50 + did % 32
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((did * 31 + i * 17) % 4001) - 2000
+                    data = s.astype("<i2").tobytes()
+                    block = channels * bits // 8
+                    fmt = struct.pack(
+                        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+                    )
+                    blob = (
+                        b"RIFF"
+                        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                        + b"WAVE"
+                        + b"fmt "
+                        + struct.pack("<I", len(fmt))
+                        + fmt
+                        + b"data"
+                        + struct.pack("<I", len(data))
+                        + data
+                    )
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def synth_png_from_ids(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PNG test-pattern synthesizer (fake-codec charter,
+    completing the BMP/WAV pair): one 8-bit RGB PNG per id with the SAME
+    closed-form pixel field as ``synth_bmp_from_ids`` —
+
+        r = (3·id + 7x +  y) % 256
+        g = (2·id + 5x + 3y) % 256
+        b = (  id + 37x + 11y) % 256,   W = 4 + id%5,  H = 3 + id%4
+
+    — but stored through the full PNG pipeline: per-scanline filter
+    type (id + y) % 5 (so every blob exercises None/Sub/Up/Average/
+    Paeth unfiltering), zlib-compressed IDAT, CRC'd chunks. Ids ≡ 0
+    (mod 101) emit a truncated blob → tagged-dirty path. One
+    Arrow-batched ``mapInPandas`` over the pruned id column."""
+    import struct
+    import zlib
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                if did % 101 == 0:
+                    blob = b"\x89PNG\r\n\x1a\n\x00"  # truncated → dirty
+                else:
+                    w, h = 4 + did % 5, 3 + did % 4
+                    stride = w * 3
+                    recon = [
+                        [
+                            v
+                            for x in range(w)
+                            for v in (
+                                (3 * did + 7 * x + y) % 256,
+                                (2 * did + 5 * x + 3 * y) % 256,
+                                (did + 37 * x + 11 * y) % 256,
+                            )
+                        ]
+                        for y in range(h)
+                    ]
+                    raw = b""
+                    for y in range(h):
+                        f = (did + y) % 5
+                        cur = recon[y]
+                        prev = recon[y - 1] if y else [0] * stride
+                        line = []
+                        for x in range(stride):
+                            a = cur[x - 3] if x >= 3 else 0
+                            c = prev[x - 3] if x >= 3 else 0
+                            if f == 0:
+                                v = cur[x]
+                            elif f == 1:
+                                v = cur[x] - a
+                            elif f == 2:
+                                v = cur[x] - prev[x]
+                            elif f == 3:
+                                v = cur[x] - ((a + prev[x]) >> 1)
+                            else:
+                                v = cur[x] - paeth(a, prev[x], c)
+                            line.append(v & 0xFF)
+                        raw += bytes([f]) + bytes(line)
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                    blob = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + chunk(b"IHDR", ihdr)
+                        + chunk(b"IDAT", zlib.compress(raw))
+                        + chunk(b"IEND", b"")
+                    )
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(synth, schema)

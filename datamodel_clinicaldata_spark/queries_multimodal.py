@@ -240,3 +240,226 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("longest_segment"),
     )
+
+
+@register(
+    "multimodal_decode_bmp",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (3 * doc_id + 7 * x + y) % 256 AS r,
+             (2 * doc_id + 5 * x + 3 * y) % 256 AS g,
+             (doc_id + 37 * x + 11 * y) % 256 AS b
+      FROM dims, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)
+    ),
+    clean AS (
+      SELECT doc_id AS media_id,
+             CAST(any_value(w) AS BIGINT) AS width,
+             CAST(any_value(h) AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(any_value(w) * any_value(h) AS BIGINT) AS n_px,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             FALSE AS is_dirty
+      FROM px GROUP BY doc_id
+    )
+    SELECT * FROM clean
+    UNION ALL
+    SELECT doc_id AS media_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), TRUE AS is_dirty
+    FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle gate: synthesize one BMP per
+    document from the closed-form test pattern (``synth_bmp_from_ids``),
+    run it through the actual pure-numpy BMP parser
+    (``decode_image_bmp`` — header walk, BGR order, 4-byte row padding,
+    bottom-up rows), and emit the decoded dimensions + EXACT per-channel
+    pixel sums. The DuckDB twin never touches a pixel: it recomputes the
+    expected statistics from the generation formula, so any decode bug
+    (padding off-by-one, channel swap, row-order flip) breaks the value
+    hash. Ids ≡ 0 (mod 97) carry truncated blobs and must surface as
+    tagged dirty rows — the never-fail-a-batch contract, driver-checked.
+
+    Scale shape: two chained Arrow-batched ``mapInPandas`` hops over the
+    pruned id column (synthesis) and (media_id, content) (decode) — the
+    standard multimodal plumbing, blob-width-aware and embarrassingly
+    parallel; no shuffle anywhere."""
+    from datamodel_clinicaldata_spark.operators.multimodal import (
+        decode_image_bmp,
+        synth_bmp_from_ids,
+    )
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    d = ensure_min_parallelism(
+        read_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    dec = decode_image_bmp(synth_bmp_from_ids(d))
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_px",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        F.col("decode_error").isNotNull().alias("is_dirty"),
+    )
+
+
+@register(
+    "multimodal_decode_wav",
+    """
+    WITH dims AS (
+      SELECT doc_id, 50 + doc_id % 32 AS n
+      FROM documents WHERE doc_id % 89 <> 0
+    ),
+    s AS (
+      SELECT doc_id, n, ((doc_id * 31 + i * 17) % 4001) - 2000 AS v
+      FROM dims, unnest(range(0, n)) AS t(i)
+    ),
+    clean AS (
+      SELECT doc_id AS media_id,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(1 AS BIGINT) AS n_channels,
+             CAST(16 AS BIGINT) AS bits_per_sample,
+             CAST(any_value(n) AS BIGINT) AS n_frames,
+             CAST(any_value(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+             CAST(sum(v * v) AS BIGINT) AS sum_sq,
+             CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+             FALSE AS is_dirty
+      FROM s GROUP BY doc_id
+    )
+    SELECT * FROM clean
+    UNION ALL
+    SELECT doc_id AS media_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), TRUE AS is_dirty
+    FROM documents WHERE doc_id % 89 = 0
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle gate (audio twin of
+    ``multimodal_decode_bmp``): synthesize one closed-form 16-bit PCM
+    WAV per document (``synth_wav_from_ids``), decode it with the
+    actual RIFF/PCM parser (``decode_audio_wav`` — chunk walk, frame
+    decode, exact integer sum-of-squares), and emit the decoded header
+    fields + energy/peak. The DuckDB twin recomputes every statistic
+    from the sample formula without parsing a byte, so a chunk-offset
+    or endianness bug breaks the value hash. Ids ≡ 0 (mod 89) carry
+    truncated blobs → tagged dirty rows (never-fail-a-batch contract).
+    sum_sq re-casts to BIGINT here: 16-bit samples bound it far below
+    int64 (the decoder's decimal(38,0) headroom matters for 32-bit PCM,
+    pinned by tests/test_multimodal.py).
+
+    Scale shape: two chained Arrow-batched ``mapInPandas`` hops on
+    pruned columns, embarrassingly parallel, no shuffle."""
+    from datamodel_clinicaldata_spark.operators.multimodal import (
+        decode_audio_wav,
+        synth_wav_from_ids,
+    )
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    d = ensure_min_parallelism(
+        read_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    dec = decode_audio_wav(synth_wav_from_ids(d))
+    return dec.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_frames",
+        "duration_ms",
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+        "peak_abs",
+        F.col("decode_error").isNotNull().alias("is_dirty"),
+    )
+
+
+@register(
+    "multimodal_decode_png",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 101 <> 0
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (3 * doc_id + 7 * x + y) % 256 AS r,
+             (2 * doc_id + 5 * x + 3 * y) % 256 AS g,
+             (doc_id + 37 * x + 11 * y) % 256 AS b
+      FROM dims, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)
+    ),
+    clean AS (
+      SELECT doc_id AS media_id,
+             CAST(any_value(w) AS BIGINT) AS width,
+             CAST(any_value(h) AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(any_value(w) * any_value(h) AS BIGINT) AS n_px,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             FALSE AS is_dirty
+      FROM px GROUP BY doc_id
+    )
+    SELECT * FROM clean
+    UNION ALL
+    SELECT doc_id AS media_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), TRUE AS is_dirty
+    FROM documents WHERE doc_id % 101 = 0
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode under the oracle gate: synthesize
+    one PNG per document whose scanlines cycle through ALL FIVE filter
+    types ((id+y) % 5), inflate + unfilter it with the actual pure-
+    Python decoder (``decode_image_png`` — chunk walk, stdlib zlib,
+    Sub/Up/Average/Paeth reconstruction), and emit decoded dimensions +
+    exact channel sums; the pixel field is the same closed form as the
+    BMP twin, so the DuckDB oracle recomputes everything without
+    touching zlib. This is the round-8 PNG decoder moved from
+    pytest-only evidence into the driver's value-hash gate. Ids ≡ 0
+    (mod 101) carry truncated blobs → tagged dirty rows.
+
+    Scale shape: two chained Arrow-batched ``mapInPandas`` hops on
+    pruned columns, embarrassingly parallel, no shuffle."""
+    from datamodel_clinicaldata_spark.operators.multimodal import (
+        decode_image_png,
+        synth_png_from_ids,
+    )
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    d = ensure_min_parallelism(
+        read_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    dec = decode_image_png(synth_png_from_ids(d))
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_px",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        F.col("decode_error").isNotNull().alias("is_dirty"),
+    )

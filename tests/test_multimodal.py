@@ -407,3 +407,54 @@ def test_decode_image_bmp_dirty_and_compressed_tagged(spark):
     assert out[1]["decode_error"] is None
     assert out[2]["decode_error"] is not None
     assert "compressed" in out[3]["decode_error"]
+
+
+def test_synth_decode_roundtrip_all_codecs(spark):
+    """The three closed-form synthesizers (BMP/WAV/PNG) roundtrip through
+    their real decoders: decoded stats equal the generation formula, and
+    the designated dirty ids surface as tagged rows, never failures."""
+    from datamodel_clinicaldata_spark.operators.multimodal import (
+        decode_audio_wav,
+        decode_image_bmp,
+        decode_image_png,
+        synth_bmp_from_ids,
+        synth_png_from_ids,
+        synth_wav_from_ids,
+    )
+
+    ids = [0, 1, 7, 89, 97, 101, 255]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    for synth, dec, dirty_mod in (
+        (synth_bmp_from_ids, decode_image_bmp, 97),
+        (synth_png_from_ids, decode_image_png, 101),
+    ):
+        rows = {r["media_id"]: r for r in dec(synth(df)).collect()}
+        assert set(rows) == set(ids)
+        for did in ids:
+            r = rows[did]
+            if did % dirty_mod == 0:
+                assert r["decode_error"] is not None and r["width"] is None
+                continue
+            w, h = 4 + did % 5, 3 + did % 4
+            assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
+            assert r["sum_r"] == sum(
+                (3 * did + 7 * x + y) % 256 for x in range(w) for y in range(h)
+            )
+            assert r["sum_b"] == sum(
+                (did + 37 * x + 11 * y) % 256
+                for x in range(w)
+                for y in range(h)
+            )
+
+    rows = {r["media_id"]: r for r in decode_audio_wav(synth_wav_from_ids(df)).collect()}
+    for did in ids:
+        r = rows[did]
+        if did % 89 == 0:
+            assert r["decode_error"] is not None and r["n_frames"] is None
+            continue
+        n = 50 + did % 32
+        samples = [((did * 31 + i * 17) % 4001) - 2000 for i in range(n)]
+        assert r["n_frames"] == n and r["sample_rate"] == 8000
+        assert int(r["sum_sq"]) == sum(s * s for s in samples)
+        assert r["peak_abs"] == max(abs(s) for s in samples)
