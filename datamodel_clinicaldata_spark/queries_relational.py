@@ -6296,3 +6296,155 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dev").cast("long").alias("dev"),
         )
     )
+
+
+@register(
+    "events_attribution_linear",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS psum
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_type, psum + 1 AS conv_id
+      FROM seq WHERE event_type IN ('view', 'click')
+    ),
+    convs AS (
+      SELECT DISTINCT user_id, psum AS conv_id
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT t.user_id, t.event_type, t.conv_id,
+             CAST(count(*) OVER (PARTITION BY t.user_id, t.conv_id)
+                  AS BIGINT) AS n_touch
+      FROM touches t JOIN convs c
+        ON c.user_id = t.user_id AND c.conv_id = t.conv_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touchpoints,
+           CAST(count(DISTINCT (user_id, conv_id)) AS BIGINT)
+             AS n_conversions_touched,
+           CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_e6
+    FROM attributed GROUP BY 1
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click between two
+    purchases of a user is a touchpoint of the NEXT purchase, and each
+    converted purchase's unit of credit splits EQUALLY across its
+    touchpoints — the marketing-analytics allocation that first/last-
+    touch models throw away. Assignment is pure window arithmetic: a
+    running purchase count per user (the same prefix-count device as
+    the funnel rows) gives every event its conversion index; touches
+    attach to conversion psum+1, purchases close conversion psum.
+    Credit is integral — 10⁶ div n_touch per touchpoint — so the
+    rollup is exact (truncation remainder stays visible rather than
+    vanishing into float dust; a 3-touch conversion credits 999,999,
+    deliberately).
+
+    Scale shape: one user-partitioned window over events, a (user,
+    conv)-keyed equi-join of touches to REALIZED conversions (an
+    unconverted trailing session drops out — semi-join semantics), a
+    per-conversion count window on the same partitioning, one final
+    event_type rollup. Everything partitions by user; no global
+    ordering anywhere."""
+    e = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .over(wu)
+        .cast("long")
+        .alias("psum"),
+    )
+    touches = seq.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", (F.col("psum") + 1).alias("conv_id")
+    )
+    convs = (
+        seq.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("psum").alias("conv_id"))
+        .distinct()
+    )
+    attributed = touches.join(convs, ["user_id", "conv_id"]).select(
+        "user_id",
+        "event_type",
+        "conv_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "conv_id"))
+        .cast("long")
+        .alias("n_touch"),
+    )
+    return attributed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+        F.count_distinct(F.col("user_id"), F.col("conv_id"))
+        .cast("long")
+        .alias("n_conversions_touched"),
+        F.sum(F.expr("1000000 div n_touch")).cast("long").alias("credit_e6"),
+    )
+
+
+@register(
+    "pii_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(t.l_min AS BIGINT) AS l_min,
+           CAST(sum(CASE WHEN g.l < t.l_min THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below,
+           CAST(sum(CASE WHEN g.l < t.l_min THEN g.n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM g, (SELECT unnest([2, 3, 4]) AS l_min) t
+    GROUP BY 1
+    """,
+)
+def pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the governance check k-anonymity misses: a
+    quasi-identifier group can be large (k-safe) yet reveal everyone's
+    sensitive attribute if all members SHARE it. Here QI = (nation,
+    balance band), sensitive = market segment; a group is l-diverse
+    when its members span ≥ l distinct segments. Output is the risk
+    profile across l ∈ {2, 3, 4}: how many QI groups (and underlying
+    rows) fall below each bar — the profile form of the companion
+    ``pii_k_anonymity`` row, which shares its plan shape.
+
+    Scale shape: ONE aggregate builds the per-QI-group frame (the
+    distinct-count runs inside the groupBy's partial aggregation);
+    the 3-threshold profile folds over that dimension-sized frame via
+    a broadcast 3-row literal cross-join. At 100 TB the group frame is
+    |distinct QI tuples| — bounded by the identifier domain."""
+    c = read_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count_distinct("c_mktsegment").cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (2, 3, 4)])).alias("l_min")
+    )
+    return (
+        g.crossJoin(F.broadcast(ls))
+        .groupBy(F.col("l_min").cast("long").alias("l_min"))
+        .agg(
+            F.sum((F.col("l") < F.col("l_min")).cast("long"))
+            .cast("long")
+            .alias("groups_below"),
+            F.sum(
+                F.when(F.col("l") < F.col("l_min"), F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+    )
