@@ -58,6 +58,7 @@ EXECUTES_AT_BUILD = {
     "graph_pagerank_dup_hubs",
     "graph_triangle_count",
     "dedup_algorithms_agree",
+    "graph_label_propagation",
     "dedup_survivor_by_quality",
 }
 
