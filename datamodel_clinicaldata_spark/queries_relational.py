@@ -6588,3 +6588,170 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("lbl"), F.lit("none")).alias("propagated"),
         "seeded",
     ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+
+
+@register(
+    "feature_woe_encoding",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS cat,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bad,
+             CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS good
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(bad) AS BIGINT) AS bad_tot,
+             CAST(sum(good) AS BIGINT) AS good_tot,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    )
+    SELECT g.cat,
+           g.bad + g.good AS n,
+           g.bad AS n_bad,
+           CAST(floor(ln(
+             (CAST(g.bad + 1 AS DOUBLE) * (t.good_tot + t.k))
+             / (CAST(g.good + 1 AS DOUBLE) * (t.bad_tot + t.k))
+           ) * 1000000 + 0.5) AS BIGINT) AS woe_e6
+    FROM g, t
+    """,
+)
+def feature_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence categorical encoding — the credit-scoring /
+    risk-model standard that ``feature_target_encoding`` (mean-rate LOO)
+    does not cover: per category, ln of the odds ratio between the
+    category's share of bad outcomes (order status F) and its share of
+    good, with +1 Laplace smoothing on the category counts and the
+    category count k on the totals so empty cells stay finite. The ln
+    argument is an exact integer ratio assembled from 4 exact counts;
+    the single transcendental quantizes to e6 (shared ln doctrine).
+
+    Scale shape: one map-side-combined aggregate to the category
+    dimension, a 1-row totals fold cross-joined (broadcast) back — the
+    plan-folded-totals shape (r7 ask #4), no action between read and
+    return, reusable as a view."""
+    o = read_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long"))
+        .cast("long")
+        .alias("bad"),
+        F.sum((F.col("o_orderstatus") != "F").cast("long"))
+        .cast("long")
+        .alias("good"),
+    )
+    t = g.agg(
+        F.sum("bad").cast("long").alias("bad_tot"),
+        F.sum("good").cast("long").alias("good_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "cat",
+        (F.col("bad") + F.col("good")).alias("n"),
+        F.col("bad").alias("n_bad"),
+        F.floor(
+            F.log(
+                ((F.col("bad") + 1).cast("double")
+                 * (F.col("good_tot") + F.col("k")))
+                / ((F.col("good") + 1).cast("double")
+                   * (F.col("bad_tot") + F.col("k")))
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("woe_e6"),
+    )
+
+
+@register(
+    "diag_column_profile",
+    """
+    WITH cols AS (
+      SELECT 'event_type' AS col, event_type AS v FROM events
+      UNION ALL
+      SELECT 'props', props FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'day', strftime(ts, '%Y-%m-%d') FROM events
+    ),
+    vc AS (
+      SELECT col, v, CAST(count(*) AS BIGINT) AS c
+      FROM cols WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT col,
+             CAST(sum(c) AS BIGINT) AS n_nonnull,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM vc GROUP BY 1
+    ),
+    top AS (
+      SELECT col, v AS top_value, c AS top_freq FROM (
+        SELECT col, v, c,
+               row_number() OVER (PARTITION BY col
+                                  ORDER BY c DESC, v ASC) AS rn
+        FROM vc
+      ) WHERE rn = 1
+    ),
+    nulls AS (
+      SELECT col, CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null
+      FROM cols GROUP BY 1
+    )
+    SELECT prof.col, prof.n_nonnull, nulls.n_null, prof.n_distinct,
+           top.top_value, top.top_freq
+    FROM prof JOIN top USING (col) JOIN nulls USING (col)
+    """,
+)
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiling in one pass: for each audited column
+    of ``events`` (type, props, user id, event day — all rendered
+    engine-portably: ints via CAST, dates via a fixed format, doubles
+    deliberately excluded since their string forms differ between
+    engines), emit non-null count, null count, exact distinct count, and
+    the modal value with a deterministic (freq desc, value asc)
+    tie-break. The data-quality dashboard row every ingestion pipeline
+    wants before schema contracts are enforced.
+
+    Scale shape: the column set unpivots via a 4-way stack of narrow
+    projections over ONE scan pattern (Spark: unions share the cached
+    scan; each leg prunes to 1-2 columns); the (col, value) count is
+    map-side combined; the mode window partitions BY COLUMN over the
+    value-count frame. Value cardinality bounds every post-shuffle
+    frame."""
+    e = read_table(spark, sf_dir, "events")
+    cols = (
+        e.select(F.lit("event_type").alias("col"),
+                 F.col("event_type").alias("v"))
+        .unionAll(e.select(F.lit("props"), F.col("props")))
+        .unionAll(e.select(F.lit("user_id"),
+                           F.col("user_id").cast("string")))
+        .unionAll(e.select(F.lit("day"),
+                           F.date_format("ts", "yyyy-MM-dd")))
+    )
+    vc = (
+        cols.filter(F.col("v").isNotNull())
+        .groupBy("col", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    prof = vc.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n_nonnull"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    wr = Window.partitionBy("col").orderBy(F.col("c").desc(), F.col("v").asc())
+    top = (
+        vc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("col", F.col("v").alias("top_value"),
+                F.col("c").alias("top_freq"))
+    )
+    nulls = cols.groupBy("col").agg(
+        F.sum(F.col("v").isNull().cast("long")).cast("long").alias("n_null")
+    )
+    return (
+        prof.join(top, "col")
+        .join(nulls, "col")
+        .select("col", "n_nonnull", "n_null", "n_distinct",
+                "top_value", "top_freq")
+    )

@@ -24,6 +24,7 @@ from datamodel_clinicaldata_spark.functions.text import (
     token_count,
     tokens,
     winnow_from_hashes,
+    word_shingles,
 )
 from datamodel_clinicaldata_spark.registry import register
 from datamodel_clinicaldata_spark.sources.readers import read_table
@@ -1848,4 +1849,59 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div (vocab_a + vocab_b - inter) AS BIGINT)"
             ).alias("jaccard_e6"),
         )
+    )
+
+
+@register(
+    "text_intradoc_repetition",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len({_TOKS}) - 7, 1) + 1),
+               i -> array_to_string(({_TOKS})[i : i + 7], ' '))) AS g
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST((count(*) - count(DISTINCT g)) * 1000000 // count(*)
+                AS BIGINT) AS dup_fraction_e6,
+           ((count(*) - count(DISTINCT g)) * 10 > count(*) * 3) AS flagged
+    FROM sh GROUP BY 1
+    """,
+)
+def text_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition screen (Rae et al. 2021 §A1.1): the
+    fraction of a document's 8-gram positions occupied by REPEATED
+    8-grams — the within-document loop detector that catches template
+    spam and generation loops, where ``text_shingle_novelty`` (cross-doc)
+    and ``text_repetition_topgram`` (corpus-level) cannot: a document
+    can be globally unique yet internally a single phrase repeated 500
+    times. dup_fraction = 1 − distinct/total over the doc's 8-gram
+    stream; documents flagged above 30% by exact integer cross-multiply
+    (dup·10 > total·3 — no float share). Shingle grid matches the dedup
+    family's SQL twin exactly: positions 1..max(n−7, 1), so sub-8-token
+    docs contribute one truncated whole-doc gram.
+
+    Scale shape: one explode + ONE per-doc aggregate (count + distinct
+    ride the same (doc, gram) partial aggregation); no joins, no
+    windows, shuffle keyed by doc_id — embarrassingly parallel at any
+    corpus size."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sh = F.slice(
+        word_shingles(F.col("text"), 8), 1, F.greatest(n - 7, F.lit(1))
+    )
+    g = d.select("doc_id", F.explode(sh).alias("g"))
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count_distinct("g").cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST((count(1) - count(DISTINCT g)) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("dup_fraction_e6"),
+        ((F.count(F.lit(1)) - F.count_distinct("g")) * 10
+         > F.count(F.lit(1)) * 3).alias("flagged"),
     )
