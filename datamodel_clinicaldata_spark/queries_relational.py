@@ -6755,3 +6755,132 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", "n_nonnull", "n_null", "n_distinct",
                 "top_value", "top_freq")
     )
+
+
+@register(
+    "events_windowed_topk",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start ORDER BY n DESC, event_type ASC) AS rn
+      FROM w
+    ) WHERE rn <= 3
+    """,
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 1-day tumbling window — the trending-now /
+    leaderboard query every event dashboard runs. Composition: the
+    tumbling bucketing of the streaming family's batch face + a rank
+    window PARTITIONED BY WINDOW over the (window × type) count frame,
+    deterministic via the (count desc, type asc) total order.
+
+    Scale shape: one map-side-combined (window, type) count shuffle —
+    the only corpus-sized work; the rank window runs over a frame
+    bounded by |windows|×|types| and partitions by window, so a year of
+    data is 365 independent partitions. No global ordering, no
+    TakeOrdered needed (per-partition k, not global k)."""
+    e = read_table(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.window("ts", "1 day")["start"].alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "mixture_token_budget_allocation",
+    """
+    WITH w AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(tokens) AS HUGEINT) AS tot FROM w),
+    q AS (
+      SELECT source, tokens,
+             CAST(CAST(tokens AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+               AS base,
+             CAST(CAST(tokens AS HUGEINT) * 1000000 % t.tot AS BIGINT)
+               AS rem
+      FROM w, t
+    ),
+    r AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY rem DESC, source ASC)
+                  AS BIGINT) AS rk,
+             CAST(1000000 - sum(base) OVER () AS BIGINT) AS leftover
+      FROM q
+    )
+    SELECT source, tokens, base,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r
+    """,
+)
+def mixture_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed token
+    budget across sources — the exact integer answer to "give me
+    1,000,000 tokens in proportion to each source's mass" where naive
+    per-source rounding either over- or under-shoots the budget. Every
+    quantity is integer: base share = ⌊tokens·B / total⌋ via HUGEINT/
+    DECIMAL(38,0) division, remainders compared as ``tokens·B mod
+    total`` (never a float fraction), the Σbase shortfall handed to the
+    largest remainders with a source-name tie-break. Σalloc == B by
+    construction — the property float apportionment cannot guarantee.
+
+    Scale shape: one map-side-combined per-source token count (the only
+    corpus-sized work); apportionment runs on the |sources|-bounded
+    dimension frame (the remainder rank + leftover windows are over
+    that bounded frame — same justification as the mixture/temperature
+    rows); totals broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("tokens")
+    )
+    t = w.agg(F.sum("tokens").cast("decimal(38,0)").alias("tot"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        F.expr(
+            "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 % tot AS BIGINT)"
+        ).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = q.select(
+        "source",
+        "tokens",
+        "base",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        (F.lit(1_000_000) - F.sum("base").over(wall))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "tokens",
+        "base",
+        (F.col("base")
+         + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    )
