@@ -381,3 +381,54 @@ def test_ewma_fold_matches_python_replay(spark, series):
     for v in series:
         acc = v if acc is None else (8 * acc + 2 * v) // 10  # Python // is floor
     assert got == acc
+
+
+def test_hamilton_allocation_sums_to_budget(spark):
+    """Largest-remainder apportionment: Σalloc == B exactly, every base
+    share within 1 of its exact quota — the integer-apportionment
+    invariants float rounding cannot guarantee."""
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    rows = QUERIES["mixture_token_budget_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["alloc"] for r in rows) == 1_000_000
+    tot = sum(r["tokens"] for r in rows)
+    for r in rows:
+        exact = r["tokens"] * 1_000_000 / tot
+        assert r["base"] <= exact < r["base"] + 1
+        assert r["alloc"] in (r["base"], r["base"] + 1)
+
+
+def test_attribution_credit_bounded_per_conversion(spark):
+    """Linear attribution: each touched conversion hands out at most 10⁶
+    credit in total (integral div truncates, never over-credits), and
+    every touchpoint belongs to a realized purchase."""
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    rows = QUERIES["events_attribution_linear"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total_credit = sum(r["credit_e6"] for r in rows)
+    n_convs = max(r["n_conversions_touched"] for r in rows)
+    assert 0 < total_credit <= n_convs * 2 * 1_000_000  # view+click legs
+    for r in rows:
+        assert r["event_type"] in ("view", "click")
+        assert r["n_touchpoints"] >= r["n_conversions_touched"] > 0
+
+
+def test_label_propagation_seeds_clamped(spark):
+    """Seeded nodes never change label: every seeded row's propagated
+    label equals its true type; unlabeled nodes are 'none' or a label
+    that exists in the seed vocabulary."""
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    rows = QUERIES["graph_label_propagation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    seed_labels = {r["propagated"] for r in rows if r["seeded"]}
+    for r in rows:
+        if r["seeded"]:
+            assert r["propagated"] == r["true_type"]
+        else:
+            assert r["propagated"] == "none" or r["propagated"] in seed_labels
