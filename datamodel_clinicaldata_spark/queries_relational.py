@@ -6884,3 +6884,68 @@ def mixture_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("alloc"),
     )
+
+
+@register(
+    "orders_yoy_growth",
+    """
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, mo, rev_cents, n_orders,
+           CAST(rev_cents - lag(rev_cents, 12)
+                OVER (ORDER BY y * 12 + mo) AS BIGINT) AS yoy_delta_cents,
+           CASE WHEN lag(rev_cents, 12) OVER (ORDER BY y * 12 + mo) > 0
+                THEN CAST((rev_cents - lag(rev_cents, 12)
+                           OVER (ORDER BY y * 12 + mo)) * 10000
+                          // lag(rev_cents, 12) OVER (ORDER BY y * 12 + mo)
+                          AS BIGINT)
+           END AS yoy_bps
+    FROM m
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the reporting staple:
+    each month's revenue against the SAME month last year (lag 12 over
+    the month sequence), with the growth rate in integer basis points
+    (Δ·10⁴ div prior — exact, truncating, sign-consistent across
+    engines per the verified div/// agreement). Months without a prior
+    year emit NULL deltas rather than fake zeros.
+
+    Scale shape: one map-side-combined (year, month) aggregate collapses
+    the corpus; the lag window runs over the CALENDAR-bounded month
+    frame (window_audit BOUNDED_OK) — a century is 1,200 rows."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("y") * 12 + F.col("mo"))
+    prior = F.lag("rev_cents", 12).over(w)
+    return m.select(
+        "y",
+        "mo",
+        "rev_cents",
+        "n_orders",
+        (F.col("rev_cents") - prior).cast("long").alias("yoy_delta_cents"),
+        F.when(
+            prior > 0,
+            F.expr(
+                "CAST((rev_cents - lag(rev_cents, 12) OVER "
+                "(ORDER BY y * 12 + mo)) * 10000 div lag(rev_cents, 12) "
+                "OVER (ORDER BY y * 12 + mo) AS BIGINT)"
+            ),
+        ).alias("yoy_bps"),
+    )

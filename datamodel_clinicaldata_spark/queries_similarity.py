@@ -1133,3 +1133,107 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cos",
         )
     )
+
+
+@register(
+    "similarity_kmeans_lloyd_step",
+    f"""
+    {_SEMDEDUP_ASSIGN},
+    comp AS (
+      SELECT a.cid, j AS pos,
+             CAST(sum(CAST(floor(e.v[j] * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s_e6,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assign a JOIN e ON e.vec_id = a.vec_id
+      CROSS JOIN unnest(range(1, 65)) AS t(j)
+      GROUP BY 1, 2
+    ),
+    newc AS (SELECT cid, pos, s_e6 // n AS c_e6, n FROM comp),
+    seedc AS (
+      SELECT s.cid, j AS pos,
+             CAST(floor(s.cvec[j] * 1000000 + 0.5) AS BIGINT) AS seed_e6
+      FROM seeds s CROSS JOIN unnest(range(1, 65)) AS t(j)
+    )
+    SELECT CAST(newc.cid AS INTEGER) AS cid,
+           CAST(any_value(newc.n) AS BIGINT) AS n_members,
+           CAST(sum((newc.c_e6 - seedc.seed_e6)
+                    * (newc.c_e6 - seedc.seed_e6)) AS BIGINT) AS shift_e12
+    FROM newc JOIN seedc ON seedc.cid = newc.cid AND seedc.pos = newc.pos
+    GROUP BY 1
+    """,
+)
+def similarity_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration under the oracle gate: assign every embedding
+    to its nearest seed centroid (the SQL-replayable lowest-16-ids
+    scheme shared with SemDeDup/IVF), recompute each cell's mean, and
+    report HOW FAR every centroid moved — the convergence diagnostic a
+    clustering pipeline watches to decide when to stop iterating. The
+    operator twin (``kmeans_refine``) keeps float means for IVF seeding;
+    THIS row pins the step cross-engine by fixed-point doctrine: each
+    component quantizes to e6 BEFORE the sum (exact BIGINT, order-
+    insensitive), the mean is integral ``div`` (Spark div ≡ DuckDB //,
+    both truncate — verified on negatives), and the movement is the
+    exact integer squared-e6 L2 between new and seed centroids.
+
+    Scale shape: assignment is the broadcast argmin projection (data
+    never moves); the mean is a (cid, pos)-keyed map-side-combined
+    aggregate — shuffle rows ≈ partitions × k × dim, never a cluster's
+    vectors in one row; the seed-component dim (k×64 rows) broadcasts
+    onto the result."""
+    from datamodel_clinicaldata_spark.functions.vectors import cosine
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        _centroid_array_expr,
+    )
+
+    e = ensure_min_parallelism(read_table(spark, sf_dir, "embeddings"))
+    sampled = e.orderBy("vec_id").limit(16).select("embedding").collect()
+    seeds = [list(map(float, r["embedding"])) for r in sampled]
+    cent = _centroid_array_expr(seeds)
+
+    def nearest_cid(vec):
+        scored = F.transform(
+            cent,
+            lambda c: F.struct(
+                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, 1)[0]["cid"]
+
+    assigned = e.select(
+        nearest_cid(F.col("embedding")).cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    comp = (
+        assigned.select("cid", F.posexplode("__v").alias("pos0", "x"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("s_e6"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    newc = comp.select(
+        "cid", "pos", F.expr("s_e6 div n").alias("c_e6"), "n"
+    )
+    import math
+
+    seed_rows = [
+        (cid, pos + 1, int(math.floor(v * 1_000_000 + 0.5)))
+        for cid, vec in enumerate(seeds)
+        for pos, v in enumerate(vec)
+    ]
+    seedc = spark.createDataFrame(
+        seed_rows, "cid int, pos int, seed_e6 long"
+    )
+    j = newc.join(F.broadcast(seedc), ["cid", "pos"])
+    d = F.col("c_e6") - F.col("seed_e6")
+    return j.groupBy("cid").agg(
+        F.max("n").cast("long").alias("n_members"),
+        F.sum(d * d).cast("long").alias("shift_e12"),
+    )

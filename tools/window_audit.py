@@ -47,6 +47,7 @@ BOUNDED_OK = {
     "timeseries_anomaly_mad": (6, "two order-statistic windows (rank+count) over the ≤|calendar days| daily frame, re-rendered across the median/MAD/output branches"),
     "events_markov_3step": (2, "row-normalize/total windows over ≤|states|² edge rows"),
     "mixture_token_budget_allocation": (2, "remainder-rank + leftover windows over the ≤|sources| apportionment frame"),
+    "orders_yoy_growth": (3, "lag-12 windows over the ≤|calendar months| frame (rendered per output branch)"),
 }
 
 # Query construction itself runs Spark jobs (adaptive/iterative operators
