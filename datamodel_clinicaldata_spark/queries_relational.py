@@ -6949,3 +6949,81 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("yoy_bps"),
     )
+
+
+@register(
+    "events_ab_test_uplift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST((CAST(user_id AS HUGEINT) * 2654435761) % 2 AS BIGINT)
+               AS variant,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY 1
+    ),
+    v AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY 1
+    ),
+    x AS (
+      SELECT max(CASE WHEN variant = 1 THEN n_converted END)
+               * max(CASE WHEN variant = 0 THEN n_users END)
+             > max(CASE WHEN variant = 0 THEN n_converted END)
+               * max(CASE WHEN variant = 1 THEN n_users END)
+             AS treatment_wins
+      FROM v
+    )
+    SELECT v.variant, v.n_users, v.n_converted,
+           CAST(v.n_converted * 10000 // v.n_users AS BIGINT) AS rate_bps,
+           x.treatment_wins
+    FROM v, x
+    """,
+)
+def events_ab_test_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test readout with a float-free verdict: users split into
+    control/treatment by the deterministic Knuth hash (replayable in
+    SQL — the sampling doctrine), conversion = any purchase, and the
+    winner decided by EXACT integer cross-multiplication
+    (conv_t·n_c > conv_c·n_t ⟺ rate_t > rate_c, no division, no
+    epsilon) — the comparison a float rate difference gets wrong
+    exactly when it matters, at the close races. Rates reported in
+    truncated basis points for humans; the verdict never reads them.
+
+    Scale shape: one user-keyed conversion rollup (map-side combined
+    max), one 2-row variant aggregate, the verdict folded from the
+    2-row frame and broadcast back — no window over unbounded input,
+    single scan."""
+    from datamodel_clinicaldata_spark.functions.sampling import knuth_mod
+
+    e = read_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("converted")
+    ).select(
+        knuth_mod("user_id", 2).cast("long").alias("variant"), "converted"
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    x = v.agg(
+        (
+            F.max(F.when(F.col("variant") == 1, F.col("n_converted")))
+            * F.max(F.when(F.col("variant") == 0, F.col("n_users")))
+            > F.max(F.when(F.col("variant") == 0, F.col("n_converted")))
+            * F.max(F.when(F.col("variant") == 1, F.col("n_users")))
+        ).alias("treatment_wins")
+    )
+    return v.crossJoin(F.broadcast(x)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.expr("CAST(n_converted * 10000 div n_users AS BIGINT)").alias(
+            "rate_bps"
+        ),
+        "treatment_wins",
+    )
