@@ -600,6 +600,116 @@ def probe_similarity(spark, n_vecs: int, partitions: int) -> dict:
     }
 
 
+def probe_attribution(spark, rows: int, partitions: int) -> dict:
+    """Scale probe for the linear-attribution shape
+    (``events_attribution_linear``): per-user prefix-count window →
+    touch⟶conversion equi-join → per-conversion count window → rollup.
+    Two regimes: (a) ``rows`` events spread over 100k users — the
+    throughput shape; (b) ``rows/10`` events on ONE user — the skew
+    worst case (every window/join key identical, the whole stream
+    through one partition). Exactness: user 1's attribution is replayed
+    in pure Python from the same synthetic stream and compared
+    touchpoint-for-touchpoint."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def attribute(df):
+        wu = (
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        seq = df.select(
+            "user_id",
+            "event_type",
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .over(wu)
+            .cast("long")
+            .alias("psum"),
+        )
+        touches = seq.filter(
+            F.col("event_type").isin("view", "click")
+        ).select("user_id", "event_type", (F.col("psum") + 1).alias("conv_id"))
+        convs = (
+            seq.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("psum").alias("conv_id"))
+            .distinct()
+        )
+        att = touches.join(convs, ["user_id", "conv_id"]).select(
+            "user_id",
+            "event_type",
+            "conv_id",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id", "conv_id"))
+            .cast("long")
+            .alias("n_touch"),
+        )
+        return att
+
+    out: dict = {}
+    base = _synth(spark, rows, partitions).select(
+        "event_id", "user_id", "event_type"
+    )
+    att = attribute(base)
+    t0 = time.time()
+    roll = (
+        att.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touch_rows"),
+            F.sum(F.expr("1000000 div n_touch")).cast("long").alias("credit"),
+        )
+        .collect()
+    )
+    out["spread"] = {
+        "rows": rows,
+        "sec": round(time.time() - t0, 2),
+        "rows_per_sec": int(rows / max(time.time() - t0, 1e-9)),
+        "touch_rows": int(sum(r["n_touch_rows"] for r in roll)),
+        "credit_e6": int(sum(r["credit"] for r in roll)),
+    }
+
+    # exactness: replay user 1 in Python
+    u1 = sorted(
+        base.filter(F.col("user_id") == 1).collect(),
+        key=lambda r: r["event_id"],
+    )
+    psum, touches_py, convs_py = 0, [], set()
+    for r in u1:
+        if r["event_type"] == "purchase":
+            psum += 1
+            convs_py.add(psum)
+        elif r["event_type"] in ("view", "click"):
+            touches_py.append((r["event_type"], psum + 1))
+    expected = sorted(
+        (et, cid) for (et, cid) in touches_py if cid in convs_py
+    )
+    got = sorted(
+        (r["event_type"], r["conv_id"])
+        for r in att.filter(F.col("user_id") == 1).collect()
+    )
+    out["user1_exact"] = got == expected
+
+    # skew regime: the whole stream on ONE user
+    hot_rows = max(rows // 10, 1_000_000)
+    hot = _synth(spark, hot_rows, partitions).select(
+        "event_id",
+        F.lit(0).cast("long").alias("user_id"),
+        "event_type",
+    )
+    att_h = attribute(hot)
+    t0 = time.time()
+    n_hot = att_h.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    out["hot_user"] = {
+        "rows": hot_rows,
+        "sec": round(time.time() - t0, 2),
+        "rows_per_sec": int(hot_rows / max(time.time() - t0, 1e-9)),
+        "touch_rows": int(n_hot),
+    }
+    return out
+
+
 def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out: dict = {"rows": rows, "partitions": partitions}
     w0, r0 = _shuffle_totals(spark)
@@ -616,6 +726,10 @@ def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     # Similarity family at 1M+ vectors (rows/50 at the default 50M).
     out["similarity"] = probe_similarity(
         spark, max(rows // 50, 1_000_000), partitions
+    )
+    # Attribution shape at rows/5 events (10M at the default 50M).
+    out["attribution"] = probe_attribution(
+        spark, max(rows // 5, 1_000_000), partitions
     )
     w1, r1 = _shuffle_totals(spark)
     out["shuffle_write_bytes"] = w1 - w0
