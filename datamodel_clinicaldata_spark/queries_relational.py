@@ -7027,3 +7027,97 @@ def events_ab_test_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "treatment_wins",
     )
+
+
+@register(
+    "feature_quantile_normalization",
+    """
+    WITH g AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             o_orderkey AS id,
+             CAST((CAST(o_orderkey AS HUGEINT) * 2654435761) % 2 AS BIGINT)
+               AS half
+      FROM orders
+    ),
+    r AS (
+      SELECT half, v,
+             CAST(row_number() OVER (PARTITION BY half ORDER BY v, id)
+                  AS BIGINT) AS rk
+      FROM g
+    ),
+    m AS (
+      SELECT rk,
+             CAST(count(*) AS BIGINT) AS n_halves,
+             CAST(sum(v) // count(*) AS BIGINT) AS norm_cents
+      FROM r GROUP BY 1
+    )
+    SELECT r.half, r.rk AS rank_in_half, r.v AS v_cents,
+           m.norm_cents, m.n_halves
+    FROM r JOIN m USING (rk)
+    WHERE r.rk <= 20
+    """,
+)
+def feature_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across two deterministic batches (the
+    Knuth-hash halves) — the batch-effect correction standard from
+    bioinformatics, increasingly used to align feature distributions
+    across data sources: rank every value WITHIN its batch, replace it
+    with the cross-batch mean of the values sharing that rank. Emitted
+    for the first 20 ranks (the hashable fixture; the mapping is
+    defined for all of them). Integer-exact: cents in, tie-broken total
+    order, truncated integral mean out.
+
+    Scale shape: this is the place where a naive PARTITION BY batch
+    window funnels HALF THE CORPUS through one task, so the engine
+    instead computes both per-batch ranks in ONE ``ordered_prefix``
+    range-shuffle over the composite order (half, v, id) — rank within
+    half = global rank − the half's offset, with the offset read from
+    the same checkpointed prefix frame (max rank of half 0). The
+    rank-mean regroup is an equi-join on rank — hash-partitioned, no
+    ordering needed."""
+    from datamodel_clinicaldata_spark.functions.sampling import knuth_mod
+    from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+
+    o = read_table(spark, sf_dir, "orders")
+    g = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.col("o_orderkey").alias("id"),
+        knuth_mod(F.col("o_orderkey"), 2).cast("long").alias("half"),
+    )
+    ranked = ordered_prefix(
+        g,
+        [F.col("half").asc(), F.col("v").asc(), F.col("id").asc()],
+        rank_col="grank",
+    )
+    # offset of half 1 = |half 0| = max global rank among half-0 rows;
+    # a 1-row broadcast read from the SAME materialized prefix frame.
+    off = ranked.filter(F.col("half") == 0).agg(
+        F.coalesce(F.max("grank"), F.lit(0)).cast("long").alias("n0")
+    )
+    r = ranked.crossJoin(F.broadcast(off)).select(
+        "half",
+        "v",
+        (
+            F.col("grank")
+            - F.when(F.col("half") == 1, F.col("n0")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    m = r.groupBy("rk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_halves"),
+        F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias("norm_cents"),
+    )
+    return (
+        r.join(m, "rk")
+        .filter(F.col("rk") <= 20)
+        .select(
+            "half",
+            F.col("rk").alias("rank_in_half"),
+            F.col("v").alias("v_cents"),
+            "norm_cents",
+            "n_halves",
+        )
+    )
