@@ -171,6 +171,23 @@ HEADLINE = [
     # sign-only Simpson's paradox screen
     "events_dau_wau_stickiness",
     "diag_simpsons_paradox",
+    # round 8 continuation: real codec decode under the oracle gate
+    # (synthesis + decode = two chained Arrow mapInPandas hops), linear
+    # multi-touch attribution (per-user prefix windows + conv join),
+    # 2-round label propagation (checkpoint-pinned iterative graph),
+    # one oracle-gated Lloyd step (broadcast argmin + (cid,dim) combine),
+    # Gopher intra-doc repetition (explode + count-distinct agg),
+    # midrank Mann-Whitney U (one ordered_prefix pass), Hamilton
+    # token-budget apportionment, cross-batch quantile normalization
+    # (composite-order single-pass per-batch ranks)
+    "multimodal_decode_png",
+    "events_attribution_linear",
+    "graph_label_propagation",
+    "similarity_kmeans_lloyd_step",
+    "text_intradoc_repetition",
+    "diag_mannwhitney_u",
+    "mixture_token_budget_allocation",
+    "feature_quantile_normalization",
     # round 8: integer sign-test burst detector
     "events_burst_detection",
     # round 8 late: mergeable equi-width histogram, grid-blocked

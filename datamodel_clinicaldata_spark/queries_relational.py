@@ -7121,3 +7121,89 @@ def feature_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFram
             "n_halves",
         )
     )
+
+
+@register(
+    "pattern_click_purchase_no_error",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    ),
+    lastc AS (
+      SELECT user_id, event_type, rn,
+             CAST(max(CASE WHEN event_type = 'click' THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS last_click,
+             CAST(max(CASE WHEN event_type = 'error' THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS last_error
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(rn) AS BIGINT) AS first_match_rn
+    FROM lastc
+    WHERE event_type = 'purchase'
+      AND last_click IS NOT NULL
+      AND (last_error IS NULL OR last_error < last_click)
+    GROUP BY 1
+    """,
+)
+def pattern_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation pattern matching (the MATCH_RECOGNIZE shape
+    ``CLICK  (NOT ERROR)*  PURCHASE``): purchases whose most recent
+    preceding click happened WITHOUT an error in between — the CEP
+    predicate behind "did checkout succeed cleanly?" funnels. The
+    negation needs no self-join and no regex engine: two running
+    prefix-max windows (last click position, last error position) over
+    the same per-user sort reduce the pattern to one integer comparison
+    per purchase (click exists AND any error precedes it).
+
+    Scale shape: ONE user-partitioned sort carries the row-number and
+    both prefix-max frames (byte-identical sort requirements — the
+    engine's shared-window staging); the rollup is per-user. Adding
+    more negated symbols costs one more running max on the SAME sort,
+    never another pass."""
+    e = read_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wo).cast("long").alias("rn"),
+    )
+    lastc = seq.select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("rn"))
+        ).over(wprev).cast("long").alias("last_click"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.col("rn"))
+        ).over(wprev).cast("long").alias("last_error"),
+    )
+    return (
+        lastc.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+            & (
+                F.col("last_error").isNull()
+                | (F.col("last_error") < F.col("last_click"))
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("rn").cast("long").alias("first_match_rn"),
+        )
+    )
