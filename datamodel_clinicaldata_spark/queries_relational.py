@@ -7207,3 +7207,152 @@ def pattern_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFra
             F.min("rn").cast("long").alias("first_match_rn"),
         )
     )
+
+
+@register(
+    "events_ltv_cohort_curve",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+      FROM events GROUP BY 1
+    ),
+    x AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, e.ts::DATE) // 7 AS BIGINT)
+               AS age_w,
+             CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events e JOIN f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    m AS (
+      SELECT cohort, age_w,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM x GROUP BY 1, 2
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, age_w, rev_cents,
+           n_purchases,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age_w
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+    FROM m
+    """,
+)
+def events_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curve per signup cohort: users cohorted by their
+    FIRST event week (the corpus spans ~1 month, so weekly cohorts give
+    a real curve where monthly would collapse to one cell), purchase
+    revenue bucketed by cohort age in weeks, and the running cumulative
+    revenue per cohort — the revenue
+    companion to ``retention_cohort_matrix`` (that row counts who comes
+    back; this one counts what they spend as the cohort matures).
+    Exact cents; cohort rendered as a fixed-format string so the value
+    hash is engine-portable.
+
+    Scale shape: one user-keyed first-event aggregate (map-side
+    combined), an equi-join of purchases to their user's cohort (user
+    key — AQE broadcasts the cohort dim when small, shuffles when not),
+    a (cohort, age) rollup, and a cumulative window PARTITIONED by
+    cohort over the calendar-bounded (cohort × age) frame."""
+    e = read_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort")
+    )
+    x = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            "cohort",
+            F.expr("CAST(datediff(to_date(ts), cohort) div 7 AS BIGINT)")
+            .alias("age_w"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    m = x.groupBy("cohort", "age_w").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "age_w",
+        "rev_cents",
+        "n_purchases",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+    )
+
+
+@register(
+    "events_recency_decay_score",
+    """
+    WITH mx AS (
+      SELECT CAST(max(ts::DATE) AS DATE) AS asof FROM events
+    ),
+    t AS (
+      SELECT e.user_id,
+             CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+             date_diff('day', e.ts::DATE, mx.asof) AS age_d
+      FROM events e, mx
+      WHERE e.event_type = 'purchase'
+    ),
+    terms AS (
+      SELECT user_id,
+             CAST(floor(cents * exp(-0.099021 * age_d) + 0.5) AS BIGINT)
+               AS term_cents
+      FROM t
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(term_cents) AS BIGINT) AS decayed_cents
+    FROM terms GROUP BY 1
+    """,
+)
+def events_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed customer value: every purchase contributes its
+    cents discounted by e^(−λ·age_days) with a 7-day half-life
+    (λ = ln2/7 ≈ 0.099021) against the corpus's last event date — the
+    time-decay scoring behind churn-risk rankings and decayed LTV,
+    where last week's purchase outweighs last quarter's. Exactness by
+    the per-term quantization doctrine: each event's decayed
+    contribution floors to integer cents BEFORE the per-user sum (one
+    fixed-shape double exp per event, identical IEEE on both engines;
+    the integer sum is order-insensitive — a float Σv·e^(−λt) would
+    hash-diverge under Spark's nondeterministic reduction order).
+
+    Scale shape: the as-of date is a 1-row broadcast fold; scoring is
+    one scan + one user-keyed map-side-combined aggregate. The decay
+    needs NO window and no per-user state — each term is independent,
+    which is exactly why the quantize-then-sum form distributes."""
+    e = read_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("asof"))
+    t = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.datediff(F.col("asof"), F.to_date("ts")).alias("age_d"),
+        )
+    )
+    terms = t.select(
+        "user_id",
+        F.floor(
+            F.col("cents")
+            * F.exp(F.lit(-0.099021) * F.col("age_d"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("term_cents"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("term_cents").cast("long").alias("decayed_cents"),
+    )
