@@ -6714,44 +6714,71 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break. The data-quality dashboard row every ingestion pipeline
     wants before schema contracts are enforced.
 
-    Scale shape: the column set unpivots via a 4-way stack of narrow
-    projections over ONE scan pattern (Spark: unions share the cached
-    scan; each leg prunes to 1-2 columns); the (col, value) count is
-    map-side combined; the mode window partitions BY COLUMN over the
-    value-count frame. Value cardinality bounds every post-shuffle
-    frame."""
+    Scale shape: ONE scan — each row explodes to its four (column,
+    value) observations through a literal struct array (the unpivot
+    device), so profiling C columns costs one pass regardless of C,
+    not C scans; the (col, value) count is map-side combined; the mode
+    window partitions BY COLUMN over the value-count frame. Value
+    cardinality bounds every post-shuffle frame."""
     e = read_table(spark, sf_dir, "events")
-    cols = (
-        e.select(F.lit("event_type").alias("col"),
-                 F.col("event_type").alias("v"))
-        .unionAll(e.select(F.lit("props"), F.col("props")))
-        .unionAll(e.select(F.lit("user_id"),
-                           F.col("user_id").cast("string")))
-        .unionAll(e.select(F.lit("day"),
-                           F.date_format("ts", "yyyy-MM-dd")))
+    # ONE scan, not a 4-way union of scans: each row explodes into its
+    # four (column, value) observations via inline_outer over a literal
+    # array of structs — the unpivot device (cf. unpivot_part_metrics),
+    # pinned single-scan by tests/test_plans.py.
+    cols = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("col"),
+                    F.col("event_type").alias("v"),
+                ),
+                F.struct(
+                    F.lit("props").alias("col"), F.col("props").alias("v")
+                ),
+                F.struct(
+                    F.lit("user_id").alias("col"),
+                    F.col("user_id").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("day").alias("col"),
+                    F.date_format("ts", "yyyy-MM-dd").alias("v"),
+                ),
+            )
+        ).alias("cv")
+    ).select(F.col("cv.col").alias("col"), F.col("cv.v").alias("v"))
+    # ONE (col, value) aggregate with the NULL group kept in-band: the
+    # profile totals, the null count, the distinct count, and the mode
+    # all derive from this same frame, so the two downstream consumers
+    # share one exchange (ReusedExchange) and the corpus is scanned once.
+    vc0 = cols.groupBy("col", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    vc = (
-        cols.filter(F.col("v").isNotNull())
-        .groupBy("col", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    prof = vc0.groupBy("col").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNotNull(), F.col("c"))), F.lit(0)
+        ).cast("long").alias("n_nonnull"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("c"))), F.lit(0)
+        ).cast("long").alias("n_null"),
+        F.count(F.when(F.col("v").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_distinct"),
     )
-    prof = vc.groupBy("col").agg(
-        F.sum("c").cast("long").alias("n_nonnull"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    # The mode rank runs over the SAME unfiltered vc0 frame (nulls
+    # sorted last) — a pre-window null filter would get pushed into this
+    # branch's aggregate subtree and break the exchange reuse that makes
+    # the whole profile one scan.
+    wr = Window.partitionBy("col").orderBy(
+        F.col("v").isNull().asc(), F.col("c").desc(), F.col("v").asc()
     )
-    wr = Window.partitionBy("col").orderBy(F.col("c").desc(), F.col("v").asc())
     top = (
-        vc.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
+        vc0.withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & F.col("v").isNotNull())
         .select("col", F.col("v").alias("top_value"),
                 F.col("c").alias("top_freq"))
     )
-    nulls = cols.groupBy("col").agg(
-        F.sum(F.col("v").isNull().cast("long")).cast("long").alias("n_null")
-    )
     return (
         prof.join(top, "col")
-        .join(nulls, "col")
         .select("col", "n_nonnull", "n_null", "n_distinct",
                 "top_value", "top_freq")
     )

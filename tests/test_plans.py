@@ -428,3 +428,19 @@ def test_chisq_single_events_scan(spark, sf_dir):
     # margins + totals: two partitioned windows + the one global window
     # bounded by the contingency-cell count (window_audit BOUNDED_OK)
     assert a.unpartitioned_windows == 1
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """Profiling C columns must cost ONE events pass (struct-array
+    explode unpivot + one shared (col, value) exchange), not C scans: a
+    per-column union-of-scans shape re-reads the corpus once per audited
+    column at 100 TB. The sharing is AQE stage reuse, so the assertion
+    reads the EXECUTED adaptive plan (the static plan prints both
+    branches; at runtime one becomes a ReusedQueryStage): exactly one
+    FileScan and at least one reused stage in the final plan section."""
+    df = QUERIES["diag_column_profile"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1
+    assert "ReusedQueryStage" in final or "ReusedExchange" in final
