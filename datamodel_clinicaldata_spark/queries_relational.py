@@ -7383,3 +7383,166 @@ def events_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("term_cents").cast("long").alias("decayed_cents"),
     )
+
+
+@register(
+    "diag_label_imbalance",
+    """
+    WITH g AS (
+      SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1
+    ),
+    gt AS (
+      SELECT label, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
+             CAST(floor(-(CAST(n AS DOUBLE) / sum(n) OVER ())
+                  * ln(CAST(n AS DOUBLE) / sum(n) OVER ())
+                  * 1000000000 + 0.5) AS BIGINT) AS term
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(max(tot) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_labels,
+             CAST(max(n) * 1000000 // min(n) AS BIGINT) AS imbalance_e6,
+             CAST(sum(term) AS BIGINT) AS h_e9
+      FROM gt
+    )
+    SELECT g.label, g.n,
+           CAST(g.n * 10000 // t.total AS BIGINT) AS share_bps,
+           t.n_labels, t.imbalance_e6,
+           CAST(floor(exp(CAST(t.h_e9 AS DOUBLE) / 1000000000)
+                      * 1000000 + 0.5) AS BIGINT) AS effective_classes_e6
+    FROM g, t
+    """,
+)
+def diag_label_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance report over the embedding labels — the first
+    chart anyone training a classifier draws: per-label counts and
+    shares, the max/min imbalance ratio, and the EFFECTIVE number of
+    classes exp(H) (Shannon diversity — 10 labels at effective 3.2
+    means the tail classes barely exist). Entropy terms quantize to e9
+    integers BEFORE the sum (per-term ln doctrine — the label frame is
+    small, but the doctrine is free and makes the hash order-proof);
+    the single exp is one fixed-shape double.
+
+    Scale shape: one map-side-combined label count; everything else
+    folds on the |labels|-bounded dimension frame (the share window and
+    min/max run there) and broadcasts back."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    g = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    term = F.floor(
+        -(F.col("n").cast("double") / F.col("__tot"))
+        * F.log(F.col("n").cast("double") / F.col("__tot"))
+        * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        g.withColumn("__tot", F.sum("n").over(wall))
+        .agg(
+            F.max("__tot").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.expr(
+                "CAST(max(n) * 1000000 div min(n) AS BIGINT)"
+            ).alias("imbalance_e6"),
+            F.sum(term).cast("long").alias("h_e9"),
+        )
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.expr("CAST(n * 10000 div total AS BIGINT)").alias("share_bps"),
+        "n_labels",
+        "imbalance_e6",
+        F.floor(
+            F.exp(F.col("h_e9").cast("double") / 1_000_000_000)
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("effective_classes_e6"),
+    )
+
+
+@register(
+    "events_markov_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    e AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    et AS (
+      SELECT cur, c,
+             CAST(floor(-(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY cur))
+                  * ln(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY cur))
+                  * 1000000000 + 0.5) AS BIGINT) AS term
+      FROM e
+    ),
+    s AS (
+      SELECT cur,
+             CAST(sum(c) AS BIGINT) AS n_transitions,
+             CAST(sum(term) AS BIGINT) AS h_next_e9
+      FROM et GROUP BY cur
+    ),
+    t AS (SELECT CAST(sum(n_transitions) AS BIGINT) AS total FROM s)
+    SELECT s.cur AS state, s.n_transitions, s.h_next_e9,
+           CAST(s.n_transitions * 10000 // t.total AS BIGINT) AS weight_bps
+    FROM s, t
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional next-event entropy H(next | state) — the
+    predictability profile of the user-journey Markov chain
+    (``events_markov_transitions``' edges viewed through an information
+    lens): a state with near-zero H funnels deterministically (click →
+    purchase), one near ln(k) is a wander point; weighting by each
+    state's transition share gives the chain's entropy rate. Each
+    −p·ln p term quantizes to e9 BEFORE its per-state sum (per-term ln
+    doctrine, order-insensitive).
+
+    Scale shape: one user-partitioned lead pass (the same single sort
+    the transition-matrix row pays), one (cur, nxt) map-side-combined
+    count; the entropy fold and its row-total window run on the
+    ≤|states|² edge frame; the grand total broadcasts."""
+    e = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    edges = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wc = Window.partitionBy("cur")
+    term = F.floor(
+        -(F.col("c").cast("double") / F.col("__row_tot"))
+        * F.log(F.col("c").cast("double") / F.col("__row_tot"))
+        * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    s = (
+        edges.withColumn("__row_tot", F.sum("c").over(wc))
+        .groupBy("cur")
+        .agg(
+            F.sum("c").cast("long").alias("n_transitions"),
+            F.sum(term).cast("long").alias("h_next_e9"),
+        )
+    )
+    t = s.agg(F.sum("n_transitions").cast("long").alias("total"))
+    return s.crossJoin(F.broadcast(t)).select(
+        F.col("cur").alias("state"),
+        "n_transitions",
+        "h_next_e9",
+        F.expr("CAST(n_transitions * 10000 div total AS BIGINT)").alias(
+            "weight_bps"
+        ),
+    )

@@ -48,6 +48,8 @@ BOUNDED_OK = {
     "events_markov_3step": (2, "row-normalize/total windows over ≤|states|² edge rows"),
     "mixture_token_budget_allocation": (2, "remainder-rank + leftover windows over the ≤|sources| apportionment frame"),
     "orders_yoy_growth": (3, "lag-12 windows over the ≤|calendar months| frame (rendered per output branch)"),
+    "diag_label_imbalance": (1, "share/total window over the ≤|labels| dimension frame"),
+    "feature_quantile_normalization": (4, "ordered_prefix offsets windows over ≤n_partitions stats rows (re-rendered across the rank-mean join branches)"),
 }
 
 # Query construction itself runs Spark jobs (adaptive/iterative operators
