@@ -825,3 +825,61 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_e9").cast("long").alias("min_avg_e9"),
         F.max("avg_e9").cast("long").alias("max_avg_e9"),
     )
+
+
+@register(
+    "sample_stratified_kfold",
+    f"""
+    WITH a AS (
+      SELECT source,
+             CAST({knuth_mod_sql('doc_id', 5)} AS BIGINT) AS fold,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      SELECT source, fold,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM a GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT source,
+             CAST(max(n_docs) - min(n_docs) AS BIGINT) AS fold_spread
+      FROM g GROUP BY 1
+    )
+    SELECT g.source, g.fold, g.n_docs, g.n_tokens, b.fold_spread
+    FROM g JOIN b USING (source)
+    """,
+)
+def sample_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment: every document
+    lands in fold ``knuth(doc_id) mod 5`` — deterministic, engine-
+    replayable, and independent of row order or partitioning, so the
+    SAME folds reproduce on any engine reading the same table (the
+    property ``rand()``-based splitters lose on every retry). Output is
+    the per-(source, fold) census plus each source's fold-size spread —
+    the balance audit that tells you whether hash stratification is
+    good enough or a round-robin-within-stratum pass is warranted.
+
+    Scale shape: fold assignment is a per-row expression (no shuffle);
+    the census is one map-side-combined (source, fold) aggregate; the
+    spread folds on the |sources|×5 frame and joins back by source."""
+    d = read_table(spark, sf_dir, "documents")
+    a = d.select(
+        "source",
+        knuth_mod("doc_id", 5).cast("long").alias("fold"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    g = a.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    b = g.groupBy("source").agg(
+        (F.max("n_docs") - F.min("n_docs")).cast("long").alias("fold_spread")
+    )
+    return g.join(F.broadcast(b), "source").select(
+        "source", "fold", "n_docs", "n_tokens", "fold_spread"
+    )
