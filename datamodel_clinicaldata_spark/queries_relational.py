@@ -7546,3 +7546,108 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_bps"
         ),
     )
+
+
+@register(
+    "events_survival_life_table",
+    """
+    WITH mx AS (SELECT CAST(max(ts::DATE) AS DATE) AS eow FROM events),
+    u AS (
+      SELECT e.user_id,
+             CAST(min(e.ts::DATE) AS DATE) AS start_d,
+             CAST(min(CASE WHEN e.event_type = 'purchase'
+                           THEN e.ts::DATE END) AS DATE) AS conv_d
+      FROM events e GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id,
+             CASE WHEN conv_d IS NOT NULL
+                  THEN date_diff('day', start_d, conv_d)
+                  ELSE date_diff('day', start_d, mx.eow) END AS t,
+             (conv_d IS NOT NULL) AS converted
+      FROM u, mx
+    ),
+    g AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_conv,
+             CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+               AS d_cens
+      FROM d GROUP BY 1
+    ),
+    lt AS (
+      SELECT t, d_conv, d_cens,
+             CAST((SELECT count(*) FROM d)
+                  - coalesce(sum(d_conv + d_cens) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM g
+    )
+    SELECT t AS day, n_risk, d_conv, d_cens,
+           CAST(d_conv * 10000 // n_risk AS BIGINT) AS hazard_bps
+    FROM lt
+    """,
+)
+def events_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival life table for time-to-first-purchase — the
+    duration-based view that ``retention_cohort_matrix`` (calendar-
+    based) cannot give: per day-since-signup, how many users were still
+    at risk (no purchase yet, not yet censored by corpus end), how many
+    converted that day, how many were censored, and the exact
+    discrete hazard d/n in truncated basis points. The Kaplan-Meier
+    survival curve is the running product of (1 − hazard); the table
+    emits the exact integer ingredients rather than the float product
+    (cumulative float products are order-fragile; the life table is
+    the canonical exchange format anyway).
+
+    Scale shape: one user-keyed first/first-conditional aggregate
+    (map-side combined), the (duration, outcome) census is a
+    ≤|study-window-days|×2 frame, and the at-risk count is ONE
+    exclusive-prefix window over that calendar-bounded frame
+    (window_audit BOUNDED_OK); the user total broadcasts."""
+    e = read_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("eow"))
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("start_d"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("conv_d"),
+    )
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("conv_d").isNotNull(),
+            F.datediff("conv_d", "start_d"),
+        )
+        .otherwise(F.datediff("eow", "start_d"))
+        .cast("long")
+        .alias("t"),
+        F.col("conv_d").isNotNull().alias("converted"),
+    )
+    g = d.groupBy("t").agg(
+        F.sum(F.col("converted").cast("long")).cast("long").alias("d_conv"),
+        F.sum((~F.col("converted")).cast("long")).cast("long").alias("d_cens"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    lt = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d_conv",
+        "d_cens",
+        (
+            F.col("n_users")
+            - F.coalesce(
+                F.sum(F.col("d_conv") + F.col("d_cens")).over(wp), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    return lt.select(
+        F.col("t").alias("day"),
+        "n_risk",
+        "d_conv",
+        "d_cens",
+        F.expr("CAST(d_conv * 10000 div n_risk AS BIGINT)").alias(
+            "hazard_bps"
+        ),
+    )

@@ -49,6 +49,7 @@ BOUNDED_OK = {
     "mixture_token_budget_allocation": (2, "remainder-rank + leftover windows over the ≤|sources| apportionment frame"),
     "orders_yoy_growth": (3, "lag-12 windows over the ≤|calendar months| frame (rendered per output branch)"),
     "diag_label_imbalance": (1, "share/total window over the ≤|labels| dimension frame"),
+    "events_survival_life_table": (1, "at-risk prefix window over the ≤|study-window days| life-table frame"),
     "feature_quantile_normalization": (4, "ordered_prefix offsets windows over ≤n_partitions stats rows (re-rendered across the rank-mean join branches)"),
 }
 
