@@ -6520,9 +6520,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-supervised classification) as pure DataFrame compositions with
     fully unrolled SQL oracles.
 
-    Scale shape: edges come from an order-bounded self-join (≤ 7
-    lineitems per order in TPC-H ⇒ ≤ 42 directed pairs per order — the
-    same bounded-clique device as the interval bins); each round is one
+    Scale shape: edges come from an order-bounded self-join (per-order
+    lineitem counts are small and bounded — ≤ 12 in this testdata ⇒
+    ≤ 132 directed pairs per order; the same bounded-clique device as
+    the interval bins); each round is one
     edge⋈label equi-join + a (node, label) vote aggregate + a
     node-PARTITIONED rank window. Rounds are a fixed unrolled count, so
     the lineage stays shallow; at a real diameter the CC operator's
