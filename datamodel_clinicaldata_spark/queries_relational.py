@@ -7652,3 +7652,101 @@ def events_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_bps"
         ),
     )
+
+
+@register(
+    "agg_incremental_refresh",
+    """
+    WITH tagged AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ((CAST(o_orderkey AS HUGEINT) * 2654435761) % 10 = 0)
+               AS is_delta
+      FROM orders
+    ),
+    part_base AS (
+      SELECT pri, CAST(sum(cents) AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tagged WHERE NOT is_delta GROUP BY 1
+    ),
+    part_delta AS (
+      SELECT pri, CAST(sum(cents) AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tagged WHERE is_delta GROUP BY 1
+    ),
+    merged AS (
+      SELECT pri, CAST(sum(rev) AS BIGINT) AS rev_cents,
+             CAST(sum(n) AS BIGINT) AS n_orders
+      FROM (SELECT * FROM part_base UNION ALL SELECT * FROM part_delta)
+      GROUP BY 1
+    ),
+    full_r AS (
+      SELECT pri, CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM tagged GROUP BY 1
+    )
+    SELECT m.pri AS priority, m.rev_cents, m.n_orders,
+           (m.rev_cents = f.rev_cents AND m.n_orders = f.n_orders)
+             AS matches_full
+    FROM merged m JOIN full_r f ON f.pri = m.pri
+    """,
+)
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance as a first-class, gate-checked
+    property: the corpus splits into a 90% base and a 10% delta (Knuth
+    hash — a deterministic stand-in for "yesterday's snapshot + today's
+    drop"), each side folds to PARTIAL aggregates, and the refresh is a
+    merge of partials — never a re-scan of the base. The row carries its
+    own proof obligation: ``matches_full`` compares the merged result
+    against the full recompute inside the same plan, so the driver's
+    value hash pins the algebraic-merge property (sums of sums, sums of
+    counts) every round. This is THE 100 TB pipeline pattern — a daily
+    drop must cost O(|delta| + |dimension|), not O(|corpus|) — and it
+    is exactly why the engine's aggregate surface sticks to mergeable
+    forms (sums/counts/min/max/HLL/KLL; see ``agg_hll_merge_rollup``
+    for the sketch analog).
+
+    Scale shape: in production the base partials would be a stored
+    dimension-sized table; here both sides derive from one scan (the
+    split is expression-level, so Spark reads orders once per subtree
+    and AQE reuses the exchange); every post-scan frame is
+    |priorities|-bounded."""
+    from datamodel_clinicaldata_spark.functions.sampling import knuth_mod
+
+    o = read_table(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (knuth_mod("o_orderkey", 10) == 0).alias("is_delta"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("pri").agg(
+            F.sum("cents").cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    merged = (
+        partial(tagged.filter(~F.col("is_delta")))
+        .unionAll(partial(tagged.filter(F.col("is_delta"))))
+        .groupBy("pri")
+        .agg(
+            F.sum("rev").cast("long").alias("rev_cents"),
+            F.sum("n").cast("long").alias("n_orders"),
+        )
+    )
+    full_r = tagged.groupBy("pri").agg(
+        F.sum("cents").cast("long").alias("rev_cents_f"),
+        F.count(F.lit(1)).cast("long").alias("n_orders_f"),
+    )
+    return merged.join(full_r, "pri").select(
+        F.col("pri").alias("priority"),
+        "rev_cents",
+        "n_orders",
+        (
+            (F.col("rev_cents") == F.col("rev_cents_f"))
+            & (F.col("n_orders") == F.col("n_orders_f"))
+        ).alias("matches_full"),
+    )
