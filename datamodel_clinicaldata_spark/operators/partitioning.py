@@ -14,14 +14,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_min_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input has fewer partitions
-    than the session's default parallelism. On a real many-split scan
-    this is a no-op (no exchange is added); on a single-file input it
-    spreads downstream projections across cores for one narrow shuffle
-    of the raw rows. Call it at the top of operators whose per-row
-    compute dominates (signature hashing, vector math) — not on cheap
-    scans, where the exchange would cost more than it saves.
+def ensure_min_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    session's default parallelism. On a real many-split scan this is a
+    no-op (no exchange is added); on a single-file input it spreads
+    downstream projections across cores for one narrow shuffle of the
+    raw rows. Call it at the top of operators whose per-row compute
+    dominates (signature hashing, shingle/k-gram inversion, vector
+    math) — not on cheap scans, where the exchange would cost more than
+    it saves. Text-expansion operators are the canonical case: ~10³-10⁴
+    CPU ops per input BYTE breaks the byte-proportionality Spark's file
+    splits assume (measured 5.4 s → 1.4 s on ``dedup_winnowing_pairs``
+    at sf0.1, whose ~10M-md5 postings build otherwise runs on the
+    scan's single partition).
+
+    With ``keys``, hash-partitions on them instead of round-robin:
+    ``GenerateExec`` (explode) preserves its child's output
+    partitioning, so a downstream ``groupBy(keys)`` — or a window
+    partitioned by them — reuses the exchange and the EXPLODED frame
+    (orders of magnitude larger than the input) never shuffles.
+    Order-insensitive plans only: repartition reorders rows.
 
     CONTRACT: pass BARE SCAN inputs only. The partition probe
     (``df.rdd.getNumPartitions()``) finalizes the physical plan, which
@@ -32,7 +44,7 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     derived inputs expose an ``ensure_parallelism=False`` switch)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target, *keys) if keys else df.repartition(target)
     return df
 
 

@@ -27,6 +27,7 @@ from datamodel_clinicaldata_spark.functions.text import (
     word_shingles,
 )
 from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.operators.partitioning import ensure_min_parallelism
 from datamodel_clinicaldata_spark.sources.readers import read_table
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -824,7 +825,9 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan: no shuffle, no UDF, fingerprint sums bounded in BIGINT
     by the 1e9+7 modulus. Oracle replays gram slicing, the md5-prefix
     hash and the window minima verbatim."""
-    d = read_table(spark, sf_dir, "documents")
+    # compute-dense spread: ~2k md5 per doc dwarfs the scan bytes, so
+    # parallelize by docs, not file splits (see ensure_min_parallelism)
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     # hoist the hash stream, then the fingerprint array, each exactly
     # once per row (winnow_from_hashes docstring: inlining the stream
     # into the window lambda is an O(n²)-md5 trap)
@@ -872,7 +875,9 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints are distinct per document, so the pair count equals
     the shared-fingerprint count with no dedup pass. One explode + one
     capped postings self-join + one aggregate."""
-    d = read_table(spark, sf_dir, "documents")
+    # compute-dense spread (measured 5.4 s -> 1.4 s at sf0.1: the ~10M
+    # md5 postings build otherwise runs on the scan's single partition)
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     post = (
         d.withColumn("__hs", gram_hashes(F.col("text"), k=16))
         .select(
@@ -1270,7 +1275,7 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``div``/``//`` truncation semantics), no floats. Documents shorter
     than the shingle width emit nothing on both engines (Spark's
     descending-``sequence`` trap is guarded explicitly)."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(toks) >= 5,
@@ -1475,7 +1480,7 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional count to ≤36 cells; margins and shares are free."""
     from datamodel_clinicaldata_spark.functions.text import lang_id
 
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     cells = (
         d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -1888,7 +1893,7 @@ def text_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride the same (doc, gram) partial aggregation); no joins, no
     windows, shuffle keyed by doc_id — embarrassingly parallel at any
     corpus size."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     sh = F.slice(
