@@ -1201,7 +1201,7 @@ def text_syllable_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform → aggregate / list_transform → list_sum): one scan, ZERO
     shuffle, no explode — at 100 TB this is a map-only pass whose cost
     is the regex, embarrassingly parallel."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
 
     def vg(w):
@@ -1549,7 +1549,7 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment fold (map-side combined); the 1-row doc total cross-joins
     back by broadcast (plan-folded, no second scan of the counts).
     Output is vocabulary-sized."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     tc = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")

@@ -35,6 +35,7 @@ from datamodel_clinicaldata_spark.operators.packing import (
     quota_chunk_bins,
 )
 from datamodel_clinicaldata_spark.registry import register
+from datamodel_clinicaldata_spark.operators.partitioning import ensure_min_parallelism
 from datamodel_clinicaldata_spark.sources.readers import read_table
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -81,7 +82,7 @@ def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream map-side, so the shuffle carries (doc_id, gram) counts,
     not raw grams); the unigram and bigram branches then join on doc_id.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
     uni = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
