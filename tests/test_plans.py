@@ -326,10 +326,14 @@ def test_target_encoding_no_window_no_smj(spark, sf_dir):
 
 
 def test_syllable_complexity_map_only(spark, sf_dir):
-    """The syllable fold is per-row HOFs only: one scan, ZERO exchanges.
-    Any shuffle here means an explode/groupBy replaced the in-row fold."""
+    """The syllable fold is per-row HOFs only: one scan, no windows, no
+    joins. The single allowed exchange is the compute-density spread
+    (``ensure_min_parallelism`` — the per-row fold is ~10³ ops/byte, so
+    the single-rowgroup scan would otherwise run it on one core; 0.75 s
+    → 0.29 s at sf0.1). A SECOND exchange, a window, or a broadcast
+    means an explode/groupBy replaced the in-row fold."""
     a = audit(QUERIES["text_syllable_complexity"](spark, sf_dir))
-    assert a.exchanges == 0
+    assert a.exchanges <= 1
     assert a.broadcast_exchanges == 0
     assert a.windows == 0
     assert len(a.scans) == 1
