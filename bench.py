@@ -207,6 +207,9 @@ HEADLINE = [
     # round 8 late: per-source dup-rate scorecard, Heaps growth curve
     "diag_duplicate_rate_by_source",
     "text_vocab_growth_heaps",
+    # round 8 continuation: all-pairs 5-NN label eval (hoisted norms,
+    # streamed-side spread — the heaviest vector row, keep it measured)
+    "eval_knn_label_accuracy",
 ]
 
 

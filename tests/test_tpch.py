@@ -84,6 +84,50 @@ def test_ensure_min_parallelism_noop_when_wide(spark, sf_dir):
     assert ensure_min_parallelism(already) is already
 
 
+def test_ensure_min_parallelism_keyed_colocates_groups(spark, sf_dir):
+    """The keyed spread hash-partitions on the key, so every row of a
+    group lands in ONE partition (the downstream groupBy reuses the
+    exchange) and the exploded descendant needs no further shuffle for
+    a key-grouped aggregate. Values are unchanged vs the bare scan."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    d = ensure_min_parallelism(
+        read_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    assert d.rdd.getNumPartitions() == target
+    # each doc_id maps to exactly one partition id
+    spread = (
+        d.select("doc_id", F.spark_partition_id().alias("pid"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pid").alias("n_pids"))
+        .agg(F.max("n_pids").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert spread == 1
+    # a keyed aggregate after explode adds no exchange beyond the spread
+    from datamodel_clinicaldata_spark.plans.audit import audit
+
+    exploded = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert audit(exploded).exchanges == 1
+    # values identical to the unspread plan
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, exploded.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
 def test_retention_matrix_offset_zero_totality(spark, sf_dir):
     """Every cohort's offset-0 cell counts exactly its cohort members
     (each user is active in their own first week by construction), and
