@@ -763,3 +763,173 @@ def assign_cells(
             yield pdf
 
     return df.mapInPandas(assign, schema=out_schema)
+
+
+def ivf_pair_candidates(
+    prep: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-bucketed candidate pairs for the leave-one-out label eval —
+    the corpus-scale substitute for the all-pairs BNLJ. ``prep`` is the
+    prepared eval frame (``vec_id``, ``label``, ``__v`` double vector,
+    ``__n2`` hoisted self-norm). Centroids = the ``n_centroids``
+    lowest-id vectors (the ``seed_by='lowest'`` scheme shared with
+    ``ivf_topk`` — SQL-expressible, so an ANSI oracle replays bucketing
+    exactly); every vector is assigned to its nearest centroid (a
+    broadcast-literal argmin projection), every QUERY probes its
+    ``nprobe`` nearest cells, and candidates are the hash-join of the
+    probe list with the cell assignment on ``__cid`` — never a pair
+    BNLJ. Pairs are exactly-once (each corpus vector lives in ONE cell;
+    a query's probed cells are distinct), self-pairs excluded.
+
+    Scale shape: candidate volume ≈ N²·nprobe/n_centroids in
+    expectation; the join key has only ``n_centroids`` distinct values,
+    so at cluster scale n_centroids must GROW with the corpus (√N cells
+    is the usual IVF sizing) and AQE skew-join splits hot cells —
+    parallelism within a cell comes from the probe side, which AQE
+    re-splits freely."""
+    sampled = prep.orderBy("vec_id").limit(n_centroids).select("__v").collect()
+    seeds = [list(map(float, r["__v"])) for r in sampled]  # ≤ n_centroids
+    cent = _centroid_array_expr(seeds)
+
+    def nearest(vec, topn):
+        scored = F.transform(
+            cent,
+            lambda c: F.struct(
+                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, topn)
+
+    corpus = prep.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb"),
+        nearest(F.col("__v"), 1)[0]["cid"].alias("__cid"),
+    )
+    queries = prep.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na"),
+        F.explode(
+            F.transform(nearest(F.col("__v"), nprobe), lambda s: s["cid"])
+        ).alias("__cid"),
+    )
+    return corpus.join(queries, "__cid").filter(
+        F.col("qid") != F.col("nid")
+    )
+
+
+def knn_label_accuracy(
+    e: DataFrame,
+    k: int = 5,
+    candidate_fn=None,
+    max_bruteforce_rows: int = 100_000,
+    ensure_parallelism: bool = True,
+) -> DataFrame:
+    """Leave-one-out k-NN label accuracy over a labeled embedding set
+    (``vec_id``, ``embedding``, ``label``), published per class.
+    Majority vote over the k nearest neighbours by cosine (6-dp fixed
+    rounding; rank ties by vec_id, vote ties by max count then MIN
+    label). Neighbor generation is pluggable:
+
+    - ``candidate_fn=None`` → exact brute force, GUARDED: the labeled
+      set must count ≤ ``max_bruteforce_rows`` (eval sets are bounded
+      by construction — hand- or model-labeled); beyond the bound the
+      all-pairs BNLJ would quietly attempt N² pairs, so it raises
+      instead, routing to the candidate path.
+    - ``candidate_fn(prep) -> pairs`` — e.g.
+      ``ivf_pair_candidates`` — must return exactly-once candidate
+      pairs carrying both sides' hoisted vectors/norms (``qid``,
+      ``true_label``, ``__va``, ``__na``, ``nid``, ``nlabel``,
+      ``__vb``, ``__nb``). Everything downstream of the pairs is
+      linear: one qid-partitioned rank window, two keyed aggregates, a
+      per-class result.
+
+    Vote tie-break key: ``c·2³² − nlabel`` (exact integer, one
+    ``max_by``). Sound for the ENTIRE int32 label domain: vote-count
+    buckets sit 2³² apart while |nlabel| < 2³¹, so a count difference
+    always dominates and within a count the MIN label wins — no silent
+    assumption on label magnitude (the previous ·1000 key broke above
+    label 999)."""
+    if ensure_parallelism:
+        # spread the BARE scan (per the ensure_min_parallelism contract)
+        # BEFORE deriving __v/__n2: the pair stage streams this side, and
+        # on a single-rowgroup input all pair math would otherwise run on
+        # one core (measured 96 s -> ~4 s at sf0.1)
+        e = ensure_min_parallelism(e, "vec_id")
+    prep = e.withColumns(
+        {
+            # hoist the self-norm: computed once per VECTOR instead of
+            # twice per PAIR (3 inner products/pair -> 1), same
+            # deterministic fold so the 6-dp rounding stays bit-aligned
+            # with an oracle's hoisted n2
+            "__v": as_double(F.col("embedding")),
+        }
+    ).withColumn("__n2", dot(F.col("__v"), F.col("__v")))
+    if candidate_fn is not None:
+        pairs = candidate_fn(prep)
+    else:
+        n = prep.count()
+        if n > max_bruteforce_rows:
+            raise ValueError(
+                f"knn_label_accuracy: brute-force pair join over {n} rows "
+                f"exceeds max_bruteforce_rows={max_bruteforce_rows} "
+                f"(~{n * n:,} pairs). Labeled eval sets are bounded by "
+                "construction; for corpus-scale neighbor generation pass "
+                "candidate_fn=ivf_pair_candidates (or an LSH blocker, "
+                "e.g. cosine_neardup_pairs/ivf_topk) instead."
+            )
+        a = prep.select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("true_label"),
+            F.col("__v").alias("__va"),
+            F.col("__n2").alias("__na"),
+        )
+        b = prep.select(
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.col("__v").alias("__vb"),
+            F.col("__n2").alias("__nb"),
+        )
+        pairs = a.join(b, F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "true_label",
+        "nid",
+        "nlabel",
+        round_fixed(
+            dot(F.col("__va"), F.col("__vb"))
+            / F.sqrt(F.col("__na") * F.col("__nb")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    nn = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    votes = nn.groupBy("qid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pred = votes.groupBy("qid", "true_label").agg(
+        F.max_by(
+            "nlabel", F.col("c") * F.lit(4294967296) - F.col("nlabel")
+        ).alias("pred_label")
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1) AS BIGINT)"
+        ).alias("accuracy_e6"),
+    )

@@ -1246,12 +1246,33 @@ def similarity_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_inner_product(embedding::DOUBLE[],
                                          embedding::DOUBLE[]) AS n2
                FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cvec
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    ranked AS (
+      SELECT e.vec_id, s.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, s.cvec) /
+                        sqrt(list_inner_product(e.v, e.v) *
+                             list_inner_product(s.cvec, s.cvec)) DESC,
+                        s.cid ASC
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    probe AS (SELECT vec_id, cid FROM ranked WHERE rn <= 4),
     scored AS (
       SELECT a.vec_id AS qid, a.label AS true_label, b.vec_id AS nid,
              b.label AS nlabel,
              floor(list_inner_product(a.v, b.v) / sqrt(a.n2 * b.n2)
                    * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      FROM probe p
+      JOIN assign ba ON ba.cid = p.cid AND ba.vec_id <> p.vec_id
+      JOIN e a ON a.vec_id = p.vec_id
+      JOIN e b ON b.vec_id = ba.vec_id
     ), nn AS (
       SELECT qid, true_label, nlabel FROM (
         SELECT qid, true_label, nlabel,
@@ -1264,7 +1285,7 @@ def similarity_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nn GROUP BY 1, 2, 3
     ), pred AS (
       SELECT qid, true_label,
-             arg_max(nlabel, c * 1000 - nlabel) AS pred_label
+             arg_max(nlabel, c * 4294967296 - nlabel) AS pred_label
       FROM votes GROUP BY 1, 2
     )
     SELECT true_label AS label,
@@ -1283,87 +1304,31 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     weak class is visible instead of averaged away. Majority vote over
     the 5 nearest neighbours (cosine at the family's shared 6-dp fixed
     rounding; rank ties broken by vec_id, vote ties by max count then
-    MIN label via one exact-integer ``max_by`` key — no re-sort, no
-    float shares). Accuracy is an integral e6 quotient.
+    MIN label via one exact-integer ``max_by`` key, sound over the full
+    int32 label domain — see ``knn_label_accuracy``). Accuracy is an
+    integral e6 quotient.
 
-    Scale shape: this is the EVAL-HARNESS regime — labeled eval sets are
-    bounded by construction (they are hand- or model-labeled), so the
-    brute-force pair join is a bounded-side-broadcast BNLJ like
-    ``similarity_neardup_exact``; an unlabeled 100 TB corpus never
-    enters this query. For corpus-scale neighbor generation the
-    LSH/IVF operators (``cosine_neardup_pairs``, ``ivf_topk``) are the
-    candidate path, and this eval plugs in behind either by swapping
-    ``scored``. Downstream of the pair scores everything is linear:
-    one qid-partitioned rank window, two keyed aggregates, a ≤10-row
-    result."""
-    from pyspark.sql import Window
-
-    from datamodel_clinicaldata_spark.functions.vectors import (
-        as_double,
-        dot,
-        round_fixed,
-    )
-    from datamodel_clinicaldata_spark.operators.partitioning import (
-        ensure_min_parallelism,
+    Neighbor generation runs the CORPUS-SCALE candidate path:
+    ``ivf_pair_candidates`` (16 cells seeded from the lowest vec_ids,
+    nprobe=4) — a cid hash join, never a pair BNLJ — and the oracle
+    replays bucketing, probing, and scoring exactly (same lowest-id
+    seeding scheme as ``similarity_ivf_topk``). The guarded exact
+    brute-force path (``candidate_fn=None``) stays available on the
+    operator and is pinned against this ANN row by
+    tests/test_similarity.py: at sf0.01 both produce identical
+    per-class verdicts. Downstream of the candidate pairs everything is
+    linear: one qid-partitioned rank window, two keyed aggregates, a
+    ≤10-row result."""
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        ivf_pair_candidates,
+        knn_label_accuracy,
     )
 
-    e = read_table(spark, sf_dir, "embeddings").withColumns(
-        {
-            # hoist the self-norm: computed once per VECTOR instead of
-            # twice per PAIR (3 inner products/pair -> 1), same
-            # deterministic fold so the 6-dp rounding stays bit-aligned
-            # with the oracle's hoisted n2
-            "__v": as_double(F.col("embedding")),
-        }
-    )
-    e = e.withColumn("__n2", dot(F.col("__v"), F.col("__v")))
-    # the pair BNLJ STREAMS the left side; spread it or all pair math
-    # runs on the single-rowgroup scan's one partition (96 s -> ~4 s)
-    a = ensure_min_parallelism(
-        e.select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("true_label"),
-            F.col("__v").alias("__va"),
-            F.col("__n2").alias("__na"),
+    e = read_table(spark, sf_dir, "embeddings")
+    return knn_label_accuracy(
+        e,
+        k=5,
+        candidate_fn=lambda prep: ivf_pair_candidates(
+            prep, n_centroids=16, nprobe=4
         ),
-        "qid",
-    )
-    b = e.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nlabel"),
-        F.col("__v").alias("__vb"),
-        F.col("__n2").alias("__nb"),
-    )
-    scored = a.join(b, F.col("qid") != F.col("nid")).select(
-        "qid",
-        "true_label",
-        "nid",
-        "nlabel",
-        round_fixed(
-            dot(F.col("__va"), F.col("__vb"))
-            / F.sqrt(F.col("__na") * F.col("__nb")),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("nid").asc()
-    )
-    nn = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
-    votes = nn.groupBy("qid", "true_label", "nlabel").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    pred = votes.groupBy("qid", "true_label").agg(
-        F.max_by("nlabel", F.col("c") * 1000 - F.col("nlabel")).alias("pred_label")
-    )
-    return pred.groupBy(F.col("true_label").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.sum(
-            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_correct"),
-        F.expr(
-            "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)"
-            " * 1000000 div count(1) AS BIGINT)"
-        ).alias("accuracy_e6"),
     )

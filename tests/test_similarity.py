@@ -332,3 +332,66 @@ def test_assign_cells_expr_arrow_agree(spark, sf_dir):
     # seeds must claim their own cells under both paths (cos(v,v)=1)
     for vid in range(16):
         assert a[vid] == vid
+
+
+def test_knn_label_accuracy_guard_and_candidate_path(spark, sf_dir):
+    """The r8-verdict asks on eval_knn_label_accuracy, pinned:
+
+    1. GUARD — brute force over a set larger than max_bruteforce_rows
+       raises (routing to the candidate path) instead of quietly
+       attempting N² pairs.
+    2. LOSSLESS PLUMBING — the pluggable IVF candidate path with
+       nprobe == n_centroids probes every cell, so its candidate set IS
+       the all-pairs set and the per-class verdicts must equal the
+       guarded brute force EXACTLY (proves the candidate join/dedup/
+       scoring plumbing loses nothing; with nprobe < n_centroids the
+       verdicts legitimately drift on these ISOTROPIC synthetic
+       embeddings, whose 5-NN structure is near-chance — real clustered
+       embeddings are the regime where partial probing keeps recall).
+    3. TIE-BREAK — the c·2³² − nlabel vote key prefers higher count
+       first, then the MIN label, beyond the old ·1000 key's domain.
+    """
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        ivf_pair_candidates,
+        knn_label_accuracy,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="ivf_pair_candidates"):
+        knn_label_accuracy(e, max_bruteforce_rows=10).collect()
+
+    bf = sorted(map(tuple, knn_label_accuracy(e).collect()))
+    full_probe = sorted(
+        map(
+            tuple,
+            knn_label_accuracy(
+                e,
+                candidate_fn=lambda prep: ivf_pair_candidates(
+                    prep, n_centroids=16, nprobe=16
+                ),
+            ).collect(),
+        )
+    )
+    assert full_probe == bf
+
+    # tie-break: label 1500 (> old key's 999 domain) with 2 votes must
+    # beat label 7 with 1 vote; equal counts -> MIN label wins
+    rows = [
+        # qid 0 (true label 1500): neighbors vote {1500: 2, 7: 1}
+        (0, 1500, [1.0, 0.0, 0.0]),
+        (1, 1500, [0.99, 0.01, 0.0]),
+        (2, 1500, [0.98, 0.02, 0.0]),
+        (3, 7, [0.97, 0.03, 0.0]),
+    ]
+    tiny = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r["label"]: (r["n_vecs"], r["n_correct"])
+        for r in knn_label_accuracy(tiny, k=3, ensure_parallelism=False).collect()
+    }
+    # every qid sees the 3 others: labels {1500:2, 7:1} for qid 3, etc.
+    # qid 0,1,2 (true 1500) -> votes {1500:2, 7:1} -> pred 1500, correct
+    # qid 3 (true 7)        -> votes {1500:3}      -> pred 1500, wrong
+    assert out[1500] == (3, 3)
+    assert out[7] == (1, 0)
