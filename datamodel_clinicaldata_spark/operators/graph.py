@@ -25,7 +25,12 @@ Scale design (100 TB corpus, ~10⁹ nodes):
   shuffle (min per src). Edges are re-used every round → cache them once.
 - ``localCheckpoint`` after every round truncates the lineage: without it
   the plan doubles per iteration and the driver OOMs on plan size long
-  before the executors sweat.
+  before the executors sweat. Blocks live ON executors with NO lineage
+  left — right for local mode, but on a real cluster an executor loss
+  mid-fixpoint kills the run; past the threshold where that matters,
+  swap for reliable ``checkpoint()`` / a persisted-table round-trip
+  (see SCALING.md "Reliable-checkpoint doctrine" — the swap is
+  mechanical, partitioning survives either way).
 - Convergence is detected with a count of changed labels — one action per
   round, the standard cost of any fixpoint algorithm on Spark.
 """
