@@ -710,6 +710,117 @@ def probe_attribution(spark, rows: int, partitions: int) -> dict:
     return out
 
 
+def probe_label_propagation(spark, n_edges: int, partitions: int) -> dict:
+    """2-round seeded label propagation at graph-probe scale (r8 verdict
+    ask #6) — the ``graph_label_propagation`` plan shape (u-pinned
+    checkpointed edge frame, broadcast labels, per-round vote aggregate
+    + node-partitioned rank window) over ``n_edges`` synthetic edges
+    with PLANTED two-community structure and a hot-hub skew regime:
+
+    - nodes 0..N-1 (N = n_edges/10), community = node parity; node 0 /
+      node 1 are the community hubs and the only SEEDS ('A' / 'B');
+    - 20 % of edges attach systematically to the community hub (every
+      node gets a direct hub edge — so 2 rounds MUST fully label the
+      graph), mirroring the one-part-in-20 %-of-orders skew the verdict
+      prescribed: the hub is one reduce key carrying n_edges/5 vote
+      rows, collapsed by map-side partial aggregation;
+    - the other 80 % are LCG intra-community edges (no cross edges), so
+      EXACT recovery is the closed form: zero unlabeled, zero
+      wrong-community labels after round 2.
+
+    Edges are generated partition-parallel from the synthetic source's
+    event_id (pure arithmetic, no fixtures) and symmetrized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    half = max(n_edges // 20, 1)  # nodes per community; N = 2*half
+    n_nodes = 2 * half
+    base = _synth(spark, n_edges, partitions).select(
+        F.col("event_id").alias("e"), (F.col("event_id") % 2).alias("c")
+    )
+    # hub edges land at e ≡ 0 (c=0) / e ≡ 5 (c=1) mod 10, so e div 10
+    # cycles 0..n/10-1 WITHIN each community and covers every node offset
+    # ≥ 2× (n/10 ≥ 2·half) — (e/5) % half would lock the offset's parity
+    # to the community and skip half the nodes
+    hub = base.filter(F.col("e") % 5 == 0).select(
+        F.col("c").alias("u"),
+        (((F.col("e") / 10).cast("long") % half) * 2 + F.col("c")).alias("v"),
+    )
+    # moderate multipliers keep products << 2^63 (ANSI-safe, no wrap)
+    rnd = base.filter(F.col("e") % 5 != 0).select(
+        ((F.col("e") * 2654435761 % 1_000_000_007) % half * 2 + F.col("c")).alias(
+            "u"
+        ),
+        ((F.col("e") * 1103515245 % 998_244_353) % half * 2 + F.col("c")).alias(
+            "v"
+        ),
+    )
+    directed = hub.unionAll(rnd).filter(F.col("u") != F.col("v"))
+    sym = directed.unionAll(directed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    t0 = time.time()
+    e = (
+        sym.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .repartition("u")
+        .localCheckpoint()
+    )
+    labels = spark.range(n_nodes).select(
+        F.col("id").alias("pk"),
+        F.when(F.col("id") < 2, F.when(F.col("id") == 0, "A").otherwise("B")).alias(
+            "lbl"
+        ),
+        (F.col("id") < 2).alias("seeded"),
+    )
+
+    def one_round(lab):
+        nb = e.join(
+            F.broadcast(
+                lab.filter(F.col("lbl").isNotNull()).select(
+                    F.col("pk").alias("v"), F.col("lbl").alias("nb_lbl")
+                )
+            ),
+            "v",
+        )
+        votes = nb.groupBy(F.col("u").alias("pk"), F.col("nb_lbl")).agg(
+            F.sum("w").cast("long").alias("votes")
+        )
+        wr = Window.partitionBy("pk").orderBy(
+            F.col("votes").desc(), F.col("nb_lbl").asc()
+        )
+        cand = (
+            votes.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("pk", F.col("nb_lbl").alias("new_lbl"))
+        )
+        return lab.join(cand, "pk", "left").select(
+            "pk",
+            "seeded",
+            F.when(F.col("seeded"), F.col("lbl"))
+            .otherwise(F.coalesce(F.col("new_lbl"), F.col("lbl")))
+            .alias("lbl"),
+        )
+
+    l2 = one_round(one_round(labels).localCheckpoint())
+    expected = F.when(F.col("pk") % 2 == 0, "A").otherwise("B")
+    r = l2.agg(
+        F.sum(F.col("lbl").isNull().cast("long")).alias("unlabeled"),
+        F.sum((F.col("lbl") != expected).cast("long")).alias("wrong"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return {
+        "edges": n_edges,
+        "nodes": n_nodes,
+        "sec": round(dt, 2),
+        "edges_per_sec": int(n_edges / dt),
+        "unlabeled": int(r["unlabeled"] or 0),
+        "wrong_community": int(r["wrong"] or 0),
+        "recovered_exactly": bool(
+            (r["unlabeled"] or 0) == 0 and (r["wrong"] or 0) == 0
+        ),
+    }
+
+
 def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out: dict = {"rows": rows, "partitions": partitions}
     w0, r0 = _shuffle_totals(spark)
@@ -729,6 +840,11 @@ def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     )
     # Attribution shape at rows/5 events (10M at the default 50M).
     out["attribution"] = probe_attribution(
+        spark, max(rows // 5, 1_000_000), partitions
+    )
+    # Label propagation at rows/5 edges (10M at the default 50M),
+    # hot-hub skew + planted-two-community exactness gate.
+    out["label_propagation"] = probe_label_propagation(
         spark, max(rows // 5, 1_000_000), partitions
     )
     w1, r1 = _shuffle_totals(spark)
