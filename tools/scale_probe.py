@@ -821,6 +821,86 @@ def probe_label_propagation(spark, n_edges: int, partitions: int) -> dict:
     }
 
 
+def probe_streaming(spark, rows: int, partitions: int) -> dict:
+    """Structured Streaming ingest throughput (round-9 addition): the
+    synthetic DataSource's micro-batch stream reader feeding the
+    watermark-family tumbling aggregate (one (window, event_type)
+    shuffle, map-side partial agg) into a memory sink. Exactness gate:
+    the stream's final COMPLETE-mode result must EQUAL the batch read
+    of the same generator range through the same aggregate — the
+    batch-replay-twin doctrine, here asserted at probe scale rather
+    than fixture scale. Complete mode keeps the gate total (append
+    would hold back the final un-closed window; the watermark/append
+    semantics are pytest-covered in tests/test_streaming.py — this
+    probe measures the ingest path).
+
+    Timestamps derive from event_id (1k events/s of event-time), so
+    rows/3.6M tumbling hours land in the result — bounded state at any
+    probe size."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+    from datamodel_clinicaldata_spark.streaming.windows import (
+        tumbling_event_counts,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    n_batches = 10
+    opts = {
+        "rows": rows,
+        "partitions": partitions,
+        "seed": 7,
+        "users": 100_000,
+        "batch_rows": -(-rows // n_batches),
+    }
+
+    def with_ts(df):
+        return df.withColumn(
+            "ts", F.timestamp_seconds((F.col("event_id") / 1000).cast("long"))
+        )
+
+    stream = spark.readStream.format("synthetic_events")
+    for k, v in opts.items():
+        stream = stream.option(k, v)
+    agg = tumbling_event_counts(with_ts(stream.load()), ts_col="ts")
+    # default trigger + processAllAvailable, NOT availableNow: the
+    # engine resolves availableNow from ONE latestOffset poll, and this
+    # source paces itself by advancing batch_rows per poll — availableNow
+    # would stream exactly one micro-batch and stop
+    sink = f"probe_stream_tumbling_{rows}"
+    t0 = time.time()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    dt = time.time() - t0
+    got = sorted(map(tuple, spark.table(sink).collect()))
+    batch = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        batch = batch.option(k, v)
+    want = sorted(
+        map(tuple, tumbling_event_counts(with_ts(batch.load()), ts_col="ts").collect())
+    )
+    n_streamed = sum(r[2] for r in got)
+    return {
+        "rows": rows,
+        "sec": round(dt, 2),
+        "events_per_sec": int(rows / dt),
+        "result_rows": len(got),
+        "rows_streamed": int(n_streamed),
+        "stream_equals_batch": bool(got == want and n_streamed == rows),
+    }
+
+
 def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out: dict = {"rows": rows, "partitions": partitions}
     w0, r0 = _shuffle_totals(spark)
@@ -846,6 +926,11 @@ def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     # hot-hub skew + planted-two-community exactness gate.
     out["label_propagation"] = probe_label_propagation(
         spark, max(rows // 5, 1_000_000), partitions
+    )
+    # Streaming ingest at rows/5 events (10M at the default 50M),
+    # stream-equals-batch exactness gate through the tumbling aggregate.
+    out["streaming"] = probe_streaming(
+        spark, max(rows // 5, 1_000_000), min(partitions, 32)
     )
     w1, r1 = _shuffle_totals(spark)
     out["shuffle_write_bytes"] = w1 - w0
