@@ -207,8 +207,9 @@ HEADLINE = [
     # round 8 late: per-source dup-rate scorecard, Heaps growth curve
     "diag_duplicate_rate_by_source",
     "text_vocab_growth_heaps",
-    # round 8 continuation: all-pairs 5-NN label eval (hoisted norms,
-    # streamed-side spread — the heaviest vector row, keep it measured)
+    # round 8 continuation: leave-one-out 5-NN label eval; round 9 moved
+    # it onto the IVF candidate path (cid hash join, oracle-replayed
+    # bucketing) with the all-pairs BNLJ as the GUARDED fallback
     "eval_knn_label_accuracy",
 ]
 
