@@ -448,3 +448,19 @@ def test_column_profile_single_scan(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1
     assert "ReusedQueryStage" in final or "ReusedExchange" in final
+
+
+def test_knn_eval_candidate_path_no_pair_bnlj(spark, sf_dir):
+    """Round-9 reshape pinned: the registered KNN label eval generates
+    candidates via the IVF cid hash join — its plan must carry NO
+    BroadcastNestedLoopJoin (the all-pairs form is the guarded fallback
+    on the operator, not the registry row) and no unpartitioned window
+    (the rank window is qid-partitioned)."""
+    from datamodel_clinicaldata_spark.plans.audit import physical_plan
+
+    df = QUERIES["eval_knn_label_accuracy"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    a = audit(df)
+    assert a.unpartitioned_windows == 0
