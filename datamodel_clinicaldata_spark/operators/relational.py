@@ -68,8 +68,8 @@ def assemble_star(users: DataFrame, weights: DataFrame, treatments: DataFrame) -
         }
     )
     uw = u.join(w, u["UID"] == w["MasterUserID"], "left").drop(w["MasterUserID"])
-    # J2: treatments is 1 row/user → always tiny relative to the fact; force
-    # broadcast so the second join never shuffles the fanned-out fact rows.
+    # J2: treatments is 1 row/user; broadcast-vs-shuffle is left to the
+    # planner deliberately — see the docstring above for why no hint is set.
     t = treatments
     uwt = uw.join(
         t, uw["UID"] == t["MasterUserID"], "left"

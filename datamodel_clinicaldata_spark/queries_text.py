@@ -1908,7 +1908,13 @@ def text_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per element — the regex split must not run once per position, see
     ``word_shingles``)."""
     d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
-    t = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    # Null/empty-text guard: size(NULL)=NULL makes greatest(n-7,1)=1 and
+    # xxhash64(slice(NULL,1,8)) = the seed hash, so a null-text doc would
+    # emit one PHANTOM gram — while the oracle's explode drops the row.
+    # Filtering zero-token docs keeps both engines on "no gram stream".
+    t = d.select("doc_id", tokens(F.col("text")).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
     n = F.size(F.col("__toks"))
     idx = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))
     gh = F.transform(idx, lambda i: F.xxhash64(F.slice(F.col("__toks"), i, 8)))

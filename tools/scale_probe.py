@@ -891,13 +891,26 @@ def probe_streaming(spark, rows: int, partitions: int) -> dict:
         map(tuple, tumbling_event_counts(with_ts(batch.load()), ts_col="ts").collect())
     )
     n_streamed = sum(r[2] for r in got)
+    # Exactness gate: keys + n_events compare EXACTLY; total_value (a
+    # float sum whose accumulation order differs between the streaming
+    # state merge and the one-shot batch agg) compares at a tolerance —
+    # a per-window sum over millions of doubles landing near a .00005
+    # boundary can round(…,4) to different sides, which is measurement
+    # noise, not a correctness signal (ADVICE r9). 1e-3 on a 4-dp value
+    # tolerates exactly that one-ulp-of-rounding split and nothing more.
+    keys_counts_equal = [r[:3] for r in got] == [r[:3] for r in want]
+    totals_close = len(got) == len(want) and all(
+        abs(float(g[3]) - float(w[3])) <= 1e-3 for g, w in zip(got, want)
+    )
     return {
         "rows": rows,
         "sec": round(dt, 2),
         "events_per_sec": int(rows / dt),
         "result_rows": len(got),
         "rows_streamed": int(n_streamed),
-        "stream_equals_batch": bool(got == want and n_streamed == rows),
+        "stream_equals_batch": bool(
+            keys_counts_equal and totals_close and n_streamed == rows
+        ),
     }
 
 
