@@ -6555,15 +6555,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pk = u) both reuse the one build-time exchange: ZERO e-sized
     # shuffles per round (measured 4.2 → 2.7 s at sf0.1; repartition
     # without the broadcast showed no win — the v-keyed shuffle join
-    # destroys hash(u) again). Cluster fault-tolerance: localCheckpoint
-    # leaves no lineage, so see SCALING.md "Reliable-checkpoint
-    # doctrine" for when this pin must become reliable checkpoint();
-    # the u-partitioning survives that swap too.
-    e = (
+    # destroys hash(u) again). Cluster fault-tolerance: the pin goes
+    # through graph.truncate_lineage, so SPARK_GRAFT_CHECKPOINT=reliable
+    # swaps it to durable checkpoint() at deployment time (SCALING.md
+    # "Reliable-checkpoint doctrine"); the u-partitioning survives the
+    # swap too.
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    e = truncate_lineage(
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .repartition("u")
-        .localCheckpoint()
     )
     p = read_table(spark, sf_dir, "part")
     labels = p.select(

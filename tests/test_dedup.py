@@ -267,3 +267,59 @@ def test_containment_catches_subset_dup(spark):
     assert cont.get((1, 2)) == 1.0  # every short-doc shingle is in the long doc
     jac = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.8).collect()
     assert not jac  # union-diluted similarity misses the subset dup
+
+
+def test_fixpoints_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_mode='reliable' (VERDICT r9 #4): every iterative graph
+    fixpoint runs end-to-end on reliable ``checkpoint()`` — the
+    executor-loss-safe pin a real cluster needs (SCALING.md
+    "Reliable-checkpoint doctrine") — and produces results identical to
+    the localCheckpoint default. The checkpoint dir is set explicitly
+    here; truncate_lineage also self-provisions a temp dir when unset."""
+    from datamodel_clinicaldata_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        pagerank_fixedpoint,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = (
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+        + [(i, i + 1) for i in range(100, 130)]  # 31-node chain
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def labels(frame):
+        return {r["node"]: r["component_id"] for r in frame.collect()}
+
+    assert labels(
+        connected_components_star(df, checkpoint_mode="reliable")
+    ) == labels(connected_components_star(df))
+    # local_threshold=0 forces the DISTRIBUTED min-label loop (the
+    # union-find escape hatch never checkpoints), max_iter exhaustion
+    # also covers the star fallback's mode passthrough
+    assert labels(
+        connected_components(
+            df, local_threshold=0, max_iter=5, checkpoint_mode="reliable"
+        )
+    ) == labels(connected_components(df))
+    pr_rel = {
+        r["node"]: r["pr_e12"]
+        for r in pagerank_fixedpoint(
+            df, iters=3, local_threshold=0, checkpoint_mode="reliable"
+        ).collect()
+    }
+    pr_loc = {
+        r["node"]: r["pr_e12"]
+        for r in pagerank_fixedpoint(df, iters=3, local_threshold=0).collect()
+    }
+    assert pr_rel == pr_loc  # fixed-point integers: bit-identical
+    # reliable mode actually WROTE checkpoints to the durable dir
+    import os
+
+    ckpt_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "ckpt"))
+        for f in fs
+    ]
+    assert ckpt_files, "reliable mode produced no checkpoint files"
