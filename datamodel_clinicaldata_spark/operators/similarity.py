@@ -767,8 +767,9 @@ def assign_cells(
 
 def ivf_pair_candidates(
     prep: DataFrame,
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    max_centroids: int = 4096,
 ) -> DataFrame:
     """IVF-bucketed candidate pairs for the leave-one-out label eval —
     the corpus-scale substitute for the all-pairs BNLJ. ``prep`` is the
@@ -783,12 +784,36 @@ def ivf_pair_candidates(
     BNLJ. Pairs are exactly-once (each corpus vector lives in ONE cell;
     a query's probed cells are distinct), self-pairs excluded.
 
-    Scale shape: candidate volume ≈ N²·nprobe/n_centroids in
-    expectation; the join key has only ``n_centroids`` distinct values,
-    so at cluster scale n_centroids must GROW with the corpus (√N cells
-    is the usual IVF sizing) and AQE skew-join splits hot cells —
-    parallelism within a cell comes from the probe side, which AQE
-    re-splits freely."""
+    Sizing is DYNAMIC by default (r9 verdict #5): ``n_centroids=None``
+    → clamp(16, ⌊√N⌋, ``max_centroids``) — the usual IVF cell count,
+    keeping expected cell size √N as the corpus grows — and
+    ``nprobe=None`` → max(4, n_centroids // 8), so probe coverage
+    scales with the cell count. ⌊√N⌋ is ``math.floor(math.sqrt(n))``
+    — IEEE-754 sqrt is correctly rounded, so a SQL oracle's
+    ``floor(sqrt(count(*)))`` lands on the same integer. The
+    ``max_centroids`` clamp bounds the driver-side seed pullback
+    (4096 × dim doubles ≈ 2 MB at dim 64); past that a sampled-kmeans
+    seeding would replace lowest-id seeds anyway.
+
+    NOTE — construction is EAGER, unlike most operators here: sizing
+    runs one bounded count job and seeding one orderBy-limit pullback
+    at DataFrame-BUILD time (plan audits and tests that merely
+    construct the plan execute both). The literal-centroid design is
+    what keeps the assignment a broadcast argmin projection and the
+    oracle replayable; deriving seeds lazily would trade that for a
+    window-over-everything rank.
+
+    Scale shape: candidate volume ≈ N²·nprobe/n_centroids; the join
+    key has ``n_centroids`` distinct values (√N under default sizing),
+    and AQE skew-join splits hot cells — parallelism within a cell
+    comes from the probe side, which AQE re-splits freely."""
+    import math
+
+    if n_centroids is None:
+        n = prep.count()
+        n_centroids = min(max_centroids, max(16, math.floor(math.sqrt(n))))
+    if nprobe is None:
+        nprobe = max(4, n_centroids // 8)
     sampled = prep.orderBy("vec_id").limit(n_centroids).select("__v").collect()
     seeds = [list(map(float, r["__v"])) for r in sampled]  # ≤ n_centroids
     cent = _centroid_array_expr(seeds)
@@ -921,13 +946,27 @@ def knn_label_accuracy(
             "nlabel", F.col("c") * F.lit(4294967296) - F.col("nlabel")
         ).alias("pred_label")
     )
-    return pred.groupBy(F.col("true_label").alias("label")).agg(
+    # Coverage guard (ADVICE r9): under a candidate_fn, a query whose
+    # probed cells hold no other vector produces NO pairs and would
+    # silently vanish from its class's denominator. Left-joining pred
+    # back to the FULL query population keeps every labeled vector in
+    # n_vecs, counts uncovered queries as incorrect (NULL pred_label
+    # never equals true_label), and surfaces the coverage drop as an
+    # explicit n_uncovered column instead of a shrunken population.
+    base = prep.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    covered = base.join(pred, ["qid", "true_label"], "left")
+    return covered.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum(
             F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
         )
         .cast("long")
         .alias("n_correct"),
+        F.sum(F.when(F.col("pred_label").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_uncovered"),
         F.expr(
             "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)"
             " * 1000000 div count(1) AS BIGINT)"

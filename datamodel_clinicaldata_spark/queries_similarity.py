@@ -1246,10 +1246,15 @@ def similarity_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_inner_product(embedding::DOUBLE[],
                                          embedding::DOUBLE[]) AS n2
                FROM embeddings),
+    params AS (
+      SELECT least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS INTEGER)))
+               AS n_c
+      FROM e
+    ),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
              v AS cvec
-      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT (SELECT n_c FROM params))
     ),
     ranked AS (
       SELECT e.vec_id, s.cid,
@@ -1263,7 +1268,8 @@ def similarity_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e CROSS JOIN seeds s
     ),
     assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-    probe AS (SELECT vec_id, cid FROM ranked WHERE rn <= 4),
+    probe AS (SELECT vec_id, cid FROM ranked
+              WHERE rn <= (SELECT greatest(4, n_c // 8) FROM params)),
     scored AS (
       SELECT a.vec_id AS qid, a.label AS true_label, b.vec_id AS nid,
              b.label AS nlabel,
@@ -1287,14 +1293,19 @@ def similarity_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT qid, true_label,
              arg_max(nlabel, c * 4294967296 - nlabel) AS pred_label
       FROM votes GROUP BY 1, 2
+    ), covered AS (
+      SELECT e.vec_id AS qid, e.label AS true_label, p.pred_label
+      FROM e LEFT JOIN pred p ON p.qid = e.vec_id
     )
     SELECT true_label AS label,
            CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_uncovered,
            CAST((sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
                  * 1000000) // count(*) AS BIGINT) AS accuracy_e6
-    FROM pred GROUP BY 1
+    FROM covered GROUP BY 1
     """,
 )
 def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,12 +1320,18 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral e6 quotient.
 
     Neighbor generation runs the CORPUS-SCALE candidate path:
-    ``ivf_pair_candidates`` (16 cells seeded from the lowest vec_ids,
-    nprobe=4) — a cid hash join, never a pair BNLJ — and the oracle
-    replays bucketing, probing, and scoring exactly (same lowest-id
-    seeding scheme as ``similarity_ivf_topk``). The guarded exact
-    brute-force path (``candidate_fn=None``) stays available on the
-    operator and is pinned against this ANN row by
+    ``ivf_pair_candidates`` under its DYNAMIC sizing — n_centroids =
+    clamp(16, ⌊√N⌋, 4096) cells seeded from the lowest vec_ids, nprobe
+    = max(4, n_centroids // 8) — a cid hash join, never a pair BNLJ.
+    The oracle replays sizing, bucketing, probing, and scoring exactly
+    (a ``params`` CTE computes the same clamp; IEEE sqrt is correctly
+    rounded, so ⌊√N⌋ agrees across engines; same lowest-id seeding
+    scheme as ``similarity_ivf_topk``). Queries whose probed cells hold
+    no other vector stay in the population: a left join back to the
+    labeled set counts them as incorrect and reports them in
+    ``n_uncovered`` (coverage can drop silently otherwise — ADVICE r9).
+    The guarded exact brute-force path (``candidate_fn=None``) stays
+    available on the operator and is pinned against this ANN row by
     tests/test_similarity.py: at sf0.01 both produce identical
     per-class verdicts. Downstream of the candidate pairs everything is
     linear: one qid-partitioned rank window, two keyed aggregates, a
@@ -1325,10 +1342,4 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = read_table(spark, sf_dir, "embeddings")
-    return knn_label_accuracy(
-        e,
-        k=5,
-        candidate_fn=lambda prep: ivf_pair_candidates(
-            prep, n_centroids=16, nprobe=4
-        ),
-    )
+    return knn_label_accuracy(e, k=5, candidate_fn=ivf_pair_candidates)

@@ -563,6 +563,33 @@ def probe_similarity(spark, n_vecs: int, partitions: int) -> dict:
     ) / 16.0
     assert ivf_recall == 1.0, f"planted IVF assignment broke: {planted}"
 
+    # Dynamic √N sizing (VERDICT r9 #5): the fixed-16 run above shows the
+    # assignment THROUGHPUT; this run shows why ivf_pair_candidates sizes
+    # n_centroids = clamp(16, ⌊√N⌋, 4096) — max cell size (the unit of
+    # candidate-join work per probed cell) must SHRINK by ~n_c/16 vs the
+    # fixed-16 cells. Same lowest-id seeding, Arrow/GEMM assignment.
+    import math
+
+    n_c_dyn = min(4096, max(16, math.floor(math.sqrt(n_vecs))))
+    dyn_seeds = [
+        [float(x) for x in r["v"]]
+        for r in df.filter(F.col("vec_id") < n_c_dyn).orderBy("vec_id").collect()
+    ]
+    t0 = time.time()
+    dyn_cells = (
+        assign_cells(df, dyn_seeds, vec_col="v", impl="arrow")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("cells"), F.max("n").alias("max_cell"))
+        .collect()[0]
+    )
+    ivf_dyn_sec = time.time() - t0
+    ivf_max_cell_16 = max(r["n"] for r in cells)
+    assert int(dyn_cells["max_cell"]) < ivf_max_cell_16, (
+        "dynamic √N sizing did not shrink the max cell: "
+        f"{dyn_cells['max_cell']} vs fixed-16 {ivf_max_cell_16}"
+    )
+
     import random
 
     rng = random.Random(43)
@@ -592,6 +619,10 @@ def probe_similarity(spark, n_vecs: int, partitions: int) -> dict:
         "ivf_planted_recall": ivf_recall,
         "ivf_arrow_sec": round(ivf_arrow_sec, 1),
         "ivf_arrow_vecs_per_sec": int(n_vecs / ivf_arrow_sec),
+        "ivf_dyn_centroids": n_c_dyn,
+        "ivf_dyn_cells": int(dyn_cells["cells"]),
+        "ivf_dyn_max_cell": int(dyn_cells["max_cell"]),
+        "ivf_dyn_sec": round(ivf_dyn_sec, 1),
         "lsh_bucket_sec": round(lsh_sec, 1),
         "lsh_vecs_per_sec": int(n_vecs / lsh_sec),
         "lsh_buckets": int(buckets["n_buckets"]),
