@@ -52,6 +52,7 @@ def run_cohort_pipeline(
     clinic_id: int | None = 5066,
     keep_tew: bool = False,
     final_distinct: bool = True,
+    strict_w8: bool = False,
 ) -> DataFrame:
     """The whole query as one composable function.
 
@@ -60,10 +61,14 @@ def run_cohort_pipeline(
     doesn't contain 5066). ``final_distinct`` mirrors the .py-script
     asymmetry: pandas dedups (``pandas_DataModel.py:161``), polars doesn't
     (``polars_DataModel.py:166``); pandas is the canon default.
+    ``strict_w8`` selects exact W8 replication including the reference's
+    cross-user diff(-1) leak — see ``with_cohort_metrics``.
     """
     df = assemble_star(users, weights, treatments)
     df = rename_columns(df)
-    df = with_cohort_metrics(df, cohort=cohort, keep_tew=keep_tew)
+    df = with_cohort_metrics(
+        df, cohort=cohort, keep_tew=keep_tew, strict_w8=strict_w8
+    )
     if gender != "all":
         df = df.filter(F.col("Gender") == gender)
     df = df.filter(F.col("Age").between(min_age, max_age))

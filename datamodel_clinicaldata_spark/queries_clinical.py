@@ -20,8 +20,23 @@ _SIGMA_PAT = f"TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, {_S
 _FULL = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
 
 
-def _flagship_oracle(cohort_col: str, extra_where: str = "") -> str:
-    """ANSI-SQL twin of ``flagship_query`` for a given cohort column."""
+def _flagship_oracle(
+    cohort_col: str, extra_where: str = "", strict_w8: bool = False
+) -> str:
+    """ANSI-SQL twin of ``flagship_query`` for a given cohort column.
+
+    ``strict_w8=True`` replays the reference's EXACT W8: ``diff(-1)``
+    over the whole physically-sorted frame (``pandas_DataModel.py:
+    139-142``) — one UNPARTITIONED lead over the full O1 sort order, so
+    the last row of each treatment diffs against the next group's (even
+    the next USER's) first cohort weight. The default is the clean-lead
+    deviation (SURVEY.md §2.5)."""
+    lead_over = (
+        f"ORDER BY UID ASC NULLS FIRST, TreatmentTypeID ASC NULLS LAST, "
+        f"Tmt_StartDate ASC NULLS LAST, {_SIGMA}"
+        if strict_w8
+        else f"PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY {_SIGMA}"
+    )
     return f"""
 WITH users AS (
   SELECT CAST(c_custkey AS VARCHAR) AS UID,
@@ -68,9 +83,7 @@ WITH users AS (
     w_coh AS (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, {cohort_col} ORDER BY {_SIGMA} {_FULL})
 ), m2 AS (
   SELECT *,
-         first_w - lead(first_w) OVER (
-           PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY {_SIGMA}
-         ) AS wgt_diff
+         first_w - lead(first_w) OVER ({lead_over}) AS wgt_diff
   FROM m1
 ), m3 AS (
   SELECT *,
@@ -216,3 +229,40 @@ def clinical_cohort_week_sqlface(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights.createOrReplaceTempView("cl_weights")
     treatments.createOrReplaceTempView("cl_treatments")
     return spark.sql(_SPARK_COHORT_WEEK_SQL)
+
+
+@register(
+    "clinical_cohort_week_strict",
+    _flagship_oracle("week", strict_w8=True),
+)
+def clinical_cohort_week_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-replication mode of the flagship (VERDICT r9 #8): W8 runs
+    ``strict_w8=True``, reproducing the reference's ``diff(-1)`` over the
+    whole physically-sorted frame (``pandas_DataModel.py:139-142``) —
+    including its cross-user boundary leak, where each treatment's last
+    row diffs against the NEXT group's first cohort weight. The engine's
+    default row (``clinical_cohort_week``) is the clean-lead deviation
+    (SURVEY.md §2.5, the single deliberate semantic difference); this row
+    puts the deviation's OFF switch under the driver's value-hash gate —
+    the oracle's wgt_diff lead is one unpartitioned window over the full
+    O1 sort order, so both engines replay the leak bit-for-bit. The
+    strict lead is a single-partition window stage by construction
+    (acceptable for parity replication only, never the scale default —
+    ``operators/windows.py:w_global``)."""
+    from datamodel_clinicaldata_spark.pipeline import (
+        clinical_standins_from_testdata,
+        run_cohort_pipeline,
+    )
+
+    users, weights, treatments = clinical_standins_from_testdata(spark, sf_dir)
+    return run_cohort_pipeline(
+        users,
+        weights,
+        treatments,
+        cohort="week",
+        gender="all",
+        min_age=15,
+        max_age=74,
+        clinic_id=None,
+        strict_w8=True,
+    )

@@ -51,6 +51,11 @@ BOUNDED_OK = {
     "diag_label_imbalance": (1, "share/total window over the ≤|labels| dimension frame"),
     "events_survival_life_table": (1, "at-risk prefix window over the ≤|study-window days| life-table frame"),
     "feature_quantile_normalization": (4, "ordered_prefix offsets windows over ≤n_partitions stats rows (re-rendered across the rank-mean join branches)"),
+    # strict-W8 replication: the reference's diff(-1) runs over the WHOLE
+    # physically-sorted frame, so exact parity REQUIRES one unpartitioned
+    # lead (operators/windows.py:w_global) — parity row only, never the
+    # scale default (clinical_cohort_week uses the treatment-scoped lead)
+    "clinical_cohort_week_strict": (1, "deliberate: exact replication of the reference's global-frame diff(-1) leak"),
 }
 
 # Query construction itself runs Spark jobs (adaptive/iterative operators
