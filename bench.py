@@ -214,9 +214,37 @@ HEADLINE = [
 ]
 
 
+def _quiesce(max_load: float, max_wait_sec: float) -> float:
+    """Block until 1-min loadavg drops below ``max_load`` (bounded by
+    ``max_wait_sec``) — BENCH_r09 was captured while 50M-row scale probes
+    had the box at loadavg 20+, recording a phantom +10% regression and
+    3.5× per-query outliers that two idle-box runs contradicted (verdict
+    r9 #1). Measuring under known load is a measurement defect; waiting
+    out the contention costs minutes and saves a round of forensics.
+    Returns the seconds waited."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_sec:
+        try:
+            if os.getloadavg()[0] < max_load:
+                break
+        except OSError:
+            break
+        print(
+            f"WARN bench: loadavg {os.getloadavg()[0]:.1f} >= {max_load}; "
+            "waiting for quiesce",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    quiesce_waited = _quiesce(
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4")),
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600")),
+    )
     try:
         load_at_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -257,6 +285,11 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # Mid-headline load trace (verdict r9 #1 done-criterion): the artifact
+    # must carry evidence that the MEASUREMENT WINDOW itself was quiet —
+    # loadavg_at_start/end bracket the run but miss probes or external
+    # work landing mid-loop. Sampled once per query; max recorded.
+    mid_load_max = 0.0
     for name in names:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs = []
@@ -270,6 +303,55 @@ def main() -> None:
         # artifact itself (r4's 27/31 uniform inflation needed a diff to
         # rule out a code regression; median/best spread shows it directly)
         medians[name] = round(runs[len(runs) // 2], 4)
+        try:
+            mid_load_max = max(mid_load_max, os.getloadavg()[0])
+        except OSError:
+            pass
+
+    # HEADLINE-FIRST ARTIFACT FLUSH (verdict r9 #1): the timing loop is
+    # done — persist the headline record NOW, before any probe can crash,
+    # hang, or (the r9 failure) contaminate a later re-run's timings. The
+    # probe sections are appended to the same file afterwards; the
+    # headline numbers in it never change once written.
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    try:
+        la0, la1, la2 = os.getloadavg()
+        mem_kb = 0
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable"):
+                    mem_kb = int(line.split()[1])
+                    break
+        out["host"] = {
+            "loadavg_at_start": load_at_start,  # pre-existing contention
+            "quiesce_waited_sec": quiesce_waited,
+            # Max 1-min load sampled between measured queries. CALIBRATION:
+            # the bench's OWN 32-thread bursts push this to ~8-12 even on
+            # an otherwise-idle box (109 queries × 6 runs back-to-back);
+            # external contamination (the r9 failure: concurrent 50M-row
+            # probes) reads 20+. Read this TOGETHER with loadavg_at_start:
+            # start ≈ 0 + mid ≲ 12 = clean window; start ≫ 0 or mid ≫ 12 =
+            # distrust the deltas.
+            "loadavg_mid_headline_max": round(mid_load_max, 2),
+            "loadavg_at_end": [round(la0, 2), round(la1, 2), round(la2, 2)],
+            "mem_available_gb": round(mem_kb / 1_048_576, 1),
+            "cpus": os.cpu_count(),
+        }
+    except OSError as e:  # noqa: BLE001 — diagnostics only
+        print(f"WARN bench: host fingerprint failed: {e}", file=sys.stderr)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
 
     # Candidate-volume instrumentation for the LSH rows (verdict r3 #4):
     # shows whether blocking blocks — the recall-regime row verifies a
@@ -354,35 +436,20 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"WARN bench: cc_round_stats failed: {e}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_median": medians,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    # Host fingerprint (r6→r7 lesson: a +21.5% "regression" took a full
-    # round to attribute to host noise because the artifact carried no
-    # environment evidence; ±7% run-to-run swings on an IDLE box are
-    # normal, far more under load). load1 ≫ 0 at start → distrust deltas.
+    # Post-probe augmentation of the flushed artifact: probe sections and
+    # the post-probe loadavg are appended; headline numbers are untouched.
+    # (Host fingerprint doctrine, r6→r7 lesson: a +21.5% "regression" took
+    # a full round to attribute to host noise because the artifact carried
+    # no environment evidence; load1 ≫ 0 at start → distrust deltas.)
     try:
         la0, la1, la2 = os.getloadavg()
-        mem_kb = 0
-        with open("/proc/meminfo") as fh:
-            for line in fh:
-                if line.startswith("MemAvailable"):
-                    mem_kb = int(line.split()[1])
-                    break
-        out["host"] = {
-            "loadavg_at_start": load_at_start,  # pre-existing contention
-            "loadavg_at_end": [round(la0, 2), round(la1, 2), round(la2, 2)],
-            "mem_available_gb": round(mem_kb / 1_048_576, 1),
-            "cpus": os.cpu_count(),
-        }
-    except OSError as e:  # noqa: BLE001 — diagnostics only
-        print(f"WARN bench: host fingerprint failed: {e}", file=sys.stderr)
+        out.setdefault("host", {})["loadavg_at_end"] = [
+            round(la0, 2),
+            round(la1, 2),
+            round(la2, 2),
+        ]
+    except OSError:
+        pass
     if lsh_stats:
         out["lsh_candidates"] = lsh_stats
     if cc_stats:
@@ -411,11 +478,9 @@ def main() -> None:
 
     # Full artifact on disk — the driver captures stdout's tail, which
     # progress bars have truncated before (r4's medians were lost); the
-    # file is the canonical machine-readable record.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
-        "w",
-    ) as fh:
+    # file is the canonical machine-readable record (headline section
+    # identical to the pre-probe flush above; probe sections appended).
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
 
     # Stop Spark BEFORE printing: executor/progress stderr has flooded the
