@@ -200,12 +200,11 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
             )
         )
-        # Checkpoint BEFORE the convergence count: the count and the
-        # checkpoint are both actions, and counting the un-materialized
-        # frame would execute the round's join+agg twice (measured ~2×
-        # per-round cost). The count then reads the materialized
-        # partitions for pennies.
-        mat = truncate_lineage(new_labels, checkpoint_mode)
+        # LAZY checkpoint materialized by the convergence count — one
+        # action per round: an eager checkpoint + count pair would be two
+        # (and counting an un-checkpointed frame would execute the
+        # round's join+agg twice, measured ~2× per-round cost).
+        mat = truncate_lineage(new_labels, checkpoint_mode, eager=False)
         changed = mat.filter(F.col("new_lbl") != F.col("old_lbl")).count()
         labels = mat.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
