@@ -1,0 +1,57 @@
+"""Bench-hygiene tooling tests (no Spark session needed).
+
+record_bench_baseline's load gate is what stale-proofs every following
+round's vs_prev comparison (verdict r9 #9) — pin the refusal and the
+provenance stamp so a future edit can't silently drop either.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+def _run(tmp_path, monkeypatch, out, argv=()):
+    import record_bench_baseline as rbb
+
+    monkeypatch.setattr(rbb, "ROOT", str(tmp_path))
+    with open(tmp_path / "bench_out.json", "w") as fh:
+        json.dump(out, fh)
+    monkeypatch.setattr(sys, "argv", ["record_bench_baseline.py", *argv])
+    return rbb.main()
+
+
+def _bench_record(start_load, mid_load):
+    return {
+        "value": 70.0,
+        "queries_median": {"q1": 1.0, "q2": 2.0},
+        "host": {
+            "loadavg_at_start": [start_load, 0.0, 0.0],
+            "loadavg_mid_headline_max": mid_load,
+        },
+    }
+
+
+def test_promotion_refused_under_load(tmp_path, monkeypatch):
+    # loaded measurement window (the r9 failure regime) → refused
+    assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0)) == 2
+    assert not (tmp_path / "bench_baseline.json").exists()
+    # pre-existing contention at start → refused even with a quiet mid
+    assert _run(tmp_path, monkeypatch, _bench_record(9.0, 10.0)) == 2
+    # --force overrides
+    assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0), ["--force"]) == 0
+
+
+def test_promotion_stamps_provenance(tmp_path, monkeypatch):
+    assert _run(tmp_path, monkeypatch, _bench_record(0.2, 10.5), ["10"]) == 0
+    with open(tmp_path / "bench_baseline.json") as fh:
+        base = json.load(fh)
+    assert base["round"] == 10
+    assert base["queries_median"] == {"q1": 1.0, "q2": 2.0}
+    prov = base["provenance"]
+    assert prov["source"] == "bench_out.json"
+    assert prov["headline_total"] == 70.0
+    assert prov["host"]["loadavg_mid_headline_max"] == 10.5
