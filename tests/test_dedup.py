@@ -323,3 +323,36 @@ def test_fixpoints_reliable_checkpoint_mode(spark, tmp_path):
         for f in fs
     ]
     assert ckpt_files, "reliable mode produced no checkpoint files"
+
+
+def test_star_round_plan_shape(spark):
+    """r10 star-contraction rework pinned at the PLAN level: one
+    large-star∘small-star round compiles to exactly 2 WindowExec (the
+    per-src min of each star operator), ZERO joins (the r9 shape paid a
+    groupBy+join in each operator), and 3 exchanges (two window
+    partitionings + the round's single distinct). A regression back to
+    the join shape or an extra per-round shuffle fails here without
+    needing a timing assertion."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.graph import (
+        _large_star,
+        _small_star,
+        symmetrize,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    directed = (
+        symmetrize(edges).filter(F.col("src") > F.col("dst")).localCheckpoint()
+    )
+    sym = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    plan = (
+        _small_star(_large_star(sym))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Join", plan)) == 0
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+    assert len(re.findall(r"Exchange", plan)) == 3
