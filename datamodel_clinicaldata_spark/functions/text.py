@@ -72,11 +72,23 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def char_shingles(text: Column, k: int = 12) -> Column:
-    """k-character shingles (for fingerprinting / char-level similarity)."""
+    """k-character shingles (for fingerprinting / char-level similarity).
+
+    NULL text → NULL array (not ``[NULL]``): ``length(NULL)`` is NULL, so
+    the grid ``greatest(NULL-(k-1), 1)`` would collapse to 1 and emit one
+    phantom ``substring(NULL, 1, k) = NULL`` gram — the same latent
+    null-text divergence class ADVICE r9 caught in the 8-gram hasher
+    (an oracle's explode/unnest drops the row instead). The guard keeps
+    every downstream (``doc_fingerprint``'s array_min, ``gram_hashes``,
+    winnowing, explodes) on "no gram stream" for null docs, matching
+    ``word_shingles``' null contract."""
     n = F.length(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.substring(text, i, k),
+    return F.when(
+        text.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.substring(text, i, k),
+        ),
     )
 
 

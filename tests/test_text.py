@@ -240,3 +240,44 @@ def test_chunk_overlap_boundaries(spark, tmp_path):
             want = text[i * 448 : i * 448 + 512]
             assert r["chunk_len"] == len(want)
             assert r["chunk_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_shingle_family_null_text_contract(spark):
+    """Null text must produce NO gram stream anywhere in the shingle
+    family (the ADVICE-r9 latent-divergence class: a null-text doc must
+    not emit a phantom gram/fingerprint that an oracle's explode would
+    drop). word_shingles already returned NULL for null text; r10 pins
+    char_shingles (and everything built on it) to the same contract."""
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.functions.text import (
+        char_shingles,
+        doc_fingerprint,
+        gram_hashes,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world of spark")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        char_shingles(F.col("text"), 12).alias("cs"),
+        word_shingles(F.col("text"), 3).alias("ws"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        gram_hashes(F.col("text")).alias("gh"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # null text: every derivation is NULL — explode drops the row
+    assert rows[1]["cs"] is None and rows[1]["ws"] is None
+    assert rows[1]["fp"] is None and rows[1]["gh"] is None
+    # real text still produces grams and a fingerprint
+    assert rows[3]["cs"] and rows[3]["fp"] is not None and rows[3]["gh"]
+    # exploding the null-doc's grams yields zero rows
+    n = (
+        df.select("doc_id", F.explode(char_shingles(F.col("text"), 12)).alias("g"))
+        .filter(F.col("doc_id") == 1)
+        .count()
+    )
+    assert n == 0
