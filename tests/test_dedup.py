@@ -356,3 +356,27 @@ def test_star_round_plan_shape(spark):
     assert len(re.findall(r"Join", plan)) == 0
     assert len(re.findall(r"\bWindow\b", plan)) == 2
     assert len(re.findall(r"Exchange", plan)) == 3
+
+
+def test_truncate_lineage_env_and_validation(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT is the deployment-time switch SCALING.md
+    documents — pin that the env var actually selects reliable mode (and
+    that an unknown mode raises instead of silently running local)."""
+    import pytest as _pytest
+
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "env_ckpt"))
+    df = spark.range(10)
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    out = truncate_lineage(df)
+    assert out.count() == 10
+    import os as _os
+
+    files = [
+        f for r, _, fs in _os.walk(str(tmp_path / "env_ckpt")) for f in fs
+    ]
+    assert files, "env-selected reliable mode wrote no checkpoint files"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "bogus")
+    with _pytest.raises(ValueError, match="unknown mode"):
+        truncate_lineage(spark.range(1))
