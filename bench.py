@@ -214,6 +214,71 @@ HEADLINE = [
 ]
 
 
+def _canary_ms() -> float:
+    """Fixed single-thread pure-Python workload (~60-90 ms on this host
+    when quiet). The host is a hypervisor guest whose CPU can be stolen
+    in multi-second bursts that NO guest-visible counter records
+    (measured: a 32-way pure-Python spin and a Spark stage both inflated
+    6× in lockstep while /proc/stat steal stayed < 1% and loadavg was
+    self-load only) — so the only reliable noise detector is a
+    calibrated in-process workload. Wall-time of this loop is the
+    canary: if IT inflates, everything measured in the same window is
+    suspect."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return (time.perf_counter() - t0) * 1000.0
+
+
+class _HostNoiseGate:
+    """Canary-gated measurement windows (r10: the loadavg gate cannot
+    see hypervisor contention). Calibrates a floor at startup, then
+    before each query's timed block waits (bounded) for the canary to
+    return within ``ratio`` of the floor; after the block a second
+    canary reading flags the window as noisy if the burst started
+    mid-block. The bench artifact carries the full accounting so a
+    reader can separate engine regressions from host weather."""
+
+    def __init__(self, ratio: float = 1.6, max_wait_sec: float = 45.0):
+        self.ratio = ratio
+        self.max_wait_sec = max_wait_sec
+        runs = sorted(_canary_ms() for _ in range(7))
+        self.floor_ms = runs[0]
+        self.waited_sec = 0.0
+        self.noisy_queries: list[str] = []
+        self.redone_queries: list[str] = []
+        self.worst_ratio = round(runs[-1] / runs[0], 2)
+
+    def _quiet(self) -> bool:
+        return _canary_ms() <= self.ratio * self.floor_ms
+
+    def wait_quiet(self) -> None:
+        t0 = time.time()
+        while time.time() - t0 < self.max_wait_sec:
+            if self._quiet():
+                break
+            time.sleep(2.0)
+        self.waited_sec += time.time() - t0
+
+    def check_after(self, name: str) -> bool:
+        """True when the post-block canary is quiet; records noise."""
+        ok = self._quiet()
+        if not ok:
+            self.noisy_queries.append(name)
+        return ok
+
+    def stats(self) -> dict:
+        return {
+            "floor_ms": round(self.floor_ms, 2),
+            "calib_worst_ratio": self.worst_ratio,
+            "gate_ratio": self.ratio,
+            "waited_sec": round(self.waited_sec, 1),
+            "noisy_queries": self.noisy_queries,
+            "redone_queries": self.redone_queries,
+        }
+
+
 def _quiesce(max_load: float, max_wait_sec: float) -> float:
     """Block until 1-min loadavg drops below ``max_load`` (bounded by
     ``max_wait_sec``) — BENCH_r09 was captured while 50M-row scale probes
@@ -290,13 +355,31 @@ def main() -> None:
     # loadavg_at_start/end bracket the run but miss probes or external
     # work landing mid-loop. Sampled once per query; max recorded.
     mid_load_max = 0.0
-    for name in names:
+    gate = _HostNoiseGate()
+
+    def _timed_block(name: str) -> list[float]:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        runs = []
+        block = []
         for _ in range(repeats):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.time() - t0)
+            block.append(time.time() - t0)
+        return block
+
+    for name in names:
+        # Canary-gated window (r10): wait out hypervisor noise bursts
+        # before timing, re-time ONCE if a burst started mid-block, and
+        # if the redo is noisy too, keep the better block and flag the
+        # query in the artifact (guest counters cannot see this noise;
+        # the canary is the only witness — see _canary_ms).
+        gate.wait_quiet()
+        runs = _timed_block(name)
+        if not gate.check_after(name):
+            gate.wait_quiet()
+            redo = _timed_block(name)
+            gate.redone_queries.append(name)
+            if gate.check_after(name) or min(redo) < min(runs):
+                runs = redo
         runs.sort()
         timings[name] = round(runs[0], 4)
         # median alongside best-of-N so host noise is diagnosable from the
@@ -344,6 +427,11 @@ def main() -> None:
             "loadavg_at_end": [round(la0, 2), round(la1, 2), round(la2, 2)],
             "mem_available_gb": round(mem_kb / 1_048_576, 1),
             "cpus": os.cpu_count(),
+            # Hypervisor-noise canary accounting (r10): floor_ms is the
+            # calibrated quiet-host reading; noisy_queries lists timing
+            # windows a canary flagged (their numbers are upper bounds,
+            # not engine regressions); redone_queries were re-timed once.
+            "canary": gate.stats(),
         }
     except OSError as e:  # noqa: BLE001 — diagnostics only
         print(f"WARN bench: host fingerprint failed: {e}", file=sys.stderr)

@@ -89,7 +89,9 @@ def ordered_prefix(
     ``materialize`` picks how the doubly-consumed post-window frame is
     pinned: ``"localCheckpoint"`` (default — the only mode whose pid
     consistency survives executor recompute; see the comment at the call
-    below), ``"persist"`` (MEMORY_AND_DISK + an eager count: same answer
+    below; routed through ``graph.truncate_lineage``, so the fleet-wide
+    ``SPARK_GRAFT_CHECKPOINT=reliable`` swap upgrades this pin to a
+    durable checkpoint too), ``"persist"`` (MEMORY_AND_DISK + an eager count: same answer
     on a healthy cluster, cheaper materialization, but an executor loss
     re-runs the range exchange with possibly different sampled
     boundaries), ``"none"`` (no pinning — measurement only, relies on
@@ -168,8 +170,9 @@ def ordered_prefix(
     # Fault-tolerance trade, stated plainly: localCheckpoint cuts lineage,
     # so losing an executor mid-query fails the job (re-run) instead of
     # silently recomputing with possibly different boundaries — on a
-    # cluster where that risk matters, swap for reliable checkpointing
-    # (sc.setCheckpointDir + .checkpoint()) at the cost of a DFS write.
+    # cluster where that risk matters, SPARK_GRAFT_CHECKPOINT=reliable
+    # swaps this pin (via truncate_lineage) to a durable checkpoint()
+    # at the cost of a DFS write, same doctrine as the graph fixpoints.
     import os
 
     mode = materialize or os.environ.get(
@@ -181,7 +184,11 @@ def ordered_prefix(
         loc = loc.persist(StorageLevel.MEMORY_AND_DISK)
         loc.count()  # eager pin before the two consuming branches plan
     elif mode != "none":
-        loc = loc.localCheckpoint(eager=False)
+        from datamodel_clinicaldata_spark.operators.graph import (
+            truncate_lineage,
+        )
+
+        loc = truncate_lineage(loc, eager=False)
 
     stats_aggs = [F.count(F.lit(1)).alias("__cnt")]
     stats_aggs += [F.sum(src).alias(f"__s_{out}") for src, out in running_sum.items()]

@@ -796,13 +796,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-join wedge-close pattern (the MapReduce formulation of
     Suri-Vassilvitskii WWW'11; degree-based orientation bounds wedge
     fan-out on skewed graphs — id-orientation suffices here and keeps
-    the oracle trivially identical). Integer-exact, no floats anywhere."""
+    the oracle trivially identical). Integer-exact, no floats anywhere.
+
+    The edge frame feeds THREE join branches, so it is pinned via
+    ``truncate_lineage`` (fleet-wide ``SPARK_GRAFT_CHECKPOINT=reliable``
+    swaps the pin to a durable checkpoint, same as the graph fixpoints)."""
     from pyspark.sql import functions as F
 
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
     d = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
-    ).select("id_a", "id_b").localCheckpoint()
+    pairs = truncate_lineage(
+        ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+        ).select("id_a", "id_b")
+    )
     e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     wedges = e1.join(e2, "b")

@@ -6611,7 +6611,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lbl"),
         )
 
-    l2 = one_round(one_round(labels).localCheckpoint())
+    l2 = one_round(truncate_lineage(one_round(labels)))
     return l2.groupBy(
         F.col("p_type").alias("true_type"),
         F.coalesce(F.col("lbl"), F.lit("none")).alias("propagated"),

@@ -884,13 +884,17 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(winnow_from_hashes(F.col("__hs"), w=8)).alias("fp"),
         )
-        # Materialize once: the postings feed THREE plan branches (the
-        # cap aggregate and both self-join sides), and each would
-        # otherwise re-run the full gram-hash + winnow evaluation
-        # (~2k md5 per doc per pass — measured ~4× the row's cost at
-        # sf0.1). Narrow (id, fp) rows, so the pinned copy is small.
-        .localCheckpoint(eager=False)
     )
+    # Materialize once: the postings feed THREE plan branches (the
+    # cap aggregate and both self-join sides), and each would
+    # otherwise re-run the full gram-hash + winnow evaluation
+    # (~2k md5 per doc per pass — measured ~4× the row's cost at
+    # sf0.1). Narrow (id, fp) rows, so the pinned copy is small.
+    # Pinned via truncate_lineage so SPARK_GRAFT_CHECKPOINT=reliable
+    # swaps it to a durable checkpoint fleet-wide.
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    post = truncate_lineage(post, eager=False)
     ok = (
         post.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__c"))

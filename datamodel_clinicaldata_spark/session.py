@@ -14,6 +14,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str | None:
+    """RAM-backed shuffle/spill dir when the host can afford it.
+
+    Shuffle files and sort-spills go to ``spark.local.dir``. On this
+    containerized bench host the backing disk exhibits bursty multi-×
+    write stalls (hypervisor contention — measured: the same shuffle
+    stage at 0.7 s or 8.7 s run-to-run with identical plans), so local
+    runs point local.dir at ``/dev/shm`` when it exists with ample
+    headroom (≥ 48 GiB free — the measured probe-scale shuffle volume
+    is < 5 GiB, so this is a wide margin). On a real cluster this knob
+    is instead provisioned as striped local NVMe per executor (the
+    standard deployment guidance); ``SPARK_GRAFT_LOCAL_DIR`` overrides
+    unconditionally, and an empty value opts out entirely."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 48 * (1 << 30):
+            return "/dev/shm/spark_graft_local"
+    except OSError:
+        pass
+    return None
+
+
 def _default_driver_mem() -> str:
     """min(48g, ~60% of MemAvailable), floored at 2g.
 
@@ -92,7 +117,26 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
+        # ObjectHashAggregate (collect_list/collect_set — the postings
+        # builds across the dedup/text families) falls back to SORT-BASED
+        # aggregation with a disk spill after only 128 distinct keys per
+        # task (Spark's default fallbackThreshold), so every postings
+        # aggregate was paying a per-task spill regardless of memory
+        # headroom. Entries here are (key, small-array) pairs and
+        # per-task group cardinality is bounded by shuffle partition
+        # sizing (the 100-200 MB/partition doctrine), so a multi-million
+        # entry in-memory map is the right trade on any host with real
+        # executor memory; 4M keeps worst-case map memory bounded
+        # (~hundreds of MB) while removing the spill from every measured
+        # plan. Same knob ships unchanged to a cluster.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "4000000",
+        )
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -325,6 +325,43 @@ def test_fixpoints_reliable_checkpoint_mode(spark, tmp_path):
     assert ckpt_files, "reliable mode produced no checkpoint files"
 
 
+def test_registered_pins_reliable_mode(spark, sf_dir, tmp_path, monkeypatch):
+    """Every NON-fixpoint lineage pin also honors the fleet-wide
+    SPARK_GRAFT_CHECKPOINT=reliable swap (r10 doctrine completion): the
+    registered rows whose multi-branch pins route through
+    ``truncate_lineage`` — triangle count (3-branch edge frame),
+    winnowing postings (3-branch postings frame), label propagation
+    (round-1 label pin), and an ``ordered_prefix`` consumer (pid-pinned
+    range frame) — produce bit-identical results in reliable mode, and
+    the durable dir actually receives checkpoint files."""
+    import os
+
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    names = [
+        "graph_triangle_count",
+        "dedup_winnowing_pairs",
+        "graph_label_propagation",
+        "agg_gini_coefficient",  # ordered_prefix pin inside ranking.py
+    ]
+    local = {
+        n: sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+        for n in names
+    }
+    ckpt = tmp_path / "ckpt_reg"
+    spark.sparkContext.setCheckpointDir(str(ckpt))
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    reliable = {
+        n: sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+        for n in names
+    }
+    assert reliable == local
+    ckpt_files = [
+        os.path.join(r, f) for r, _, fs in os.walk(str(ckpt)) for f in fs
+    ]
+    assert ckpt_files, "reliable mode produced no checkpoint files"
+
+
 def test_star_round_plan_shape(spark):
     """r10 star-contraction rework pinned at the PLAN level: one
     large-star∘small-star round compiles to exactly 2 WindowExec (the

@@ -36,14 +36,21 @@ def main() -> int:
     host = out.get("host", {})
     mid = host.get("loadavg_mid_headline_max")
     start = (host.get("loadavg_at_start") or [0.0])[0]
+    # r10: the canary gate sees hypervisor noise loadavg cannot; a run
+    # where many windows stayed noisy even after their one redo is not
+    # baseline material.
+    noisy = set(host.get("canary", {}).get("noisy_queries", []))
     if (
-        (mid is not None and mid > MAX_MID_LOAD) or start > 4.0
+        (mid is not None and mid > MAX_MID_LOAD)
+        or start > 4.0
+        or len(noisy) > 8
     ) and not force:
         print(
             f"REFUSED: mid-headline loadavg {mid} (max {MAX_MID_LOAD}) / "
-            f"start loadavg {start} (max 4.0) — this run was measured "
-            "under load and would poison vs_prev for every following "
-            "round. Re-run bench.py on a quiet box, or pass --force."
+            f"start loadavg {start} (max 4.0) / {len(noisy)} canary-flagged "
+            "windows (max 8) — this run was measured under load and would "
+            "poison vs_prev for every following round. Re-run bench.py on "
+            "a quiet box, or pass --force."
         )
         return 2
     rnd = int(args[0]) if args else None
