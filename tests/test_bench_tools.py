@@ -45,6 +45,16 @@ def test_promotion_refused_under_load(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0), ["--force"]) == 0
 
 
+def test_promotion_refused_on_canary_noise(tmp_path, monkeypatch):
+    # hypervisor-noise canary (r10): many windows without a clean run
+    # set → refused even though loadavg looked fine
+    rec = _bench_record(0.1, 10.0)
+    rec["host"]["canary"] = {"noisy_queries": [f"q{i}" for i in range(9)]}
+    assert _run(tmp_path, monkeypatch, rec) == 2
+    rec["host"]["canary"]["noisy_queries"] = ["q1", "q2"]
+    assert _run(tmp_path, monkeypatch, rec) == 0
+
+
 def test_promotion_stamps_provenance(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, _bench_record(0.2, 10.5), ["10"]) == 0
     with open(tmp_path / "bench_baseline.json") as fh:
