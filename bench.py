@@ -251,7 +251,13 @@ class _HostNoiseGate:
         self.worst_ratio = round(runs[-1] / runs[0], 2)
 
     def _quiet(self) -> bool:
-        return _canary_ms() <= self.ratio * self.floor_ms
+        ms = _canary_ms()
+        # The floor is a running MIN: if calibration itself landed in a
+        # noise burst, any later quiet reading corrects the gate downward
+        # (a too-high floor silently waves bursts through).
+        if ms < self.floor_ms:
+            self.floor_ms = ms
+        return ms <= self.ratio * self.floor_ms
 
     def wait_quiet(self) -> bool:
         """Wait (bounded) for a quiet canary; True when quiet on exit."""

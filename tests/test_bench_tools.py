@@ -45,6 +45,31 @@ def test_promotion_refused_under_load(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0), ["--force"]) == 0
 
 
+def test_host_noise_gate_floor_and_quiet(monkeypatch):
+    """_HostNoiseGate semantics: floor is a running MIN (calibrating in
+    a noise burst must not permanently loosen the gate), quiet = within
+    ratio of the floor, wait_quiet returns the exit state."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    readings = iter(
+        [200.0] * 7  # calibration lands in a burst: floor starts 200
+        + [100.0]  # quiet host reading corrects the floor down to 100
+        + [140.0]  # 1.4x of true floor: quiet under ratio 1.6
+        + [900.0]  # burst: not quiet
+        + [101.0]  # recovered
+    )
+    monkeypatch.setattr(bench, "_canary_ms", lambda: next(readings))
+    gate = bench._HostNoiseGate(ratio=1.6, max_wait_sec=0.01)
+    assert gate.floor_ms == 200.0
+    assert gate._quiet() and gate.floor_ms == 100.0  # min-tracked down
+    assert gate._quiet()  # 140 <= 1.6 * 100
+    assert not gate._quiet()  # 900 — burst detected
+    assert gate.wait_quiet()  # recovers on the next reading
+
+
 def test_promotion_refused_on_canary_noise(tmp_path, monkeypatch):
     # hypervisor-noise canary (r10): many windows without a clean run
     # set → refused even though loadavg looked fine
