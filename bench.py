@@ -240,9 +240,20 @@ class _HostNoiseGate:
     mid-block. The bench artifact carries the full accounting so a
     reader can separate engine regressions from host weather."""
 
-    def __init__(self, ratio: float = 1.6, max_wait_sec: float = 45.0):
+    def __init__(
+        self,
+        ratio: float = 1.6,
+        max_wait_sec: float = 45.0,
+        total_wait_budget_sec: float = 420.0,
+    ):
         self.ratio = ratio
         self.max_wait_sec = max_wait_sec
+        # Global cap across the whole run: on a PERSISTENTLY noisy host
+        # the per-attempt waits would otherwise compound into hours
+        # (109 queries × up to 15 attempts × 45 s); once the budget is
+        # spent the bench degrades to ungated timing and the artifact
+        # says so (budget_exhausted).
+        self.total_wait_budget_sec = total_wait_budget_sec
         runs = sorted(_canary_ms() for _ in range(7))
         self.floor_ms = runs[0]
         self.waited_sec = 0.0
@@ -263,11 +274,18 @@ class _HostNoiseGate:
         """Wait (bounded) for a quiet canary; True when quiet on exit."""
         t0 = time.time()
         ok = self._quiet()
-        while not ok and time.time() - t0 < self.max_wait_sec:
+        while (
+            not ok
+            and time.time() - t0 < self.max_wait_sec
+            and self.waited_sec + (time.time() - t0) < self.total_wait_budget_sec
+        ):
             time.sleep(2.0)
             ok = self._quiet()
         self.waited_sec += time.time() - t0
         return ok
+
+    def budget_exhausted(self) -> bool:
+        return self.waited_sec >= self.total_wait_budget_sec
 
     def stats(self) -> dict:
         return {
@@ -275,6 +293,7 @@ class _HostNoiseGate:
             "calib_worst_ratio": self.worst_ratio,
             "gate_ratio": self.ratio,
             "waited_sec": round(self.waited_sec, 1),
+            "budget_exhausted": self.budget_exhausted(),
             # could not assemble a full clean best-of-N set — treat the
             # recorded number as an upper bound, not an engine datum
             "noisy_queries": self.noisy_queries,
@@ -373,7 +392,9 @@ def main() -> None:
         clean: list[float] = []
         dirty: list[float] = []
         attempts = 0
-        while len(clean) < repeats and attempts < repeats * 3:
+        while len(clean) < repeats and attempts < repeats * (
+            1 if gate.budget_exhausted() else 3
+        ):
             attempts += 1
             pre_quiet = gate.wait_quiet()
             t0 = time.time()
