@@ -271,16 +271,25 @@ class _HostNoiseGate:
         return ms <= self.ratio * self.floor_ms
 
     def wait_quiet(self) -> bool:
-        """Wait (bounded) for a quiet canary; True when quiet on exit."""
+        """Wait (bounded) for a quiet canary; True when quiet on exit.
+
+        Only genuine waiting (sleep + retry) is charged against the
+        global budget — the ~0.1-0.5 s canary reading on an
+        immediately-quiet host is measurement, not waiting, and across
+        ~109 queries × 5 repeats charging it would erode the 420 s
+        budget into budget_exhausted without any contention ever seen."""
         t0 = time.time()
         ok = self._quiet()
+        if ok:
+            return True
         while (
-            not ok
-            and time.time() - t0 < self.max_wait_sec
+            time.time() - t0 < self.max_wait_sec
             and self.waited_sec + (time.time() - t0) < self.total_wait_budget_sec
         ):
             time.sleep(2.0)
             ok = self._quiet()
+            if ok:
+                break
         self.waited_sec += time.time() - t0
         return ok
 

@@ -78,7 +78,22 @@ def truncate_lineage(
             sc.setCheckpointDir(
                 tempfile.mkdtemp(prefix="spark_graft_ckpt_")
             )
-        return df.checkpoint(eager=eager)
+        # Reliable checkpoints write in a SEPARATE job after the first
+        # action; without a persist that job RECOMPUTES the lineage, and
+        # with nondeterministic upstream (range-partitioner sampling, pid
+        # assignment — exactly what callers pin for) the checkpointed
+        # copy can differ from what the first consumer already read. So
+        # in reliable mode: persist → eager checkpoint (count + write
+        # both read cached blocks, one computation total) → unpersist.
+        # The caller's `eager=False` is a local-mode action-count
+        # optimization only; here consistency wins over the extra action.
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist()
     if mode != "local":
         raise ValueError(f"truncate_lineage: unknown mode {mode!r}")
     return df.localCheckpoint(eager=eager)
@@ -503,9 +518,10 @@ def _local_pagerank(sym: DataFrame, iters: int) -> DataFrame:
     # Pin the single-task result: downstream ranking consumes it more
     # than once (a count for the adaptive small path, then the rank
     # itself) and the applyInPandas must not re-run per consumption.
-    return (
+    # Routed through truncate_lineage so SPARK_GRAFT_CHECKPOINT=reliable
+    # covers this pin like every other one in the package.
+    return truncate_lineage(
         sym.withColumn("__g", F.lit(0))
         .groupBy("__g")
         .applyInPandas(lambda pdf: pr(pdf), f"node {t}, pr_e12 long")
-        .localCheckpoint()
     )

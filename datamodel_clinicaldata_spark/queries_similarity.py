@@ -108,9 +108,9 @@ def _lsh_planes_sql(n_tables: int = 16, bits: int = 4, dim: int = 64, seed: int 
     "similarity_neardup_lsh",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id % 2 = 0),
+               WHERE vec_id % 4 = 0),
     pl(tbl, wt, p) AS (VALUES
-      {_lsh_planes_sql()}
+      {_lsh_planes_sql(8, 4)}
     ),
     sb AS (
       SELECT e.vec_id, pl.tbl,
@@ -129,42 +129,44 @@ def _lsh_planes_sql(n_tables: int = 16, bits: int = 4, dim: int = 64, seed: int 
                    sqrt(list_inner_product(x.v, x.v) * list_inner_product(y.v, y.v))
                    * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
       FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
-    ) WHERE cos_sim >= 0.45
+    ) WHERE cos_sim >= 0.40
     """,
 )
 def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH-blocked cosine ≥ 0.45 pairs (the 100 TB path:
-    bucketed self-join instead of all-pairs crossJoin). Threshold matches
-    ``similarity_neardup_exact`` so recall is measurable on this corpus
-    (the synthetic embeddings are near-orthogonal — max cos ≈ 0.51 — so a
-    production 0.9 near-dup threshold would return an empty, untestable
-    result). bits=4 × 16 tables → per-pair miss ≈ (1−0.65⁴)¹⁶ ≈ 4% at
-    cos 0.45; recall is asserted against the exact pairs in tests. The
-    planes are a deterministic LCG, so the oracle replays the EXACT
-    bucketing (not just the verified pairs) from inlined plane literals.
+    """Hyperplane-LSH-blocked cosine ≥ 0.40 pairs (the 100 TB path:
+    bucketed self-join instead of all-pairs crossJoin). The synthetic
+    embeddings are near-orthogonal — max cos ≈ 0.51 — so a production
+    0.9 near-dup threshold would return an empty, untestable result.
+    bits=4 × 8 tables; the planes are a deterministic LCG, so the
+    oracle replays the EXACT bucketing (not just the verified pairs)
+    from inlined plane literals.
 
     Bench interpretation: at these recall-driven parameters, blocking
     intentionally barely blocks — per-table collision for an unrelated
-    pair is 2⁻⁴, so the 16-table union covers 1−(1−2⁻⁴)¹⁶ ≈ 64% of all
+    pair is 2⁻⁴, so the 8-table union covers 1−(1−2⁻⁴)⁸ ≈ 40% of all
     pairs — this row exercises the recall regime's exact verify, not the
-    production blocking regime. Since r10 it runs on a DETERMINISTIC
-    HALF-CORPUS SLICE (``vec_id % 2 = 0``): the full-corpus recall
-    assertion lives in ``tests/test_similarity.py::
-    test_neardup_lsh_recall`` and the full-corpus 64% candidate
-    fraction is quantified by the bench JSON's ``lsh_candidates``
-    instrumentation, so spending ~3 s of headline verifying 64% of
-    C(2000,2) pairs demonstrated nothing those two pins don't (VERDICT
-    r9 #6); the slice keeps the same operator/oracle pair under the
-    driver's value gate at a quarter of the pair volume.
-    ``similarity_neardup_lsh_prod`` is the production twin: clustered
-    corpus, τ=0.9, bits=10 × 8 tables, candidates ≈ 1% of all pairs with
-    the SAME operator. (Before r4 the plane generator had a sign bias —
-    every component in [-1, 0) — that silently correlated all buckets;
-    see ``_lcg_planes``. Candidate volumes now match theory.)"""
+    production blocking regime. Since r10/r11 it runs on a DETERMINISTIC
+    QUARTER-CORPUS SLICE (``vec_id % 4 = 0``; τ lowered 0.45 → 0.40 so
+    every SF keeps non-trivial result rows under the driver's value
+    gate; tables halved 16 → 8 because the per-table parsed plane
+    expressions dominate ANALYSIS time at this corpus size): the
+    full-corpus τ=0.45 16-table recall assertion lives in
+    ``tests/test_similarity.py::test_neardup_lsh_recall`` and the
+    full-corpus 64% candidate fraction is quantified by the bench JSON's
+    ``lsh_candidates`` instrumentation, so spending ~3 s of headline
+    verifying 64% of C(2000,2) pairs demonstrated nothing those two pins
+    don't (VERDICT r9 #6, sized to ≤1.5 s per VERDICT r10 #5); the slice
+    keeps the same operator/oracle pair at a sixteenth of the pair
+    volume. ``similarity_neardup_lsh_prod`` is the production twin:
+    clustered corpus, τ=0.9, bits=10 × 8 tables, candidates ≈ 1% of all
+    pairs with the SAME operator. (Before r4 the plane generator had a
+    sign bias — every component in [-1, 0) — that silently correlated
+    all buckets; see ``_lcg_planes``. Candidate volumes now match
+    theory.)"""
     e = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 2 == 0
+        F.col("vec_id") % 4 == 0
     )
-    return cosine_neardup_pairs(e, threshold=0.45, n_tables=16, bits=4)
+    return cosine_neardup_pairs(e, threshold=0.40, n_tables=8, bits=4)
 
 
 def _clustered_corpus(e: DataFrame) -> DataFrame:

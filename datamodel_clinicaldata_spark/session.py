@@ -23,20 +23,61 @@ def _default_local_dir() -> str | None:
     stage at 0.7 s or 8.7 s run-to-run with identical plans), so local
     runs point local.dir at ``/dev/shm`` when it exists with ample
     headroom (≥ 48 GiB free — the measured probe-scale shuffle volume
-    is < 5 GiB, so this is a wide margin). On a real cluster this knob
-    is instead provisioned as striped local NVMe per executor (the
-    standard deployment guidance); ``SPARK_GRAFT_LOCAL_DIR`` overrides
-    unconditionally, and an empty value opts out entirely."""
+    is < 5 GiB, so this is a wide margin). SF ceiling for the RAM dir:
+    headroom is checked once at session build, so runs whose shuffle
+    volume could approach the free-space margin (roughly sf ≥ 10 on the
+    documented ~0.5 GiB-shuffle-per-sf-0.1 profile, or any 100M-row+
+    probe) should set ``SPARK_GRAFT_LOCAL_DIR=`` (empty) to fall back to
+    disk rather than risk mid-run ENOSPC on tmpfs. Stale contents from a
+    crashed run are swept at startup (tmpfs pages count against RAM).
+    On a real cluster this knob is instead provisioned as striped local
+    NVMe per executor (the standard deployment guidance);
+    ``SPARK_GRAFT_LOCAL_DIR`` overrides unconditionally, and an empty
+    value opts out entirely."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env is not None:
         return env or None
     try:
+        path = "/dev/shm/spark_graft_local"
+        # tmpfs pages count against RAM: a crashed run's orphaned shuffle
+        # files would otherwise consume memory forever AND shrink the
+        # headroom this very check measures. No live Spark process on
+        # this box means nothing under the dir is in use — sweep it
+        # before checking headroom. (Best-effort: a concurrent session
+        # in another process may hold files; ENOENT/EBUSY are ignored.)
+        if os.path.isdir(path) and not _other_spark_running():
+            import shutil
+
+            for entry in os.listdir(path):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
         st = os.statvfs("/dev/shm")
         if st.f_bavail * st.f_frsize >= 48 * (1 << 30):
-            return "/dev/shm/spark_graft_local"
+            return path
     except OSError:
         pass
     return None
+
+
+def _other_spark_running() -> bool:
+    """True if another live process on this host looks like a JVM/Spark
+    driver (its shuffle dirs under /dev/shm must not be swept). Scans
+    /proc cmdlines for 'java' outside our own pid; best-effort — any
+    failure reports True (i.e. do NOT sweep)."""
+    try:
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read()
+            except OSError:
+                continue
+            if b"java" in cmd and b"spark" in cmd.lower():
+                return True
+        return False
+    except OSError:
+        return True
 
 
 def _default_driver_mem() -> str:

@@ -1,8 +1,11 @@
 """Bench-hygiene tooling tests (no Spark session needed).
 
 record_bench_baseline's load gate is what stale-proofs every following
-round's vs_prev comparison (verdict r9 #9) — pin the refusal and the
-provenance stamp so a future edit can't silently drop either.
+round's vs_prev comparison (verdict r9 #9), and its min-of-N promotion
+is what keeps intra-window hypervisor steal bursts out of the promoted
+baseline (verdict r10 #1) — pin the refusal paths, the ≥2-run
+requirement, the per-cell minima, and the provenance stamp so a future
+edit can't silently drop any of them.
 """
 
 from __future__ import annotations
@@ -14,35 +17,91 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 
-def _run(tmp_path, monkeypatch, out, argv=()):
+def _run(tmp_path, monkeypatch, outs, argv=()):
+    """Write each record in ``outs`` (first → bench_out.json, rest →
+    bench_run_N.json) and invoke the promotion CLI."""
     import record_bench_baseline as rbb
 
     monkeypatch.setattr(rbb, "ROOT", str(tmp_path))
-    with open(tmp_path / "bench_out.json", "w") as fh:
-        json.dump(out, fh)
+    if isinstance(outs, dict):
+        outs = [outs]
+    for i, out in enumerate(outs):
+        name = "bench_out.json" if i == 0 else f"bench_run_{i}.json"
+        with open(tmp_path / name, "w") as fh:
+            json.dump(out, fh)
     monkeypatch.setattr(sys, "argv", ["record_bench_baseline.py", *argv])
     return rbb.main()
 
 
-def _bench_record(start_load, mid_load):
+def _bench_record(start_load, mid_load, medians=None, noisy=()):
     return {
         "value": 70.0,
-        "queries_median": {"q1": 1.0, "q2": 2.0},
+        "queries_median": medians or {"q1": 1.0, "q2": 2.0},
         "host": {
             "loadavg_at_start": [start_load, 0.0, 0.0],
             "loadavg_mid_headline_max": mid_load,
+            "canary": {"noisy_queries": list(noisy)},
         },
     }
 
 
 def test_promotion_refused_under_load(tmp_path, monkeypatch):
-    # loaded measurement window (the r9 failure regime) → refused
+    # loaded measurement window (the r9 failure regime) → no eligible
+    # contributor → refused
     assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0)) == 2
     assert not (tmp_path / "bench_baseline.json").exists()
     # pre-existing contention at start → refused even with a quiet mid
     assert _run(tmp_path, monkeypatch, _bench_record(9.0, 10.0)) == 2
-    # --force overrides
+    # --force overrides (single contaminated run, provenance marks it)
     assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0), ["--force"]) == 0
+    with open(tmp_path / "bench_baseline.json") as fh:
+        assert json.load(fh)["provenance"]["forced"] is True
+
+
+def test_promotion_requires_two_gated_runs(tmp_path, monkeypatch):
+    # ONE clean run is not baseline material under min-of-N (r10 #1):
+    # a burst inside its timed windows would be unfalsifiable
+    assert _run(tmp_path, monkeypatch, _bench_record(0.1, 10.0)) == 3
+    assert not (tmp_path / "bench_baseline.json").exists()
+    # a loaded sibling doesn't count toward the two
+    assert (
+        _run(
+            tmp_path,
+            monkeypatch,
+            [_bench_record(0.1, 10.0), _bench_record(0.1, 22.0)],
+        )
+        == 3
+    )
+
+
+def test_promotion_takes_per_cell_minima(tmp_path, monkeypatch):
+    runs = [
+        _bench_record(0.1, 10.0, {"q1": 1.0, "q2": 9.0, "q3": 2.0}),
+        _bench_record(0.2, 9.0, {"q1": 1.2, "q2": 2.0, "q3": 2.1}),
+    ]
+    assert _run(tmp_path, monkeypatch, runs, ["11"]) == 0
+    with open(tmp_path / "bench_baseline.json") as fh:
+        base = json.load(fh)
+    assert base["round"] == 11
+    # each cell independently min'd — NOT one winning run's row
+    assert base["queries_median"] == {"q1": 1.0, "q2": 2.0, "q3": 2.0}
+    prov = base["provenance"]
+    assert [c["source"] for c in prov["contributors"]] == [
+        "bench_out.json",
+        "bench_run_1.json",
+    ]
+    # q2's 4.5× spread is the residual-contamination tripwire
+    assert prov["high_spread_cells"] == {"q2": 4.5}
+    assert prov["forced"] is False
+
+
+def test_promotion_refused_on_canary_noise(tmp_path, monkeypatch):
+    # hypervisor-noise canary (r10): many windows without a clean run
+    # set → that run is not a contributor even though loadavg looked fine
+    noisy = _bench_record(0.1, 10.0, noisy=[f"q{i}" for i in range(9)])
+    assert _run(tmp_path, monkeypatch, [noisy, noisy]) == 2
+    ok = _bench_record(0.1, 10.0, noisy=["q1", "q2"])
+    assert _run(tmp_path, monkeypatch, [ok, ok]) == 0
 
 
 def test_host_noise_gate_floor_and_quiet(monkeypatch):
@@ -70,23 +129,17 @@ def test_host_noise_gate_floor_and_quiet(monkeypatch):
     assert gate.wait_quiet()  # recovers on the next reading
 
 
-def test_promotion_refused_on_canary_noise(tmp_path, monkeypatch):
-    # hypervisor-noise canary (r10): many windows without a clean run
-    # set → refused even though loadavg looked fine
-    rec = _bench_record(0.1, 10.0)
-    rec["host"]["canary"] = {"noisy_queries": [f"q{i}" for i in range(9)]}
-    assert _run(tmp_path, monkeypatch, rec) == 2
-    rec["host"]["canary"]["noisy_queries"] = ["q1", "q2"]
-    assert _run(tmp_path, monkeypatch, rec) == 0
+def test_wait_quiet_charges_only_real_waiting(monkeypatch):
+    """An immediately-quiet canary reading is measurement, not waiting —
+    it must not erode the global wait budget (ADVICE r10)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
 
-
-def test_promotion_stamps_provenance(tmp_path, monkeypatch):
-    assert _run(tmp_path, monkeypatch, _bench_record(0.2, 10.5), ["10"]) == 0
-    with open(tmp_path / "bench_baseline.json") as fh:
-        base = json.load(fh)
-    assert base["round"] == 10
-    assert base["queries_median"] == {"q1": 1.0, "q2": 2.0}
-    prov = base["provenance"]
-    assert prov["source"] == "bench_out.json"
-    assert prov["headline_total"] == 70.0
-    assert prov["host"]["loadavg_mid_headline_max"] == 10.5
+    monkeypatch.setattr(bench, "_canary_ms", lambda: 100.0)
+    gate = bench._HostNoiseGate(ratio=1.6, max_wait_sec=0.01)
+    for _ in range(50):
+        assert gate.wait_quiet()
+    assert gate.waited_sec == 0.0
+    assert not gate.budget_exhausted()

@@ -343,6 +343,7 @@ def test_registered_pins_reliable_mode(spark, sf_dir, tmp_path, monkeypatch):
         "dedup_winnowing_pairs",
         "graph_label_propagation",
         "agg_gini_coefficient",  # ordered_prefix pin inside ranking.py
+        "graph_pagerank_dup_hubs",  # _local_pagerank single-task pin (r11)
     ]
     local = {
         n: sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))

@@ -1,18 +1,37 @@
-"""Promote the latest bench_out.json medians to bench_baseline.json so the
-next round's bench.py emits per-query `vs_prev` deltas against THIS round
-(verdict r5 #6). Run at round close after the final bench.
+"""Promote per-cell MINIMA across ≥2 canary-gated bench runs to
+bench_baseline.json so the next round's bench.py emits per-query
+`vs_prev` deltas against THIS round. Run at round close after ≥2 clean
+benches.
 
-Stale-proofing (verdict r9 #9): promotion is REFUSED when the candidate
-run's own host evidence says its measurement window was loaded
-(mid-headline loadavg above the threshold) — a baseline captured under
-load poisons every following round's vs_prev comparison, which is exactly
-how r9's phantom +10% happened. Pass --force to override. The promoted
-record carries its provenance (source file, host snapshot) so rounds
-compare like-for-like.
+Why min-of-N, not one run's medians (verdict r10 #1): the host is a
+hypervisor guest whose CPU is stolen in multi-second bursts no
+guest-visible counter records. bench.py's canary-sandwich discards runs
+whose *bracket* saw a burst, but a burst shorter than the bracket
+spacing lands inside the timed window undetected — which is how the r10
+promoted baseline carried cells its own sibling record refuted by up to
+4.5× (agg_market_share 5.47 s vs 1.21 s). Steal noise is strictly
+ADDITIVE: a cell can read too slow, never too fast, so the per-cell
+minimum across independent gated runs is a consistent estimator of the
+true cost while any single run's median is contaminated by whatever
+bursts it happened to absorb. ≥2 runs are REQUIRED (--force drops to 1,
+leaving a provenance mark); cells whose max/min spread across the
+contributing runs exceeds 1.5× are listed in provenance as
+`high_spread_cells` — residual-contamination tripwires for the next
+reader, with the min still promoted.
+
+Per-run gate (unchanged from r9/r10 stale-proofing): a run is refused
+as a contributor when its own host evidence says the window was loaded
+(mid-headline loadavg, start loadavg, canary-flagged window count).
+
+Usage:
+    python tools/record_bench_baseline.py <round> run1.json run2.json [...]
+    python tools/record_bench_baseline.py <round>            # bench_out.json + bench_run_*.json
+    --force    accept contaminated/single runs anyway (provenance records it)
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -22,55 +41,114 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # calibration note in bench.py's host block); external contamination
 # reads 20+. The refusal threshold sits between the two regimes.
 MAX_MID_LOAD = 14.0
+MAX_START_LOAD = 4.0
+MAX_NOISY = 8
+SPREAD_FLAG = 1.5
+
+
+def _gate(path: str, run: dict) -> str | None:
+    """Reason string when this run is not baseline material, else None."""
+    host = run.get("host", {})
+    mid = host.get("loadavg_mid_headline_max")
+    start = (host.get("loadavg_at_start") or [0.0])[0]
+    noisy = host.get("canary", {}).get("noisy_queries", [])
+    if mid is not None and mid > MAX_MID_LOAD:
+        return f"{path}: mid-headline loadavg {mid} > {MAX_MID_LOAD}"
+    if start > MAX_START_LOAD:
+        return f"{path}: start loadavg {start} > {MAX_START_LOAD}"
+    if len(noisy) > MAX_NOISY:
+        return f"{path}: {len(noisy)} canary-flagged windows > {MAX_NOISY}"
+    return None
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--force"]
     force = "--force" in sys.argv[1:]
-    out_path = os.path.join(ROOT, "bench_out.json")
-    if not os.path.isfile(out_path):
-        print("no bench_out.json — run bench.py first")
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    rnd = int(args[0]) if args else None
+    paths = args[1:]
+    if not paths:
+        paths = [
+            p
+            for p in [os.path.join(ROOT, "bench_out.json")]
+            + sorted(glob.glob(os.path.join(ROOT, "bench_run_*.json")))
+            if os.path.isfile(p)
+        ]
+    if not paths:
+        print("no bench records — run bench.py first")
         return 1
-    with open(out_path) as fh:
-        out = json.load(fh)
-    host = out.get("host", {})
-    mid = host.get("loadavg_mid_headline_max")
-    start = (host.get("loadavg_at_start") or [0.0])[0]
-    # r10: the canary gate sees hypervisor noise loadavg cannot; a run
-    # where many windows stayed noisy even after their one redo is not
-    # baseline material.
-    noisy = set(host.get("canary", {}).get("noisy_queries", []))
-    if (
-        (mid is not None and mid > MAX_MID_LOAD)
-        or start > 4.0
-        or len(noisy) > 8
-    ) and not force:
+
+    runs: list[tuple[str, dict]] = []
+    refused: list[str] = []
+    for p in paths:
+        with open(p) as fh:
+            run = json.load(fh)
+        reason = _gate(p, run)
+        if reason and not force:
+            print(f"SKIP contributor — {reason}")
+            refused.append(reason)
+            continue
+        if reason:
+            print(f"FORCED contributor — {reason}")
+        runs.append((os.path.basename(p), run))
+
+    if not runs:
         print(
-            f"REFUSED: mid-headline loadavg {mid} (max {MAX_MID_LOAD}) / "
-            f"start loadavg {start} (max 4.0) / {len(noisy)} canary-flagged "
-            "windows (max 8) — this run was measured under load and would "
-            "poison vs_prev for every following round. Re-run bench.py on "
-            "a quiet box, or pass --force."
+            "REFUSED: every candidate run was measured under load and "
+            "would poison vs_prev for every following round. Re-run "
+            "bench.py on a quiet box, or pass --force."
         )
         return 2
-    rnd = int(args[0]) if args else None
+    if len(runs) < 2 and not force:
+        print(
+            f"REFUSED: only {len(runs)} gated run(s) — min-of-N needs ≥2 "
+            "independent clean runs to reject intra-window steal bursts "
+            "(verdict r10 #1). Record another bench_run_*.json, or pass "
+            "--force to promote a single run (provenance will say so)."
+        )
+        return 3
+
+    # per-cell min across contributing runs + spread accounting
+    cells: dict[str, list[float]] = {}
+    for _, run in runs:
+        for q, v in run.get("queries_median", {}).items():
+            cells.setdefault(q, []).append(float(v))
+    minima = {q: round(min(vs), 4) for q, vs in cells.items()}
+    spread = {
+        q: round(max(vs) / min(vs), 2)
+        for q, vs in cells.items()
+        if min(vs) > 0 and len(vs) > 1
+    }
+    high_spread = {q: r for q, r in sorted(spread.items()) if r > SPREAD_FLAG}
+    partial = {q: len(vs) for q, vs in cells.items() if len(vs) < len(runs)}
+
     with open(os.path.join(ROOT, "bench_baseline.json"), "w") as fh:
         json.dump(
             {
                 "round": rnd,
-                "queries_median": out.get("queries_median", {}),
+                "policy": f"per-cell min across {len(runs)} canary-gated runs",
+                "queries_median": minima,
                 "provenance": {
-                    "source": "bench_out.json",
-                    "headline_total": out.get("value"),
-                    "host": host,
+                    "contributors": [
+                        {
+                            "source": name,
+                            "headline_total": run.get("value"),
+                            "host": run.get("host", {}),
+                        }
+                        for name, run in runs
+                    ],
+                    "refused": refused,
+                    "forced": force,
+                    "high_spread_cells": high_spread,
+                    "cells_missing_from_some_runs": partial,
                 },
             },
             fh,
             indent=1,
         )
     print(
-        f"baseline updated: {len(out.get('queries_median', {}))} medians "
-        f"(mid-headline load {mid})"
+        f"baseline updated: {len(minima)} cells = min over {len(runs)} "
+        f"run(s); {len(high_spread)} high-spread cells"
+        + (f" ({', '.join(list(high_spread)[:8])})" if high_spread else "")
     )
     return 0
 

@@ -794,8 +794,10 @@ def probe_label_propagation(spark, n_edges: int, partitions: int) -> dict:
         sym.groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .repartition("u")
-        .localCheckpoint()
     )
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    e = truncate_lineage(e)
     labels = spark.range(n_nodes).select(
         F.col("id").alias("pk"),
         F.when(F.col("id") < 2, F.when(F.col("id") == 0, "A").otherwise("B")).alias(
@@ -832,7 +834,7 @@ def probe_label_propagation(spark, n_edges: int, partitions: int) -> dict:
             .alias("lbl"),
         )
 
-    l2 = one_round(one_round(labels).localCheckpoint())
+    l2 = one_round(truncate_lineage(one_round(labels)))
     expected = F.when(F.col("pk") % 2 == 0, "A").otherwise("B")
     r = l2.agg(
         F.sum(F.col("lbl").isNull().cast("long")).alias("unlabeled"),
