@@ -46,14 +46,18 @@ def _bench_record(start_load, mid_load, medians=None, noisy=()):
 
 
 def test_promotion_refused_under_load(tmp_path, monkeypatch):
-    # loaded measurement window (the r9 failure regime) → no eligible
-    # contributor → refused
-    assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0)) == 2
+    # mid-load backstop (r11: 24.0 — bench self-load under steal reads
+    # 15-21; only external work pushes past) → no eligible contributor
+    assert _run(tmp_path, monkeypatch, _bench_record(0.1, 26.0)) == 2
     assert not (tmp_path / "bench_baseline.json").exists()
     # pre-existing contention at start → refused even with a quiet mid
     assert _run(tmp_path, monkeypatch, _bench_record(9.0, 10.0)) == 2
+    # exhausted canary budget = ungated timings → refused
+    exhausted = _bench_record(0.1, 10.0)
+    exhausted["host"]["canary"]["budget_exhausted"] = True
+    assert _run(tmp_path, monkeypatch, exhausted) == 2
     # --force overrides (single contaminated run, provenance marks it)
-    assert _run(tmp_path, monkeypatch, _bench_record(0.1, 22.0), ["--force"]) == 0
+    assert _run(tmp_path, monkeypatch, _bench_record(0.1, 26.0), ["--force"]) == 0
     with open(tmp_path / "bench_baseline.json") as fh:
         assert json.load(fh)["provenance"]["forced"] is True
 
@@ -68,7 +72,7 @@ def test_promotion_requires_two_gated_runs(tmp_path, monkeypatch):
         _run(
             tmp_path,
             monkeypatch,
-            [_bench_record(0.1, 10.0), _bench_record(0.1, 22.0)],
+            [_bench_record(0.1, 10.0), _bench_record(0.1, 26.0)],
         )
         == 3
     )

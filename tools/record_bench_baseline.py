@@ -37,10 +37,17 @@ import os
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# The bench's own 32-thread bursts read ~8-12 on load1 (see the
-# calibration note in bench.py's host block); external contamination
-# reads 20+. The refusal threshold sits between the two regimes.
-MAX_MID_LOAD = 14.0
+# Mid-headline loadavg is a BACKSTOP, not the primary gate (r11
+# recalibration, measured): under hypervisor steal the bench's own 32
+# threads queue up and load1 reads 15-21 with zero external work — run B
+# of the r11 pair hit mid 20.6 while its canary stayed clean and its
+# cells matched the quiet-host record (lsh_prod 2.62 s vs the 2.65 s
+# quiet best), while run A passed at mid 14.9 yet carried 34×-inflated
+# cells. The canary accounting (noisy windows, exhausted budget) is the
+# contamination instrument; START loadavg still catches pre-existing
+# external work (r9's probe-contaminated capture), and the mid backstop
+# only fires on load no self-inflicted steal queue reaches.
+MAX_MID_LOAD = 24.0
 MAX_START_LOAD = 4.0
 MAX_NOISY = 8
 SPREAD_FLAG = 1.5
@@ -58,6 +65,8 @@ def _gate(path: str, run: dict) -> str | None:
         return f"{path}: start loadavg {start} > {MAX_START_LOAD}"
     if len(noisy) > MAX_NOISY:
         return f"{path}: {len(noisy)} canary-flagged windows > {MAX_NOISY}"
+    if host.get("canary", {}).get("budget_exhausted"):
+        return f"{path}: canary wait budget exhausted (ungated timings)"
     return None
 
 
