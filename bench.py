@@ -260,9 +260,18 @@ class _HostNoiseGate:
         self.noisy_queries: list[str] = []
         self.redone_queries: list[str] = []
         self.worst_ratio = round(runs[-1] / runs[0], 2)
+        # Every reading, for the artifact's distribution stats: a ratio
+        # gate cannot SEE sustained degradation (floor calibrates high,
+        # or a single quiet dip strands the floor below a plateau the
+        # host then sits on) — but median/p90 vs floor in the record
+        # lets a reader diagnose it after the fact (r11: interactive
+        # canaries sat at ~240-320 ms for hours while run floors read
+        # ~110 ms; the committed records should carry that evidence).
+        self.readings: list[float] = list(runs)
 
     def _quiet(self) -> bool:
         ms = _canary_ms()
+        self.readings.append(ms)
         # The floor is a running MIN: if calibration itself landed in a
         # noise burst, any later quiet reading corrects the gate downward
         # (a too-high floor silently waves bursts through).
@@ -297,12 +306,20 @@ class _HostNoiseGate:
         return self.waited_sec >= self.total_wait_budget_sec
 
     def stats(self) -> dict:
+        rs = sorted(self.readings)
         return {
             "floor_ms": round(self.floor_ms, 2),
             "calib_worst_ratio": self.worst_ratio,
             "gate_ratio": self.ratio,
             "waited_sec": round(self.waited_sec, 1),
             "budget_exhausted": self.budget_exhausted(),
+            # distribution of ALL canary readings: median/p90 far above
+            # floor_ms = the run sat in a SUSTAINED degradation plateau
+            # the ratio gate cannot reject — treat every cell as an
+            # upper bound and lean on the min-of-N baseline instead
+            "readings_n": len(rs),
+            "median_ms": round(rs[len(rs) // 2], 2) if rs else None,
+            "p90_ms": round(rs[int(len(rs) * 0.9)], 2) if rs else None,
             # could not assemble a full clean best-of-N set — treat the
             # recorded number as an upper bound, not an engine datum
             "noisy_queries": self.noisy_queries,

@@ -133,6 +133,30 @@ def test_host_noise_gate_floor_and_quiet(monkeypatch):
     assert gate.wait_quiet()  # recovers on the next reading
 
 
+def test_gate_reports_reading_distribution(monkeypatch):
+    """The artifact must carry median/p90 of ALL canary readings: a
+    sustained degradation plateau passes the ratio gate (floor
+    calibrates high) and only the distribution exposes it (r11)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    # calibration sees the quiet floor; the host then sits on a 250 ms
+    # plateau — each wait_quiet consumes 2 readings (initial + one
+    # bounded retry), all of them unquiet
+    readings = iter([100.0] * 7 + [250.0] * 8)
+    monkeypatch.setattr(bench, "_canary_ms", lambda: next(readings))
+    gate = bench._HostNoiseGate(ratio=1.6, max_wait_sec=0.01)
+    for _ in range(4):
+        assert not gate.wait_quiet()
+    s = gate.stats()
+    assert s["readings_n"] == 15
+    assert s["floor_ms"] == 100.0
+    assert s["median_ms"] == 250.0  # the plateau is visible in the record
+    assert s["p90_ms"] == 250.0
+
+
 def test_wait_quiet_charges_only_real_waiting(monkeypatch):
     """An immediately-quiet canary reading is measurement, not waiting —
     it must not erode the global wait budget (ADVICE r10)."""
