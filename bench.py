@@ -9,11 +9,31 @@ numbers are steady-state pandas/polars wall clock, and the 2× bar is
 against engine work, not JVM boot). Each query is then executed end-to-end
 with a `noop` sink so the full plan runs distributed without driver-side
 collect cost.
+
+Wall-clock contract (r12, verdict r11 #1): the WHOLE process runs under a
+hard budget (``SPARK_GRAFT_BENCH_BUDGET_SEC``, default 900 s; 0 = no
+ceiling for builder-side baseline runs). Quiesce, canary waits, the warm
+pass, timed runs, and probes are all charged against one clock; when it
+runs short the bench degrades in order — fewer repeats → no noise
+retries → cold cells (untimed run recorded) → truncated tail → skipped
+probes — and the artifact says exactly what was degraded. BENCH_r10 and
+BENCH_r11 both ended as rc=124/no-record because the worst-case admission
+(600 s quiesce + 420 s canary waits + 109 queries × up to 15 timed runs)
+had no ceiling at all.
+
+Artifact contract (r12, verdict r11 #2): ``bench_out.json`` is rewritten
+ATOMICALLY (tmp + rename) after every measured query, so a kill at any
+instant leaves a complete, parseable JSON of everything measured so far
+(``partial: true`` until the headline loop finishes). Tier-1 rows
+(flagship ×2, the 5 most expensive cells, one per query family) run
+first so even a truncated record carries the rows BASELINE.md cares
+about.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -213,6 +233,116 @@ HEADLINE = [
     "eval_knn_label_accuracy",
 ]
 
+# Tier-1 rows run FIRST (verdict r11 #3): flagship ×2, the five most
+# expensive cells of the promoted r11 baseline, and one representative per
+# query family. A budget-truncated (or killed) run therefore still records
+# the rows the 2×-of-BASELINE bar and the cross-round comparison need.
+TIER1 = [
+    "clinical_cohort_week",
+    "clinical_cohort_month",
+    # worst-5 by the r11 min-of-3 baseline
+    "eval_knn_label_accuracy",
+    "dedup_cluster_components_star",
+    "graph_label_propagation",
+    "dedup_prefix_filter_join",
+    "similarity_neardup_lsh_prod",
+    # one per family
+    "agg_pricing_summary",
+    "join_asof_backward",
+    "window_running_agg",
+    "multikey_sort",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality",
+    "stream_tumbling_counts",
+    "stream_enrich_static_dim",
+    "multimodal_byte_histogram",
+    "sample_stratified_orders",
+    "timeseries_gapfill_interpolate",
+    "events_max_concurrency",
+    "diag_ks_two_sample",
+    "feature_quantile_normalization",
+    "pack_sequences_quota",
+    "graph_pagerank_dup_hubs",
+    "eval_rank_correlation_spearman",
+]
+
+
+class _Budget:
+    """Hard wall-clock budget for the whole bench process. Everything —
+    quiesce, canary waits, warm pass, timed runs, probes — is charged
+    against ONE clock; consumers check ``remaining()`` and degrade
+    instead of overrunning. ``total_sec <= 0`` means unbounded (builder
+    baseline runs, which want full best-of-5 × canary gating)."""
+
+    def __init__(self, total_sec: float):
+        self.total = total_sec if total_sec > 0 else float("inf")
+        self.t0 = time.time()
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0
+
+    def remaining(self) -> float:
+        return self.total - self.elapsed()
+
+
+def _choose_repeats(
+    remaining_sec: float,
+    queries_left: int,
+    per_run_est: float,
+    max_repeats: int,
+) -> int:
+    """Timed-repeat count that fits this query's fair share of the
+    remaining budget: share = remaining / queries_left (this query
+    included); repeats = share / per-run estimate (the query's own
+    untimed warm run), clamped to [1, max_repeats]. Cheap queries keep
+    best-of-5 statistics under any realistic budget; expensive ones
+    degrade first. Pure function — pinned in tests/test_bench_tools.py."""
+    if queries_left <= 0 or math.isinf(remaining_sec):
+        return max_repeats
+    share = remaining_sec / queries_left
+    return max(1, min(max_repeats, int(share / max(per_run_est, 0.02))))
+
+
+def _flush(out_path: str, record: dict) -> None:
+    """Atomically rewrite the artifact (tmp file + os.replace): called
+    after EVERY measured query, so at any kill instant bench_out.json is
+    either the previous complete JSON or the new complete JSON — never a
+    torn write. BENCH_r11's rc=124 yielded nothing because the artifact
+    was only flushed after the whole loop."""
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh, indent=1)
+    os.replace(tmp, out_path)
+
+
+def _git_sha() -> str | None:
+    """Short HEAD sha stamped into every bench record so the baseline
+    promoter can refuse folding cells measured on OLD code into a new
+    baseline (ADVICE r11: the no-args glob silently mixed stale runs)."""
+    try:
+        import subprocess
+
+        return (
+            subprocess.run(
+                [
+                    "git",
+                    "-C",
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "rev-parse",
+                    "--short=12",
+                    "HEAD",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001 — stamp is best-effort
+        return None
+
 
 def _canary_ms() -> float:
     """Fixed single-thread pure-Python workload (~60-90 ms on this host
@@ -354,11 +484,20 @@ def _quiesce(max_load: float, max_wait_sec: float) -> float:
 
 
 def main() -> None:
+    budget = _Budget(
+        float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Quiesce may use at most 30% of the budget — waiting out contention
+    # is worth minutes, not the whole record (r11: 600 s quiesce + canary
+    # waits + retries compounded past the driver's timeout).
     quiesce_waited = _quiesce(
         float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4")),
-        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600")),
+        min(
+            float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600")),
+            0.3 * budget.total,
+        ),
     )
     try:
         load_at_start = [round(x, 2) for x in os.getloadavg()]
@@ -376,16 +515,26 @@ def main() -> None:
 
     read_table(spark, sf_dir, "lineitem").count()
 
-    names = [n for n in HEADLINE if n in QUERIES]
+    # Tier-1 rows first (see TIER1): a truncated/killed run still records
+    # the flagship, the expensive tail, and one row per family.
+    names = [n for n in TIER1 if n in QUERIES]
+    names += [n for n in HEADLINE if n in QUERIES and n not in names]
     names += [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n in QUERIES and n not in names]
 
     # Compile/JIT warm-up: run each headline plan once at the smallest scale
     # factor so whole-stage codegen + Python plan construction costs land
     # outside the measured runs (BASELINE.md measures steady-state engine
-    # work; the reference numbers are warm pandas/polars loops).
+    # work; the reference numbers are warm pandas/polars loops). Budget:
+    # the warm pass may spend up to 30% of the clock; past that the
+    # remaining plans warm inside their own untimed first run instead.
     warm_dir = "/root/testdata/sf0.001"
+    warm_pass = "skipped"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        warm_pass = "full"
         for name in names:
+            if budget.elapsed() > 0.3 * budget.total:
+                warm_pass = f"truncated_at:{name}"
+                break
             try:
                 QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:  # noqa: BLE001 — warm-up is best-effort
@@ -395,31 +544,141 @@ def main() -> None:
     # numbers are warm single-process loops, so each query gets one
     # UNTIMED run at the target scale (absorbs file-index listing, AQE
     # first-execution re-planning, codegen compilation) and then the best
-    # of five timed runs is recorded — round-1 best-of-2 sat inside a
-    # ±0.5 s JVM noise band and misread the flagship by ~15%.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    # of up to five timed runs is recorded — round-1 best-of-2 sat inside
+    # a ±0.5 s JVM noise band and misread the flagship by ~15%. Under a
+    # tight budget the repeat count degrades per query (fair-share, see
+    # _choose_repeats) before the tail is truncated.
+    repeats_cap = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    repeats_used: dict[str, int] = {}
+    cold_cells: list[str] = []
+    truncated_after: str | None = None
     # Mid-headline load trace (verdict r9 #1 done-criterion): the artifact
     # must carry evidence that the MEASUREMENT WINDOW itself was quiet —
     # loadavg_at_start/end bracket the run but miss probes or external
     # work landing mid-loop. Sampled once per query; max recorded.
     mid_load_max = 0.0
-    gate = _HostNoiseGate()
+    # Canary waits may use at most ~20% of the budget (420 s cap matches
+    # the pre-r12 behavior for unbounded builder runs).
+    gate = _HostNoiseGate(
+        total_wait_budget_sec=min(420.0, 0.2 * budget.total)
+    )
+    sha = _git_sha()
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    # Finalize reserve: flush + spark.stop + stdout line.
+    RESERVE = 25.0
 
-    for name in names:
+    def _snapshot(partial: bool) -> dict:
+        rec = {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": dict(timings),
+            "queries_median": dict(medians),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # partial=true → the headline loop had not finished when this
+            # record was written (the per-query incremental flush); a
+            # reader holding a partial record has a kill/timeout on hand.
+            "partial": partial,
+            "git_sha": sha,
+            "created_unix": int(time.time()),
+            "budget": {
+                "budget_sec": None if math.isinf(budget.total) else budget.total,
+                "elapsed_sec": round(budget.elapsed(), 1),
+                "warm_pass": warm_pass,
+                "repeats_cap": repeats_cap,
+                # per-query timed-run counts actually achieved; 0 = cold
+                # cell (only the untimed run fit the budget)
+                "repeats_used": dict(repeats_used),
+                "cold_cells": list(cold_cells),
+                "truncated_after": truncated_after,
+            },
+        }
+        try:
+            la0, la1, la2 = os.getloadavg()
+            mem_kb = 0
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemAvailable"):
+                        mem_kb = int(line.split()[1])
+                        break
+            rec["host"] = {
+                "loadavg_at_start": load_at_start,  # pre-existing contention
+                "quiesce_waited_sec": quiesce_waited,
+                # Max 1-min load sampled between measured queries.
+                # CALIBRATION: the bench's OWN 32-thread bursts push this
+                # to ~8-12 even on an otherwise-idle box; external
+                # contamination (the r9 failure: concurrent 50M-row
+                # probes) reads 20+. Read together with loadavg_at_start.
+                "loadavg_mid_headline_max": round(mid_load_max, 2),
+                "loadavg_at_end": [round(la0, 2), round(la1, 2), round(la2, 2)],
+                "mem_available_gb": round(mem_kb / 1_048_576, 1),
+                "cpus": os.cpu_count(),
+                # Hypervisor-noise canary accounting (r10): floor_ms is
+                # the calibrated quiet-host reading; noisy_queries could
+                # not assemble a full clean run set (numbers are upper
+                # bounds, not engine data); queries_with_discards dropped
+                # ≥1 burst-bracketed run but their numbers are clean.
+                "canary": gate.stats(),
+            }
+        except OSError as e:  # noqa: BLE001 — diagnostics only
+            print(f"WARN bench: host fingerprint failed: {e}", file=sys.stderr)
+        return rec
+
+    for i, name in enumerate(names):
+        if budget.remaining() < 2 * RESERVE:
+            # Not enough clock left even for one untimed run + finalize:
+            # drop the tail explicitly rather than overrun (tier-1 rows
+            # ran first, so the record still carries the headline rows).
+            truncated_after = names[i - 1] if i else None
+            print(
+                f"WARN bench: budget exhausted — truncating after "
+                f"{truncated_after} ({len(names) - i} queries dropped)",
+                file=sys.stderr,
+            )
+            break
+        # Untimed first run at target scale (absorbs listing/AQE/codegen);
+        # doubles as the per-run cost estimate for fair-share repeats.
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt_warm = time.time() - t0
+        if budget.remaining() < RESERVE:
+            # The untimed run itself consumed the margin — record it as a
+            # COLD cell (upper bound, not steady-state) and move on.
+            timings[name] = round(dt_warm, 4)
+            medians[name] = round(dt_warm, 4)
+            repeats_used[name] = 0
+            cold_cells.append(name)
+            _flush(out_path, _snapshot(partial=True))
+            continue
+        repeats = _choose_repeats(
+            budget.remaining() - RESERVE, len(names) - i, dt_warm, repeats_cap
+        )
+        # Noise retries (up to 3× the repeat count) only while the budget
+        # is comfortable — on a tight clock a burst-bracketed run is kept
+        # (and flagged noisy) rather than retried into a timeout.
+        retry_mult = (
+            3
+            if not gate.budget_exhausted()
+            and budget.remaining() > min(0.4 * budget.total, 3600.0)
+            else 1
+        )
         # Canary-SANDWICHED runs (r10): every timed run is bracketed by
         # a canary reading; a run whose bracket saw a hypervisor noise
         # burst is DISCARDED and retried (bounded attempts), so bursts
         # that span several seconds cannot poison best-of-N the way a
         # single whole-block redo still could. Guest counters cannot see
         # this noise; the canary is the only witness — see _canary_ms.
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         clean: list[float] = []
         dirty: list[float] = []
         attempts = 0
-        while len(clean) < repeats and attempts < repeats * (
-            1 if gate.budget_exhausted() else 3
+        while (
+            len(clean) < repeats
+            and attempts < repeats * retry_mult
+            and budget.remaining() > RESERVE
         ):
             attempts += 1
             pre_quiet = gate.wait_quiet()
@@ -441,79 +700,49 @@ def main() -> None:
         # artifact itself (r4's 27/31 uniform inflation needed a diff to
         # rule out a code regression; median/best spread shows it directly)
         medians[name] = round(runs[len(runs) // 2], 4)
+        repeats_used[name] = len(runs)
         try:
             mid_load_max = max(mid_load_max, os.getloadavg()[0])
         except OSError:
             pass
+        # Incremental flush (verdict r11 #2): every query's result is
+        # durable the moment it exists.
+        _flush(out_path, _snapshot(partial=True))
 
-    # HEADLINE-FIRST ARTIFACT FLUSH (verdict r9 #1): the timing loop is
-    # done — persist the headline record NOW, before any probe can crash,
-    # hang, or (the r9 failure) contaminate a later re-run's timings. The
-    # probe sections are appended to the same file afterwards; the
-    # headline numbers in it never change once written.
-    total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_median": medians,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    try:
-        la0, la1, la2 = os.getloadavg()
-        mem_kb = 0
-        with open("/proc/meminfo") as fh:
-            for line in fh:
-                if line.startswith("MemAvailable"):
-                    mem_kb = int(line.split()[1])
-                    break
-        out["host"] = {
-            "loadavg_at_start": load_at_start,  # pre-existing contention
-            "quiesce_waited_sec": quiesce_waited,
-            # Max 1-min load sampled between measured queries. CALIBRATION:
-            # the bench's OWN 32-thread bursts push this to ~8-12 even on
-            # an otherwise-idle box (109 queries × 6 runs back-to-back);
-            # external contamination (the r9 failure: concurrent 50M-row
-            # probes) reads 20+. Read this TOGETHER with loadavg_at_start:
-            # start ≈ 0 + mid ≲ 12 = clean window; start ≫ 0 or mid ≫ 12 =
-            # distrust the deltas.
-            "loadavg_mid_headline_max": round(mid_load_max, 2),
-            "loadavg_at_end": [round(la0, 2), round(la1, 2), round(la2, 2)],
-            "mem_available_gb": round(mem_kb / 1_048_576, 1),
-            "cpus": os.cpu_count(),
-            # Hypervisor-noise canary accounting (r10): floor_ms is the
-            # calibrated quiet-host reading; noisy_queries could not
-            # assemble a full clean run set (numbers are upper bounds,
-            # not engine data); queries_with_discards dropped ≥1
-            # burst-bracketed run but their recorded numbers are clean.
-            "canary": gate.stats(),
-        }
-    except OSError as e:  # noqa: BLE001 — diagnostics only
-        print(f"WARN bench: host fingerprint failed: {e}", file=sys.stderr)
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
-    )
-    with open(out_path, "w") as fh:
-        json.dump(out, fh, indent=1)
+    # Headline loop done — the record is now complete (partial=false);
+    # probe sections are appended afterwards and never change these rows.
+    out = _snapshot(partial=False)
+    total = out["value"]
+    _flush(out_path, out)
+
+    # Probe sections below are all charged against the same budget: each
+    # needs headroom beyond the finalize reserve or it is skipped with an
+    # explicit reason (a skipped probe must be distinguishable from a
+    # crashed one). Driver runs under the default 900 s budget will
+    # typically skip the heavy probes — their evidence lives in the
+    # committed builder-side records.
+    skipped_probes: dict[str, str] = {}
 
     # Candidate-volume instrumentation for the LSH rows (verdict r3 #4):
     # shows whether blocking blocks — the recall-regime row verifies a
     # large fraction of all pairs by design; the prod-regime row must
     # show candidates ≪ all-pairs.
     lsh_stats = {}
-    try:
-        from datamodel_clinicaldata_spark.queries_similarity import (
-            lsh_candidate_stats,
-        )
+    if budget.remaining() > RESERVE + 60:
+        try:
+            from datamodel_clinicaldata_spark.queries_similarity import (
+                lsh_candidate_stats,
+            )
 
-        for name in ("similarity_neardup_lsh", "similarity_neardup_lsh_prod"):
-            if name in names:
-                lsh_stats[name] = lsh_candidate_stats(spark, sf_dir, name)
-    except Exception as e:  # noqa: BLE001 — must not fail the bench, but a
-        # missing lsh_candidates block has to be distinguishable from an
-        # intentionally skipped one (the prod row's evidence lives there)
-        print(f"WARN bench: lsh_candidate_stats failed: {e}", file=sys.stderr)
+            for name in ("similarity_neardup_lsh", "similarity_neardup_lsh_prod"):
+                if name in names:
+                    lsh_stats[name] = lsh_candidate_stats(spark, sf_dir, name)
+        except Exception as e:  # noqa: BLE001 — must not fail the bench, but a
+            # missing lsh_candidates block has to be distinguishable from an
+            # intentionally skipped one (the prod row's evidence lives there)
+            print(f"WARN bench: lsh_candidate_stats failed: {e}", file=sys.stderr)
+    else:
+        skipped_probes["lsh_candidates"] = "budget"
 
     # Distributed global-ordering stress (verdict r5 #2 follow-through):
     # ordered_prefix rank + running sum over 4M synthetic rows — far past
@@ -522,36 +751,42 @@ def main() -> None:
     # prefix holds throughput at row counts where the old global window
     # was the bottleneck.
     prefix_stats = {}
-    try:
-        from pyspark.sql import functions as SF
+    if budget.remaining() <= RESERVE + 120:
+        skipped_probes["prefix_stress"] = "budget"
+    else:
+        try:
+            from pyspark.sql import functions as SF
 
-        from datamodel_clinicaldata_spark.operators.ranking import ordered_prefix
+            from datamodel_clinicaldata_spark.operators.ranking import (
+                ordered_prefix,
+            )
 
-        n_rows = 4_000_000
-        base = spark.range(n_rows).select(
-            SF.col("id"), ((SF.col("id") * 2654435761) % 1_000_003).alias("v")
-        )
-        t0 = time.time()
-        pref = ordered_prefix(
-            base,
-            [SF.col("v").asc(), SF.col("id").asc()],
-            rank_col="rk",
-            running_sum={"v": "cs"},
-        )
-        probe = pref.agg(
-            SF.max("rk").alias("max_rk"), SF.max("cs").alias("total")
-        ).collect()[0]
-        dt = time.time() - t0
-        expected_total = base.agg(SF.sum("v")).collect()[0][0]
-        prefix_stats = {
-            "rows": n_rows,
-            "sec": round(dt, 4),
-            "rows_per_sec": int(n_rows / dt),
-            "rank_exact": bool(probe["max_rk"] == n_rows),
-            "sum_exact": bool(probe["total"] == expected_total),
-        }
-    except Exception as e:  # noqa: BLE001
-        print(f"WARN bench: prefix stress failed: {e}", file=sys.stderr)
+            n_rows = 4_000_000
+            base = spark.range(n_rows).select(
+                SF.col("id"),
+                ((SF.col("id") * 2654435761) % 1_000_003).alias("v"),
+            )
+            t0 = time.time()
+            pref = ordered_prefix(
+                base,
+                [SF.col("v").asc(), SF.col("id").asc()],
+                rank_col="rk",
+                running_sum={"v": "cs"},
+            )
+            probe = pref.agg(
+                SF.max("rk").alias("max_rk"), SF.max("cs").alias("total")
+            ).collect()[0]
+            dt = time.time() - t0
+            expected_total = base.agg(SF.sum("v")).collect()[0][0]
+            prefix_stats = {
+                "rows": n_rows,
+                "sec": round(dt, 4),
+                "rows_per_sec": int(n_rows / dt),
+                "rank_exact": bool(probe["max_rk"] == n_rows),
+                "sum_exact": bool(probe["total"] == expected_total),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"WARN bench: prefix stress failed: {e}", file=sys.stderr)
 
     # ≥50M-row scale probe (verdict r6 #3): the synthetic DataSource
     # generates the input, so the distributed primitives (two-phase
@@ -559,7 +794,14 @@ def main() -> None:
     # sf0.1 with zero fixtures. Runs AFTER the query timings so its cache
     # pressure can't pollute them; skip with SPARK_GRAFT_SCALE_PROBE=0.
     scale_stats = {}
-    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") == "0":
+        pass
+    elif budget.remaining() <= RESERVE + 600:
+        # The 50M-row probe alone runs for minutes — it never fits a
+        # driver-budget run; its evidence lives in the committed
+        # builder-side records (scale_probe_100m_r10.txt, bench_run_*).
+        skipped_probes["scale_probe"] = "budget"
+    else:
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             from scale_probe import run_probes
@@ -573,12 +815,15 @@ def main() -> None:
     # Star-contraction CC on an adversarial 100k-node path graph
     # (diameter ≈ n): measured round count backing the O(log² d) claim.
     cc_stats = {}
-    try:
-        from datamodel_clinicaldata_spark.queries_dedup import cc_round_stats
+    if budget.remaining() <= RESERVE + 150:
+        skipped_probes["cc_rounds"] = "budget"
+    else:
+        try:
+            from datamodel_clinicaldata_spark.queries_dedup import cc_round_stats
 
-        cc_stats = cc_round_stats(spark)
-    except Exception as e:  # noqa: BLE001
-        print(f"WARN bench: cc_round_stats failed: {e}", file=sys.stderr)
+            cc_stats = cc_round_stats(spark)
+        except Exception as e:  # noqa: BLE001
+            print(f"WARN bench: cc_round_stats failed: {e}", file=sys.stderr)
 
     # Post-probe augmentation of the flushed artifact: probe sections and
     # the post-probe loadavg are appended; headline numbers are untouched.
@@ -602,21 +847,34 @@ def main() -> None:
         out["prefix_stress"] = prefix_stats
     if scale_stats:
         out["scale_probe"] = scale_stats
+    if skipped_probes:
+        out["budget"]["skipped_probes"] = skipped_probes
 
-    # Per-query deltas vs the previous round's recorded medians (verdict
-    # r5 #6): positive = slower this run. Baseline file is committed at
-    # round close (tools/record_bench_baseline.py) so the driver's
-    # possibly-truncated tail capture is never the only record.
+    # Per-query deltas vs the promoted baseline (verdict r5 #6). The
+    # baseline holds per-cell MIN-of-N floors (r11 promotion policy), so
+    # this compares the current run's MEDIAN against a floor: deltas are
+    # systematically ≥0 even at perfect parity (ADVICE r11) — read them
+    # as distance-above-floor, not as regressions. The semantics note
+    # travels in the artifact so no reader has to know this by heart.
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )
     if os.path.isfile(base_path):
         try:
             with open(base_path) as fh:
-                prev = json.load(fh).get("queries_median", {})
+                base_rec = json.load(fh)
+            # queries_min is the canonical key since r12; queries_median
+            # is the pre-r12 name for the same min-of-N values.
+            prev = base_rec.get("queries_min") or base_rec.get(
+                "queries_median", {}
+            )
             out["vs_prev"] = {
                 n: round(medians[n] - prev[n], 4) for n in medians if n in prev
             }
+            out["vs_prev_semantics"] = (
+                "current-run median minus promoted per-cell min-of-N floor; "
+                "systematically >= 0 at parity"
+            )
         except Exception as e:  # noqa: BLE001
             print(f"WARN bench: vs_prev diff failed: {e}", file=sys.stderr)
 
@@ -624,8 +882,7 @@ def main() -> None:
     # progress bars have truncated before (r4's medians were lost); the
     # file is the canonical machine-readable record (headline section
     # identical to the pre-probe flush above; probe sections appended).
-    with open(out_path, "w") as fh:
-        json.dump(out, fh, indent=1)
+    _flush(out_path, out)
 
     # Stop Spark BEFORE printing: executor/progress stderr has flooded the
     # driver's tail capture three rounds running (BENCH_r04/r05/r06 all
@@ -655,6 +912,8 @@ def main() -> None:
         "sf": out["sf"],
         "flagship_median": round(flagship, 3) if flagship is not None else None,
         "n_queries": len(timings),
+        "elapsed_sec": round(budget.elapsed(), 1),
+        "truncated_after": truncated_after,
         "full_record": "bench_out.json",
     }
     line = json.dumps(compact)

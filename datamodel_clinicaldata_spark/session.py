@@ -46,16 +46,61 @@ def _default_local_dir() -> str | None:
         # before checking headroom. (Best-effort: a concurrent session
         # in another process may hold files; ENOENT/EBUSY are ignored.)
         if os.path.isdir(path) and not _other_spark_running():
-            import shutil
-
-            for entry in os.listdir(path):
-                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            _sweep_stale_local_dir(path)
         st = os.statvfs("/dev/shm")
         if st.f_bavail * st.f_frsize >= 48 * (1 << 30):
             return path
     except OSError:
         pass
     return None
+
+
+def _sweep_stale_local_dir(path: str, min_age_sec: float = 120.0) -> None:
+    """Delete STALE entries under the shared /dev/shm local dir.
+
+    Race (ADVICE r11): another Python driver that passed its own
+    _other_spark_running check but has not yet forked its JVM is
+    invisible to the cmdline scan — an unguarded sweep could delete
+    shuffle dirs that session is about to use. Two guards:
+
+    - an O_EXCL lock file serializes concurrent sweepers (a loser skips
+      the sweep entirely; locks older than 10 min are treated as crashed
+      and broken);
+    - only entries whose mtime is older than ``min_age_sec`` are swept —
+      a directory a just-starting session created moments ago is left
+      alone even if that session's JVM isn't visible yet, while orphans
+      from a crashed run (hours old) are reclaimed.
+    """
+    import shutil
+    import time
+
+    lock = path + ".sweeplock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            if time.time() - os.path.getmtime(lock) > 600:
+                os.unlink(lock)  # crashed sweeper; next caller retries
+        except OSError:
+            pass
+        return
+    except OSError:
+        return
+    try:
+        now = time.time()
+        for entry in os.listdir(path):
+            p = os.path.join(path, entry)
+            try:
+                if now - os.path.getmtime(p) > min_age_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _other_spark_running() -> bool:

@@ -33,16 +33,20 @@ def _run(tmp_path, monkeypatch, outs, argv=()):
     return rbb.main()
 
 
-def _bench_record(start_load, mid_load, medians=None, noisy=()):
-    return {
+def _bench_record(start_load, mid_load, medians=None, noisy=(), **over):
+    rec = {
         "value": 70.0,
         "queries_median": medians or {"q1": 1.0, "q2": 2.0},
+        "sf": 0.1,
+        "git_sha": "abc123def456",
         "host": {
             "loadavg_at_start": [start_load, 0.0, 0.0],
             "loadavg_mid_headline_max": mid_load,
             "canary": {"noisy_queries": list(noisy)},
         },
     }
+    rec.update(over)
+    return rec
 
 
 def test_promotion_refused_under_load(tmp_path, monkeypatch):
@@ -87,8 +91,11 @@ def test_promotion_takes_per_cell_minima(tmp_path, monkeypatch):
     with open(tmp_path / "bench_baseline.json") as fh:
         base = json.load(fh)
     assert base["round"] == 11
-    # each cell independently min'd — NOT one winning run's row
-    assert base["queries_median"] == {"q1": 1.0, "q2": 2.0, "q3": 2.0}
+    # each cell independently min'd — NOT one winning run's row; the key
+    # is queries_min since r12 (they ARE floors, not medians — ADVICE r11)
+    assert base["queries_min"] == {"q1": 1.0, "q2": 2.0, "q3": 2.0}
+    assert base["git_sha"] == "abc123def456"
+    assert base["sf"] == 0.1
     prov = base["provenance"]
     assert [c["source"] for c in prov["contributors"]] == [
         "bench_out.json",
@@ -106,6 +113,116 @@ def test_promotion_refused_on_canary_noise(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, [noisy, noisy]) == 2
     ok = _bench_record(0.1, 10.0, noisy=["q1", "q2"])
     assert _run(tmp_path, monkeypatch, [ok, ok]) == 0
+
+
+def test_promotion_refused_on_missing_provenance(tmp_path, monkeypatch):
+    """A record without the canary block, without a git_sha stamp, or
+    marked budget-degraded is not baseline material (ADVICE r11: absence
+    of the primary contamination instrument must gate like failure, and
+    unstamped/stale records must not fold into new minima)."""
+    ok = _bench_record(0.1, 10.0)
+    no_canary = _bench_record(0.1, 10.0)
+    del no_canary["host"]["canary"]
+    assert _run(tmp_path, monkeypatch, [ok, no_canary]) == 3
+    unstamped = _bench_record(0.1, 10.0, git_sha=None)
+    assert _run(tmp_path, monkeypatch, [ok, unstamped]) == 3
+    partial = _bench_record(0.1, 10.0, partial=True)
+    assert _run(tmp_path, monkeypatch, [ok, partial]) == 3
+    truncated = _bench_record(
+        0.1, 10.0, budget={"truncated_after": "q1", "cold_cells": []}
+    )
+    assert _run(tmp_path, monkeypatch, [ok, truncated]) == 3
+    cold = _bench_record(
+        0.1, 10.0, budget={"truncated_after": None, "cold_cells": ["q2"]}
+    )
+    assert _run(tmp_path, monkeypatch, [ok, cold]) == 3
+
+
+def test_promotion_refused_on_mismatched_runs(tmp_path, monkeypatch):
+    """Min-of-N across runs is only meaningful when every contributor
+    measured the same code at the same scale (ADVICE r11: a leftover
+    sf=1 or old-sha run would promote incomparable per-cell minima)."""
+    a = _bench_record(0.1, 10.0)
+    other_sf = _bench_record(0.1, 10.0, sf=1.0)
+    assert _run(tmp_path, monkeypatch, [a, other_sf]) == 3
+    other_sha = _bench_record(0.1, 10.0, git_sha="feedfeedfeed")
+    assert _run(tmp_path, monkeypatch, [a, other_sha]) == 3
+    # matched pair still promotes
+    assert _run(tmp_path, monkeypatch, [a, _bench_record(0.2, 9.0)]) == 0
+
+
+def test_choose_repeats_fair_share():
+    """Budget-degradation ladder (verdict r11 #1): unlimited budget →
+    full best-of-N; tight budget → fewer repeats, floored at 1 — the
+    caller handles truncation, this function never returns 0."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    assert bench._choose_repeats(float("inf"), 50, 3.0, 5) == 5
+    # 500 s for 100 queries at ~1 s/run → 5 repeats fit the fair share
+    assert bench._choose_repeats(500, 100, 1.0, 5) == 5
+    # 100 s for 100 queries at ~1 s/run → share is 1 run
+    assert bench._choose_repeats(100, 100, 1.0, 5) == 1
+    # never 0, even when the share can't fit one run
+    assert bench._choose_repeats(1, 100, 5.0, 5) == 1
+    # cheap queries keep full statistics under the same tight budget
+    assert bench._choose_repeats(100, 100, 0.05, 5) == 5
+
+
+def test_flush_is_atomic(tmp_path):
+    """A kill (or serialization crash) mid-flush must leave the previous
+    complete JSON in place (verdict r11 #2: a mid-loop timeout used to
+    yield nothing; with tmp+os.replace any instant's file is parseable)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    out = tmp_path / "bench_out.json"
+    bench._flush(str(out), {"queries": {"q1": 1.0}, "partial": True})
+    with open(out) as fh:
+        assert json.load(fh)["partial"] is True
+    # a crash mid-serialization (unserializable object) must not tear
+    # the artifact: json.dump dies after partially writing the TMP file
+    try:
+        bench._flush(str(out), {"queries": {"q1": object()}})
+    except TypeError:
+        pass
+    with open(out) as fh:
+        assert json.load(fh) == {"queries": {"q1": 1.0}, "partial": True}
+
+
+def test_local_dir_sweep_is_locked_and_age_gated(tmp_path):
+    """/dev/shm sweep race (ADVICE r11): a just-starting session's
+    shuffle dir (young mtime) must survive a concurrent sweep, a crashed
+    run's orphan (old mtime) must be reclaimed, and a held lock must
+    make the sweep a no-op entirely."""
+    from datamodel_clinicaldata_spark.session import _sweep_stale_local_dir
+
+    root = tmp_path / "spark_graft_local"
+    root.mkdir()
+    old = root / "orphan-from-crashed-run"
+    old.mkdir()
+    (old / "shuffle.data").write_text("x")
+    os.utime(old, (0, 0))  # ancient
+    fresh = root / "starting-session-dir"
+    fresh.mkdir()
+
+    _sweep_stale_local_dir(str(root), min_age_sec=120.0)
+    assert not old.exists(), "stale orphan should be reclaimed"
+    assert fresh.exists(), "young dir (concurrent session) must survive"
+    assert not os.path.exists(str(root) + ".sweeplock"), "lock released"
+
+    # held lock (another sweeper/starter active) → no-op, even for orphans
+    old.mkdir()
+    os.utime(old, (0, 0))
+    with open(str(root) + ".sweeplock", "w"):
+        pass
+    _sweep_stale_local_dir(str(root), min_age_sec=120.0)
+    assert old.exists(), "sweep must be a no-op while the lock is held"
+    os.unlink(str(root) + ".sweeplock")
 
 
 def test_host_noise_gate_floor_and_quiet(monkeypatch):

@@ -19,14 +19,23 @@ contributing runs exceeds 1.5× are listed in provenance as
 `high_spread_cells` — residual-contamination tripwires for the next
 reader, with the min still promoted.
 
-Per-run gate (unchanged from r9/r10 stale-proofing): a run is refused
-as a contributor when its own host evidence says the window was loaded
-(mid-headline loadavg, start loadavg, canary-flagged window count).
+Per-run gate (r9/r10 stale-proofing + r12 provenance hardening): a run
+is refused as a contributor when its own host evidence says the window
+was loaded (mid-headline loadavg, start loadavg, canary-flagged window
+count), when the canary accounting is MISSING entirely (pre-r10 format
+or a future bench edit dropping it — absence of the primary
+contamination instrument is itself a refusal, ADVICE r11), when the
+record is unstamped (no git_sha — ADVICE r11: the no-args glob silently
+folded stale cells measured on old code into new baselines), or when it
+was budget-degraded (partial / truncated / cold cells — driver-budget
+runs are not baseline material; promote from unbounded
+SPARK_GRAFT_BENCH_BUDGET_SEC=0 runs). Cross-run: all contributors must
+share one sf and one git_sha, and that sha must be the current HEAD.
 
 Usage:
     python tools/record_bench_baseline.py <round> run1.json run2.json [...]
     python tools/record_bench_baseline.py <round>            # bench_out.json + bench_run_*.json
-    --force    accept contaminated/single runs anyway (provenance records it)
+    --force    accept contaminated/single/mismatched runs anyway (provenance records it)
 """
 
 from __future__ import annotations
@@ -58,16 +67,51 @@ def _gate(path: str, run: dict) -> str | None:
     host = run.get("host", {})
     mid = host.get("loadavg_mid_headline_max")
     start = (host.get("loadavg_at_start") or [0.0])[0]
-    noisy = host.get("canary", {}).get("noisy_queries", [])
+    canary = host.get("canary")
+    if canary is None:
+        # The canary accounting is the PRIMARY contamination gate; a
+        # record without it cannot prove its windows were quiet — treat
+        # absence like an exhausted budget, not like zero noise.
+        return f"{path}: no host.canary block (pre-r10 format or stripped)"
+    if not run.get("git_sha"):
+        return f"{path}: unstamped record (no git_sha; pre-r12 format)"
+    if run.get("partial"):
+        return f"{path}: partial record (headline loop never finished)"
+    bdg = run.get("budget", {})
+    if bdg.get("truncated_after"):
+        return f"{path}: budget-truncated after {bdg['truncated_after']}"
+    if bdg.get("cold_cells"):
+        return (
+            f"{path}: {len(bdg['cold_cells'])} cold cells (untimed runs "
+            "recorded under budget pressure)"
+        )
+    noisy = canary.get("noisy_queries", [])
     if mid is not None and mid > MAX_MID_LOAD:
         return f"{path}: mid-headline loadavg {mid} > {MAX_MID_LOAD}"
     if start > MAX_START_LOAD:
         return f"{path}: start loadavg {start} > {MAX_START_LOAD}"
     if len(noisy) > MAX_NOISY:
         return f"{path}: {len(noisy)} canary-flagged windows > {MAX_NOISY}"
-    if host.get("canary", {}).get("budget_exhausted"):
+    if canary.get("budget_exhausted"):
         return f"{path}: canary wait budget exhausted (ungated timings)"
     return None
+
+
+def _head_sha() -> str | None:
+    try:
+        import subprocess
+
+        return (
+            subprocess.run(
+                ["git", "-C", ROOT, "rev-parse", "--short=12", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def main() -> int:
@@ -88,10 +132,29 @@ def main() -> int:
 
     runs: list[tuple[str, dict]] = []
     refused: list[str] = []
+    head = _head_sha()
+    ref_sf = None
+    ref_sha = None
     for p in paths:
         with open(p) as fh:
             run = json.load(fh)
         reason = _gate(p, run)
+        # Cross-run consistency (ADVICE r11): per-cell minima across runs
+        # are only comparable when every contributor measured the SAME
+        # code at the SAME scale — and a baseline promoted from a sha
+        # other than HEAD is stale the moment it lands.
+        if reason is None:
+            if ref_sf is None:
+                ref_sf, ref_sha = run.get("sf"), run.get("git_sha")
+            if run.get("sf") != ref_sf:
+                reason = f"{p}: sf {run.get('sf')} != first contributor's {ref_sf}"
+            elif run.get("git_sha") != ref_sha:
+                reason = (
+                    f"{p}: git_sha {run.get('git_sha')} != first "
+                    f"contributor's {ref_sha}"
+                )
+            elif head and run.get("git_sha") != head:
+                reason = f"{p}: git_sha {run.get('git_sha')} != HEAD {head}"
         if reason and not force:
             print(f"SKIP contributor — {reason}")
             refused.append(reason)
@@ -135,12 +198,19 @@ def main() -> int:
             {
                 "round": rnd,
                 "policy": f"per-cell min across {len(runs)} canary-gated runs",
-                "queries_median": minima,
+                # canonical key since r12: these are per-cell FLOORS
+                # (min-of-N), not medians — vs_prev readers compare a
+                # run's median against this floor (ADVICE r11 naming fix)
+                "queries_min": minima,
+                "git_sha": ref_sha,
+                "sf": ref_sf,
                 "provenance": {
                     "contributors": [
                         {
                             "source": name,
                             "headline_total": run.get("value"),
+                            "git_sha": run.get("git_sha"),
+                            "sf": run.get("sf"),
                             "host": run.get("host", {}),
                         }
                         for name, run in runs
