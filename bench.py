@@ -361,6 +361,86 @@ def _canary_ms() -> float:
     return (time.perf_counter() - t0) * 1000.0
 
 
+def _mp_spin(n: int) -> int:
+    """Worker body for the multi-process canary (module-level for
+    pickling). Pure CPU, no imports, no shared state."""
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+class _MpCanary:
+    """PARALLEL-load canary (r12). Run A of the r12 session recorded
+    noisy_queries=[] while mid-run cells inflated 18-55× against both
+    the promoted floors and a same-code run 90 minutes earlier — a
+    contention mode that punishes multi-core load but lets a
+    single-thread spin through, invisible to _canary_ms by
+    construction. This instrument runs the same spin in N forked
+    processes simultaneously (no GIL coupling): on free cores the batch
+    completes in ~one single-spin time; under parallel-punishing steal
+    it inflates like a Spark stage does. Evidence-only — one reading
+    per measured query, per-query degradation flags and the full
+    distribution in the artifact (host.canary.mp) — so a reader can
+    separate engine deltas from this mode after the fact; the baseline
+    promoter refuses runs with too many mp-degraded windows."""
+
+    def __init__(self, workers: int | None = None, ratio: float = 2.0):
+        self.ratio = ratio
+        self.readings: list[float] = []
+        self.degraded_queries: list[str] = []
+        self.floor_ms: float | None = None
+        self._pool = None
+        try:
+            import multiprocessing as mp
+
+            n = workers or min(8, max(2, (os.cpu_count() or 8) // 4))
+            self._pool = mp.get_context("fork").Pool(n)
+            self._n = n
+            self.floor_ms = min(self.read_ms() for _ in range(3))
+        except Exception as e:  # noqa: BLE001 — evidence-only instrument
+            print(f"WARN bench: mp canary unavailable: {e}", file=sys.stderr)
+            self._pool = None
+
+    def read_ms(self) -> float | None:
+        if self._pool is None:
+            return None
+        t0 = time.perf_counter()
+        self._pool.map(_mp_spin, [2_000_000] * self._n)
+        ms = (time.perf_counter() - t0) * 1000.0
+        self.readings.append(ms)
+        if self.floor_ms is None or ms < self.floor_ms:
+            self.floor_ms = ms  # running min, same doctrine as the 1-thread gate
+        return ms
+
+    def check_after(self, query_name: str) -> None:
+        ms = self.read_ms()
+        if ms is not None and ms > self.ratio * self.floor_ms:
+            self.degraded_queries.append(query_name)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def stats(self) -> dict | None:
+        if self.floor_ms is None:
+            return None
+        rs = sorted(self.readings)
+        return {
+            "workers": self._n,
+            "floor_ms": round(self.floor_ms, 2),
+            "gate_ratio": self.ratio,
+            "readings_n": len(rs),
+            "median_ms": round(rs[len(rs) // 2], 2) if rs else None,
+            "p90_ms": round(rs[int(len(rs) * 0.9)], 2) if rs else None,
+            # queries whose post-run parallel canary read > ratio × floor:
+            # the window likely sat in parallel-punishing steal — treat
+            # those cells as upper bounds even when noisy_queries is empty
+            "degraded_queries": self.degraded_queries,
+        }
+
+
 class _HostNoiseGate:
     """Canary-gated measurement windows (r10: the loadavg gate cannot
     see hypervisor contention). Calibrates a floor at startup, then
@@ -504,6 +584,10 @@ def main() -> None:
     except OSError:
         load_at_start = None
 
+    # Fork the parallel-canary pool BEFORE the JVM (and before pyspark
+    # imports) so the workers inherit a minimal process image.
+    mp_canary = _MpCanary()
+
     from datamodel_clinicaldata_spark.registry import QUERIES
     from datamodel_clinicaldata_spark.session import get_spark
 
@@ -622,7 +706,10 @@ def main() -> None:
                 # not assemble a full clean run set (numbers are upper
                 # bounds, not engine data); queries_with_discards dropped
                 # ≥1 burst-bracketed run but their numbers are clean.
-                "canary": gate.stats(),
+                # canary.mp is the PARALLEL-load instrument (see
+                # _MpCanary): mp.degraded_queries flags windows the
+                # 1-thread gate cannot see.
+                "canary": {**gate.stats(), "mp": mp_canary.stats()},
             }
         except OSError as e:  # noqa: BLE001 — diagnostics only
             print(f"WARN bench: host fingerprint failed: {e}", file=sys.stderr)
@@ -701,6 +788,9 @@ def main() -> None:
         # rule out a code regression; median/best spread shows it directly)
         medians[name] = round(runs[len(runs) // 2], 4)
         repeats_used[name] = len(runs)
+        # Parallel-load canary reading for THIS query's window (~0.15 s
+        # quiet): flags parallel-punishing steal the 1-thread gate misses.
+        mp_canary.check_after(name)
         try:
             mid_load_max = max(mid_load_max, os.getloadavg()[0])
         except OSError:
@@ -888,6 +978,7 @@ def main() -> None:
     # driver's tail capture three rounds running (BENCH_r04/r05/r06 all
     # recorded `parsed: null` from a mid-JSON truncation). With the JVM
     # down, nothing can interleave after these lines.
+    mp_canary.close()
     spark.stop()
     print(json.dumps(out))
     # Compact ~1 KB summary as the VERY last stdout line (verdict r6 #6):

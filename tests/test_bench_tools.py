@@ -42,7 +42,10 @@ def _bench_record(start_load, mid_load, medians=None, noisy=(), **over):
         "host": {
             "loadavg_at_start": [start_load, 0.0, 0.0],
             "loadavg_mid_headline_max": mid_load,
-            "canary": {"noisy_queries": list(noisy)},
+            "canary": {
+                "noisy_queries": list(noisy),
+                "mp": {"floor_ms": 110.0, "degraded_queries": []},
+            },
         },
     }
     rec.update(over)
@@ -136,6 +139,16 @@ def test_promotion_refused_on_missing_provenance(tmp_path, monkeypatch):
         0.1, 10.0, budget={"truncated_after": None, "cold_cells": ["q2"]}
     )
     assert _run(tmp_path, monkeypatch, [ok, cold]) == 3
+    # parallel-canary evidence (r12): absent mp block, or too many
+    # mp-degraded windows, is not baseline material either
+    no_mp = _bench_record(0.1, 10.0)
+    no_mp["host"]["canary"]["mp"] = None
+    assert _run(tmp_path, monkeypatch, [ok, no_mp]) == 3
+    mp_degraded = _bench_record(0.1, 10.0)
+    mp_degraded["host"]["canary"]["mp"]["degraded_queries"] = [
+        f"q{i}" for i in range(9)
+    ]
+    assert _run(tmp_path, monkeypatch, [ok, mp_degraded]) == 3
 
 
 def test_promotion_refused_on_mismatched_runs(tmp_path, monkeypatch):

@@ -34,3 +34,18 @@ def test_streaming_probe_stream_equals_batch(spark):
     r = probe_streaming(spark, 50_000, 8)
     assert r["stream_equals_batch"], r
     assert r["rows_streamed"] == 50_000
+
+
+def test_dedup_probe_gates_hold_at_small_size(spark):
+    """Pin probe_dedup's exactness gates (planted recall 1.0 in both the
+    banding stage and the winnowing postings join, closed-form distinct
+    count) after the r12 reduce-width fix — the probe now repartitions
+    the expansion builds before their groupBy, which must not change any
+    gate, only the exchange width."""
+    from scale_probe import probe_dedup
+
+    r = probe_dedup(spark, 10_000, 4)
+    assert r["exact"]["distinct_exact"], r
+    assert r["minhash_banding"]["planted_recall_1"], r
+    assert r["winnowing_postings"]["planted_recall_1"], r
+    assert r["postings_shuffle_width"] >= 4

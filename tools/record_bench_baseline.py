@@ -85,6 +85,18 @@ def _gate(path: str, run: dict) -> str | None:
             f"{path}: {len(bdg['cold_cells'])} cold cells (untimed runs "
             "recorded under budget pressure)"
         )
+    mp = canary.get("mp")
+    if not isinstance(mp, dict):
+        # r12 lesson: a run recorded noisy_queries=[] while mid-run cells
+        # inflated 18-55× under PARALLEL-punishing steal the 1-thread
+        # canary cannot see. Without the mp instrument's evidence the
+        # run's quiet-windows claim is unfalsifiable — refuse.
+        return f"{path}: no parallel-canary evidence (host.canary.mp)"
+    if len(mp.get("degraded_queries", [])) > MAX_NOISY:
+        return (
+            f"{path}: {len(mp['degraded_queries'])} parallel-canary-"
+            f"degraded windows > {MAX_NOISY}"
+        )
     noisy = canary.get("noisy_queries", [])
     if mid is not None and mid > MAX_MID_LOAD:
         return f"{path}: mid-headline loadavg {mid} > {MAX_MID_LOAD}"

@@ -353,7 +353,21 @@ def probe_dedup(spark, n_docs: int, partitions: int) -> dict:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out: dict = {"n_docs": n_docs}
+    # Reduce-side width for the expansion builds (r12 lesson — measured,
+    # not theoretical): at 4M docs the winnowing postings explode is
+    # ~240M rows / ~150M distinct fingerprint keys; through the session's
+    # 32 shuffle partitions that is ~5M keys per task held as live Java
+    # objects in 32 concurrent ObjectHashAggregate maps (the 4M
+    # fallbackThreshold admits them) — the 48g JVM spent 30 minutes in a
+    # GC death spiral and died without ever completing a task. On a real
+    # cluster these exchanges are sized to data volume (the 100-200 MB/
+    # partition doctrine); the probe must do the same: an explicit
+    # repartition(width, keys) immediately before the groupBy — the
+    # groupBy reuses the exchange (same hash clustering), and
+    # user-specified widths are exempt from AQE coalescing, so the
+    # per-task key count is actually bounded (~600k at 4M docs).
+    width = int(min(512, max(partitions, n_docs // 25_000)))
+    out: dict = {"n_docs": n_docs, "postings_shuffle_width": width}
     try:
         # planted truth: all C(4,2)=6 pairs inside each odd gid
         planted = _pairs_from_postings(
@@ -398,7 +412,8 @@ def probe_dedup(spark, n_docs: int, partitions: int) -> dict:
             ).alias("bb"),
         ).select("doc_id", "bb.band", "bb.bh")
         cand = _pairs_from_postings(
-            banded.groupBy("band", "bh")
+            banded.repartition(width, "band", "bh")
+            .groupBy("band", "bh")
             .agg(F.collect_list("doc_id").alias("ids"))
             .filter(F.size("ids") >= 2)
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -426,7 +441,8 @@ def probe_dedup(spark, n_docs: int, partitions: int) -> dict:
             )
         )
         buckets = (
-            posts.groupBy("fp")
+            posts.repartition(width, "fp")
+            .groupBy("fp")
             .agg(F.collect_list("doc_id").alias("ids"))
             .filter((F.size("ids") >= 2) & (F.size("ids") <= 5000))
         )
@@ -950,33 +966,64 @@ def probe_streaming(spark, rows: int, partitions: int) -> dict:
 def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     out: dict = {"rows": rows, "partitions": partitions}
     w0, r0 = _shuffle_totals(spark)
-    out["prefix_rank"] = probe_prefix_rank(spark, rows, partitions)
-    out["sweep_line"] = probe_sweep_line(spark, rows, partitions)
-    out["interval_join"] = probe_interval_join(spark, rows, partitions)
-    # Hot-key fold at rows/5 points on ONE key (10M at the default 50M):
-    # the skew worst case for the per-key array recurrences.
-    out["hot_key_fold"] = probe_hot_key_fold(
-        spark, max(rows // 5, 1_000_000), partitions
+
+    def _record(name: str, fn) -> None:
+        # Incremental evidence (r12 — same doctrine as bench.py's
+        # per-query flush): each probe's result goes to stderr the moment
+        # it exists, so a crash in a LATER probe (both 200M-ladder
+        # failures happened mid-run) still leaves every completed probe's
+        # numbers on record instead of an all-or-nothing stdout JSON.
+        out[name] = fn()
+        print(f"PROBE {name}: {json.dumps(out[name])}", file=sys.stderr, flush=True)
+
+    _record("prefix_rank", lambda: probe_prefix_rank(spark, rows, partitions))
+    _record("sweep_line", lambda: probe_sweep_line(spark, rows, partitions))
+    _record(
+        "interval_join", lambda: probe_interval_join(spark, rows, partitions)
+    )
+    # Hot-key fold on ONE key: the skew worst case for the per-key array
+    # recurrences. Pinned at the MEASURED single-buffer ceiling, not
+    # scaled with the ladder (r12): 20M points in one collect_list buffer
+    # is the proven bound on the default 48g local JVM; 40M OOM'd the
+    # task outright (stage-28 Java heap space, 200M-ladder run 2). The
+    # fold's contract is per-series length — a series beyond ~20M points
+    # needs the segmented/windowed variant, not a bigger array row.
+    _record(
+        "hot_key_fold",
+        lambda: probe_hot_key_fold(
+            spark, min(max(rows // 5, 1_000_000), 20_000_000), partitions
+        ),
     )
     # Dedup family at 1M+ docs (rows/50 at the default 50M).
-    out["dedup"] = probe_dedup(spark, max(rows // 50, 1_000_000), partitions)
+    _record(
+        "dedup",
+        lambda: probe_dedup(spark, max(rows // 50, 1_000_000), partitions),
+    )
     # Similarity family at 1M+ vectors (rows/50 at the default 50M).
-    out["similarity"] = probe_similarity(
-        spark, max(rows // 50, 1_000_000), partitions
+    _record(
+        "similarity",
+        lambda: probe_similarity(spark, max(rows // 50, 1_000_000), partitions),
     )
     # Attribution shape at rows/5 events (10M at the default 50M).
-    out["attribution"] = probe_attribution(
-        spark, max(rows // 5, 1_000_000), partitions
+    _record(
+        "attribution",
+        lambda: probe_attribution(spark, max(rows // 5, 1_000_000), partitions),
     )
     # Label propagation at rows/5 edges (10M at the default 50M),
     # hot-hub skew + planted-two-community exactness gate.
-    out["label_propagation"] = probe_label_propagation(
-        spark, max(rows // 5, 1_000_000), partitions
+    _record(
+        "label_propagation",
+        lambda: probe_label_propagation(
+            spark, max(rows // 5, 1_000_000), partitions
+        ),
     )
     # Streaming ingest at rows/5 events (10M at the default 50M),
     # stream-equals-batch exactness gate through the tumbling aggregate.
-    out["streaming"] = probe_streaming(
-        spark, max(rows // 5, 1_000_000), min(partitions, 32)
+    _record(
+        "streaming",
+        lambda: probe_streaming(
+            spark, max(rows // 5, 1_000_000), min(partitions, 32)
+        ),
     )
     w1, r1 = _shuffle_totals(spark)
     out["shuffle_write_bytes"] = w1 - w0
