@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.functions.text import word_shingles
-from datamodel_clinicaldata_spark.operators.partitioning import ensure_min_parallelism
+from datamodel_clinicaldata_spark.operators.partitioning import (
+    ensure_min_parallelism,
+    source_rows_for_width,
+    widen_expansion,
+)
 
 
 def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -76,7 +80,12 @@ def _pairs_from_postings(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
 
 
 def _shingle_postings(
-    df: DataFrame, content_col: str, id_col: str, k: int, max_postings: int | None
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int,
+    max_postings: int | None,
+    n_source_rows: int = 0,
 ) -> DataFrame:
     """Inverted-index posting lists: (shingle, ids), hot shingles dropped.
 
@@ -85,10 +94,16 @@ def _shingle_postings(
     zero signal (it's a stop-shingle) — dropping it bounds both skew and
     output size. ``None`` disables the cap (exact semantics — required
     wherever the result is cross-validated against an uncapped algorithm).
-    Singleton shingles are dropped either way (no pair to emit)."""
+    Singleton shingles are dropped either way (no pair to emit).
+
+    ``n_source_rows`` drives the reduce width of the postings groupBy
+    (see ``partitioning.expansion_width`` — the r12 4M-doc GC wall):
+    downstream consumers (re-explode + self-join on shingle) inherit the
+    widened hash clustering, so no second exchange appears."""
     idx = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(content_col), k))).alias("shingle")
     )
+    idx = widen_expansion(idx, "shingle", n_source_rows=n_source_rows)
     keep = F.size("ids") >= 2
     if max_postings is not None:
         keep = keep & (F.size("ids") <= max_postings)
@@ -106,10 +121,13 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_postings: int | None = 200,
+    n_rows_est: int | None = None,
 ) -> DataFrame:
     """Exact k-token-shingle Jaccard for every candidate pair sharing at
     least one (non-stop) shingle. Output: (id_a, id_b, jaccard), id_a <
-    id_b, jaccard ≥ threshold.
+    id_b, jaccard ≥ threshold. ``n_rows_est``: source row count for the
+    postings reduce width (auto-detected when None — see
+    ``partitioning.source_rows_for_width``).
 
     Jaccard comes from co-occurrence COUNTING, not array intersection:
     the inverted-index self-join yields one row per shared shingle per
@@ -128,6 +146,7 @@ def ngram_jaccard_pairs(
     (``queries_dedup._capped_pair_chain``) — advice r5: the uncapped
     list_intersect oracle silently diverges once any posting list
     crosses the cap."""
+    n_src = source_rows_for_width(df, n_rows_est)
     df = ensure_min_parallelism(df)
     sizes = df.select(
         F.col(id_col),
@@ -139,7 +158,7 @@ def ngram_jaccard_pairs(
     # vs ns/row join probes). The capped postings re-explode into a
     # compact index; both join sides are the identical subplan, so Spark
     # reuses one exchange (ReusedExchange) for the self-join.
-    idx = _shingle_postings(df, content_col, id_col, k, max_postings).select(
+    idx = _shingle_postings(df, content_col, id_col, k, max_postings, n_src).select(
         "shingle", F.explode("ids").alias(id_col)
     )
     a, b = idx.alias("a"), idx.alias("b")
@@ -172,6 +191,7 @@ def ngram_containment_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_postings: int | None = 200,
+    n_rows_est: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC set containment C(A,B) = |A∩B| / min(|A|,|B|) over
     candidate pairs sharing a (non-stop) shingle — the subset-duplicate
@@ -186,12 +206,13 @@ def ngram_containment_pairs(
     binding ``max_postings``, c ignores capped shingles while sizes count
     them (lower bound); oracle twins must replay the capped counting
     chain."""
+    n_src = source_rows_for_width(df, n_rows_est)
     df = ensure_min_parallelism(df)
     sizes = df.select(
         F.col(id_col),
         F.size(F.array_distinct(word_shingles(F.col(content_col), k))).alias("n"),
     )
-    idx = _shingle_postings(df, content_col, id_col, k, max_postings).select(
+    idx = _shingle_postings(df, content_col, id_col, k, max_postings, n_src).select(
         "shingle", F.explode("ids").alias(id_col)
     )
     a, b = idx.alias("a"), idx.alias("b")
@@ -273,6 +294,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     persist_into: list[DataFrame] | None = None,
+    n_rows_est: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection.
 
@@ -288,6 +310,7 @@ def minhash_lsh_pairs(
     path.
     """
     r = num_hashes // bands
+    n_src = source_rows_for_width(df, n_rows_est)
     df = ensure_min_parallelism(df)
     docs = df.select(
         F.col(id_col),
@@ -333,6 +356,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+    # Reduce width scales with corpus size (r12 4M-doc GC wall): the
+    # bucket groupBy's key cardinality ≈ n_docs × bands.
+    banded = widen_expansion(banded, "band", "bh", n_source_rows=n_src)
     cand = _pairs_from_postings(
         banded.groupBy("band", "bh")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -405,12 +431,14 @@ def simhash_band_pairs(
     band_bits: int = 15,
     max_hamming: int | None = None,
     hash_mode: str = "xxhash64",
+    n_rows_est: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup blocking: docs sharing any of the 4 15-bit bands of
     their simhash (Hamming-distance blocking: distance ≤ 3 guarantees ≥1
     equal band). Output: (id_a, id_b, hamming), optionally filtered to
     ``hamming ≤ max_hamming`` (the guarantee holds for max_hamming ≤ 3 at
     the default 4×15-bit banding). ``hash_mode`` — see ``simhash64``."""
+    n_src = source_rows_for_width(df, n_rows_est)
     sh = ensure_min_parallelism(df).select(
         F.col(id_col), simhash64(F.col(content_col), hash_mode=hash_mode).alias("sh")
     )
@@ -435,7 +463,9 @@ def simhash_band_pairs(
     # of ids), so candidates pair off via the JVM hash self-join (faster
     # than in-array emission for big buckets — see ngram_jaccard_pairs);
     # the Hamming bound lives in the join condition so non-near pairs die
-    # before the dedup shuffle.
+    # before the dedup shuffle. Both aliases share the widened exchange
+    # (identical subplan → ReusedExchange).
+    banded = widen_expansion(banded, "band", "bv", n_source_rows=n_src)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     cond = (
@@ -541,6 +571,7 @@ def prefix_filtered_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    n_rows_est: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard ≥ τ pairs via PREFIX FILTERING (Bayardo et al.
     WWW'07 "Scaling Up All Pairs Similarity Search"; Chaudhuri et al.
@@ -559,6 +590,7 @@ def prefix_filtered_jaccard_pairs(
     array-intersect verification on surviving candidates only."""
     from pyspark.sql import Window
 
+    n_src = source_rows_for_width(df, n_rows_est)
     df = ensure_min_parallelism(df)
     # Shingles travel as xxhash64 LONGS end-to-end (index, rank, verify
     # arrays): the prefix principle only needs both documents to rank by
@@ -578,6 +610,10 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("__n") > 0)
     )
     posts = sh.select(id_col, "__n", F.explode("__sh").alias("shingle"))
+    # df-count groupBy key cardinality ≈ distinct shingles across the
+    # corpus (~10⁸ at 4M docs) — widen its reduce side with corpus size;
+    # the posts⋈dfreq equi-join on shingle reuses the same clustering.
+    posts = widen_expansion(posts, "shingle", n_source_rows=n_src)
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
@@ -614,4 +650,77 @@ def prefix_filtered_jaccard_pairs(
         .join(xb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 16,
+    w: int = 8,
+    max_postings: int = 5000,
+    min_shared: int = 3,
+    n_rows_est: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS (the
+    MOSS plagiarism-detection shape — Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): documents sharing ≥ ``min_shared`` window-minimum k-gram
+    hashes almost surely share ≥ k+w−1 characters of verbatim text per
+    shared fingerprint. Capped-postings plan, same doctrine as the
+    shingle-index family: a fingerprint held by > ``max_postings`` docs
+    is a stop-gram (dropped, bounding the self-join's skew);
+    fingerprints are distinct per document, so the pair count equals the
+    shared-fingerprint count with no dedup pass. One explode + one
+    capped postings self-join + one aggregate. Output:
+    (id_a, id_b, n_shared), id_a < id_b, n_shared ≥ ``min_shared``.
+
+    Promoted from ``queries_text.dedup_winnowing_pairs`` (r13) so the
+    reduce-width doctrine lives in the ENGINE, not the probe: at 4M docs
+    the postings groupBy sees ~150M distinct fingerprint keys, and
+    through a 32-partition exchange that GC-killed a 48 GiB JVM (r12
+    scale ladder). ``widen_expansion`` sizes the exchange to the corpus;
+    the capped self-join reuses the same hash clustering."""
+    from datamodel_clinicaldata_spark.functions.text import (
+        gram_hashes,
+        winnow_from_hashes,
+    )
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    n_src = source_rows_for_width(df, n_rows_est)
+    # compute-dense spread (measured 5.4 s -> 1.4 s at sf0.1: the ~10M
+    # md5 postings build otherwise runs on the scan's single partition)
+    d = ensure_min_parallelism(df, id_col)
+    post = d.withColumn("__hs", gram_hashes(F.col(content_col), k=k)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_from_hashes(F.col("__hs"), w=w)).alias("fp"),
+    )
+    # Reduce width scales with corpus size BEFORE the lineage pin, so
+    # the pinned copy is already fp-clustered at the widened width and
+    # all three consumers (cap aggregate + both self-join sides) inherit
+    # it without another exchange.
+    post = widen_expansion(post, "fp", n_source_rows=n_src)
+    # Materialize once: the postings feed THREE plan branches (the cap
+    # aggregate and both self-join sides), and each would otherwise
+    # re-run the full gram-hash + winnow evaluation (~2k md5 per doc per
+    # pass — measured ~4× the row's cost at sf0.1). Narrow (id, fp)
+    # rows, so the pinned copy is small. Pinned via truncate_lineage so
+    # SPARK_GRAFT_CHECKPOINT=reliable swaps it to a durable checkpoint
+    # fleet-wide.
+    post = truncate_lineage(post, eager=False)
+    ok = (
+        post.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") <= max_postings)
+        .select("fp")
+    )
+    p2 = post.join(ok, "fp")
+    a = p2.select(F.col("doc_id").alias("id_a"), "fp")
+    b = p2.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

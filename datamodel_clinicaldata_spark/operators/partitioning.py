@@ -48,6 +48,109 @@ def ensure_min_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     return df
 
 
+def expansion_width(
+    n_source_rows: int,
+    default: int,
+    rows_per_partition: int = 25_000,
+    cap: int = 512,
+) -> int:
+    """Reduce-side shuffle width for EXPANSION aggregates — the postings
+    builds (shingle/fingerprint/band inverted indexes) whose groupBy key
+    cardinality is orders of magnitude above the source row count.
+
+    The r12 200M-rung wall (measured, not theoretical): at 4M docs the
+    winnowing postings explode is ~240M rows / ~150M distinct fingerprint
+    keys; reduced into the session's 32 shuffle partitions that is ~5M
+    live keys per task across 32 concurrent ObjectHashAggregate maps —
+    the 48 GiB JVM spent 30 minutes in a GC death spiral and died without
+    completing a task. On a real cluster these exchanges are sized to
+    data volume (the 100-200 MB/partition doctrine); the same rule here:
+    ~25k source docs per reduce partition (each doc contributes ~40-60
+    postings at the operators' defaults → ~0.6-1.5M keys/task), floored
+    at the session default so small inputs keep their exact current
+    plans, capped at 512 so a huge estimate cannot explode task count on
+    local[32]. Pure function — pinned in tests."""
+    return int(min(cap, max(default, n_source_rows // rows_per_partition)))
+
+
+def widen_expansion(
+    df: DataFrame,
+    *keys: str,
+    n_source_rows: int,
+    rows_per_partition: int = 25_000,
+    cap: int = 512,
+) -> DataFrame:
+    """Insert ``repartition(width, keys)`` immediately before an
+    expansion groupBy/self-join on ``keys`` when the source row count
+    demands more reduce width than the session default (see
+    :func:`expansion_width`). The downstream groupBy reuses the exchange
+    (same hash clustering), and a user-specified width is exempt from
+    AQE coalescing, so the per-task key count is actually bounded. When
+    the computed width is within the session default this is a NO-OP —
+    the plan (and the promoted small-SF floors and plan pins) are
+    byte-identical.
+
+    ``n_source_rows`` is the SOURCE row count (documents, not exploded
+    postings): callers that already hold a count pass it; operators
+    without one take a ``df.count()`` on their bare-scan input — a
+    column-pruned parquet count, milliseconds against the minutes the
+    postings build itself costs at the row counts where the width
+    matters (r12 lesson: this exchange is the difference between 68 s
+    and a dead JVM at 4M docs)."""
+    spark = df.sparkSession
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — conf key always exists in practice
+        default = spark.sparkContext.defaultParallelism
+    width = expansion_width(n_source_rows, default, rows_per_partition, cap)
+    if width <= default:
+        return df
+    return df.repartition(width, *keys)
+
+
+def source_rows_for_width(
+    df: DataFrame,
+    n_rows_est: int | None = None,
+    small_input_bytes: int = 32 << 20,
+) -> int:
+    """Source row count to feed :func:`expansion_width`: the caller's
+    explicit estimate when given; ``0`` ("small — keep the session
+    default width") when the input is a file scan whose total size is
+    under ``small_input_bytes`` — a no-job check via ``inputFiles()``,
+    so the sf0.1 bench cells and their promoted floors see ZERO plan or
+    job change; else one column-pruned ``count()`` (row counts at the
+    millions-of-docs scale where the width matters cost milliseconds
+    against the minutes of the postings build itself). Non-file inputs
+    (synthetic frames) with no estimate fall through to the count."""
+    if n_rows_est is not None:
+        return n_rows_est
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — estimation must never fail the op
+        files = []
+    if files:
+        import os
+
+        total: int | None = 0
+        for f in files:
+            path = f
+            if path.startswith("file://"):
+                path = path[len("file://") :]
+            elif path.startswith("file:"):
+                path = path[len("file:") :]
+            if not path.startswith("/"):
+                total = None  # remote FS — sizes not locally statable
+                break
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                total = None
+                break
+        if total is not None and total < small_input_bytes:
+            return 0
+    return df.count()
+
+
 def zorder_key(
     cols: list,
     ranges: list[tuple[float, float]],

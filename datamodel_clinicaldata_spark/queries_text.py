@@ -869,47 +869,21 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
     plagiarism-detection shape: documents sharing ≥ 3 window-minimum
     hashes almost surely share ≥ k+w−1 = 23 characters of verbatim
-    text per shared fingerprint. Same capped-postings plan as the
-    shingle-index dedup family (a fingerprint held by > 5000 docs is a
-    stop-gram: dropped on BOTH engines, bounding the self-join's skew);
-    fingerprints are distinct per document, so the pair count equals
-    the shared-fingerprint count with no dedup pass. One explode + one
-    capped postings self-join + one aggregate."""
-    # compute-dense spread (measured 5.4 s -> 1.4 s at sf0.1: the ~10M
-    # md5 postings build otherwise runs on the scan's single partition)
-    d = ensure_min_parallelism(read_table(spark, sf_dir, "documents"), "doc_id")
-    post = (
-        d.withColumn("__hs", gram_hashes(F.col("text"), k=16))
-        .select(
-            "doc_id",
-            F.explode(winnow_from_hashes(F.col("__hs"), w=8)).alias("fp"),
-        )
-    )
-    # Materialize once: the postings feed THREE plan branches (the
-    # cap aggregate and both self-join sides), and each would
-    # otherwise re-run the full gram-hash + winnow evaluation
-    # (~2k md5 per doc per pass — measured ~4× the row's cost at
-    # sf0.1). Narrow (id, fp) rows, so the pinned copy is small.
-    # Pinned via truncate_lineage so SPARK_GRAFT_CHECKPOINT=reliable
-    # swaps it to a durable checkpoint fleet-wide.
-    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+    text per shared fingerprint. Thin face over
+    ``operators.dedup.winnowing_pairs`` (promoted to the operator layer
+    in r13 so the postings reduce-width doctrine — the r12 4M-doc GC
+    wall — lives in the ENGINE, not the probe); plan at sf0.1 is
+    unchanged (the widened exchange only appears past ~800k docs)."""
+    from datamodel_clinicaldata_spark.operators.dedup import winnowing_pairs
 
-    post = truncate_lineage(post, eager=False)
-    ok = (
-        post.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") <= 5000)
-        .select("fp")
-    )
-    p2 = post.join(ok, "fp")
-    a = p2.select(F.col("doc_id").alias("id_a"), "fp")
-    b = p2.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= 3)
+    return winnowing_pairs(
+        read_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=16,
+        w=8,
+        max_postings=5000,
+        min_shared=3,
     )
 
 

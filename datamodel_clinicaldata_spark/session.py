@@ -79,8 +79,20 @@ def _sweep_stale_local_dir(path: str, min_age_sec: float = 120.0) -> None:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         try:
-            if time.time() - os.path.getmtime(lock) > 600:
-                os.unlink(lock)  # crashed sweeper; next caller retries
+            st = os.stat(lock)
+            if time.time() - st.st_mtime > 600:
+                # Crashed sweeper: break the lock — but re-verify identity
+                # first (ADVICE r12 TOCTOU: between getmtime and unlink
+                # another process may have broken the stale lock AND
+                # created a fresh one; unlinking that would admit two
+                # sweepers). A stat identity check narrows the window to
+                # ~µs; the residual race is tolerated because the
+                # min_age mtime gate below makes the sweep idempotent —
+                # the lock is best-effort serialization, the age gate is
+                # the actual correctness guard.
+                st2 = os.stat(lock)
+                if (st2.st_ino, st2.st_mtime_ns) == (st.st_ino, st.st_mtime_ns):
+                    os.unlink(lock)  # next caller retries
         except OSError:
             pass
         return

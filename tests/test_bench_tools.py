@@ -164,6 +164,217 @@ def test_promotion_refused_on_mismatched_runs(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, [a, _bench_record(0.2, 9.0)]) == 0
 
 
+def test_promotion_ref_capture_only_after_all_checks(tmp_path, monkeypatch):
+    """ADVICE r12 (medium): a leftover STALE-sha bench_out.json used to
+    be refused by the HEAD check but still captured as ref_sha, so every
+    genuinely-fresh run after it was refused for 'mismatching the first
+    contributor' and promotion could never succeed. The stale run must
+    be refused without poisoning the reference."""
+    import record_bench_baseline as rbb
+
+    monkeypatch.setattr(rbb, "_head_sha", lambda: "abc123def456")
+    stale = _bench_record(0.1, 10.0, git_sha="feedfeedfeed")  # old code
+    fresh1 = _bench_record(0.1, 10.0)
+    fresh2 = _bench_record(0.2, 9.0)
+    assert _run(tmp_path, monkeypatch, [stale, fresh1, fresh2], ["13"]) == 0
+    with open(tmp_path / "bench_baseline.json") as fh:
+        base = json.load(fh)
+    assert base["git_sha"] == "abc123def456"
+    prov = base["provenance"]
+    assert [c["source"] for c in prov["contributors"]] == [
+        "bench_run_1.json",
+        "bench_run_2.json",
+    ]
+    assert any("HEAD" in r for r in prov["refused"])
+
+
+def test_headline_value_excludes_cold_cells():
+    """Verdict r12 #5: a cold cell's number is one untimed, steal-exposed
+    run — it must not enter the cross-round headline total."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    timings = {"warm1": 1.5, "cold": 56.48, "warm2": 2.0}
+    repeats = {"warm1": 3, "cold": 0, "warm2": 1}
+    assert bench._headline_value(timings, repeats) == 3.5
+
+
+def test_flush_removes_tmp_on_failure(tmp_path):
+    """ADVICE r12: a serialization crash must not leave a stale .tmp
+    next to the artifact (and the tmp name is per-pid so concurrent
+    benches cannot tear each other's half-written file)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    out = tmp_path / "bench_out.json"
+    try:
+        bench._flush(str(out), {"bad": object()})
+    except TypeError:
+        pass
+    assert list(tmp_path.glob("*.tmp")) == []
+    # a successful flush also leaves no tmp behind
+    bench._flush(str(out), {"ok": 1})
+    assert list(tmp_path.glob("*.tmp")) == []
+    with open(out) as fh:
+        assert json.load(fh) == {"ok": 1}
+
+
+def test_mp_canary_bracket_flags_either_side(monkeypatch):
+    """Verdict r12 #2: the r12 driver run had ~10 steal-inflated cells
+    and the single trailing mp reading caught 1 — a burst that ends
+    inside the window is only visible to the PRE-window reading. Either
+    bracket side above ratio × floor must flag the window."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    class Stub:
+        ratio = 2.0
+        floor_ms = 100.0
+        degraded_queries: list[str] = []
+        check_bracket = bench._MpCanary.check_bracket
+
+        def __init__(self, post_readings):
+            self._it = iter(post_readings)
+            self.degraded_queries = []
+
+        def read_ms(self):
+            return next(self._it)
+
+    # pre high, post quiet → flagged (the r12 miss); pre quiet, post
+    # high → flagged; both quiet → clean
+    c = Stub([120.0, 500.0, 110.0])
+    c.check_bracket("q_pre_burst", 900.0)
+    c.check_bracket("q_post_burst", 120.0)
+    c.check_bracket("q_clean", 130.0)
+    assert c.degraded_queries == ["q_pre_burst", "q_post_burst"]
+
+
+def _stub_bench_instruments(monkeypatch, bench):
+    """Quiet-host instrument stubs: the tripwire integration test wants
+    DETERMINISTIC steal simulation (slow query callables), not real host
+    weather leaking into the gate."""
+    monkeypatch.setattr(bench, "_canary_ms", lambda: 100.0)
+    monkeypatch.setattr(bench, "_quiesce", lambda *a, **k: 0.0)
+
+    class StubMp:
+        def __init__(self, *a, **k):
+            self.ratio = 2.0
+            self.floor_ms = 100.0
+            self.readings = []
+            self.degraded_queries = []
+            self._n = 0
+
+        def read_ms(self):
+            self.readings.append(100.0)
+            return 100.0
+
+        check_bracket = bench._MpCanary.check_bracket
+
+        def close(self):
+            pass
+
+        def stats(self):
+            return {"floor_ms": 100.0, "degraded_queries": self.degraded_queries}
+
+    monkeypatch.setattr(bench, "_MpCanary", StubMp)
+
+
+def test_bench_tripwire_corrects_and_flags(tmp_path, monkeypatch, spark):
+    """Steal-simulated end-to-end run (verdict r12 #1 done-criterion):
+    two synthetic cells whose promoted floor is 0.1 s —
+
+    - ``fake_trip_recover`` sleeps 0.6 s during warm+timed runs (a steal
+      burst) and is fast by retime time → the gated re-measure CORRECTS
+      the cell (retimed_cells carries was/now, median replaced);
+    - ``fake_trip_stuck`` sleeps 0.6 s always (sustained weather or a
+      real regression) → the re-measure refuses to come down and the
+      cell lands in suspect_weather, excluded from tier1_total_clean.
+    """
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import time as _time
+
+    import pyspark.sql
+
+    import bench
+    from datamodel_clinicaldata_spark.registry import QUERIES
+
+    _stub_bench_instruments(monkeypatch, bench)
+    # bench.main() must not tear down the session-scoped fixture
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
+
+    calls = {"recover": 0, "stuck": 0}
+
+    def fake_recover(s, sf_dir):
+        calls["recover"] += 1
+        if calls["recover"] <= 2:  # warm + the single timed run
+            _time.sleep(0.6)
+        return s.range(1)
+
+    def fake_stuck(s, sf_dir):
+        calls["stuck"] += 1
+        _time.sleep(0.6)
+        return s.range(1)
+
+    monkeypatch.setitem(QUERIES, "fake_trip_recover", fake_recover)
+    monkeypatch.setitem(QUERIES, "fake_trip_stuck", fake_stuck)
+
+    baseline = tmp_path / "baseline.json"
+    with open(baseline, "w") as fh:
+        json.dump(
+            {
+                "queries_min": {
+                    "fake_trip_recover": 0.1,
+                    "fake_trip_stuck": 0.1,
+                },
+                "git_sha": "testsha",
+            },
+            fh,
+        )
+    out_path = tmp_path / "bench_out.json"
+    env = {
+        "SPARK_GRAFT_BENCH_ONLY": "fake_trip_recover,fake_trip_stuck",
+        "SPARK_GRAFT_BENCH_OUT": str(out_path),
+        "SPARK_GRAFT_BENCH_BASELINE": str(baseline),
+        # 120 s: plenty for two ~1 s cells + retimes, small enough that
+        # every probe section (prefix stress, 50M scale probe, cc
+        # rounds) is budget-skipped instead of hijacking the test
+        "SPARK_GRAFT_BENCH_BUDGET_SEC": "120",
+        "SPARK_GRAFT_SCALE_PROBE": "0",
+        "SPARK_GRAFT_BENCH_REPEATS": "1",
+        "SPARK_GRAFT_BENCH_MAX_LOAD": "10000",
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+    }
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    bench.main()
+
+    with open(out_path) as fh:
+        rec = json.load(fh)
+    # the burst cell was corrected by the gated re-measure
+    rt = rec["retimed_cells"]["fake_trip_recover"]
+    assert rt["was_median"] >= 0.6 and rt["retimed"] < 0.3
+    assert rec["queries_median"]["fake_trip_recover"] < 0.3
+    assert rec["queries"]["fake_trip_recover"] < 0.3
+    # the sustained cell survived the re-measure → flagged, not corrected
+    assert rec["suspect_weather"] == ["fake_trip_stuck"]
+    assert rec["queries_median"]["fake_trip_stuck"] >= 0.6
+    # suspect cells stay OUT of the clean tier-1 total (neither fake is
+    # tier-1, so the clean set is empty here) and the record carries the
+    # tripwire parameters for the reader
+    assert rec["tier1_clean_n"] == 0
+    assert rec["trip_ratio"] == 3.0
+    assert rec["partial"] is False
+    assert not rec["budget"]["cold_cells"]
+
+
 def test_choose_repeats_fair_share():
     """Budget-degradation ladder (verdict r11 #1): unlimited budget →
     full best-of-N; tight budget → fewer repeats, floored at 1 — the

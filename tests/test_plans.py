@@ -464,3 +464,87 @@ def test_knn_eval_candidate_path_no_pair_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan
     a = audit(df)
     assert a.unpartitioned_windows == 0
+
+
+def test_expansion_width_rule():
+    """r12 200M-rung lesson promoted to the operator layer (verdict r12
+    #3): ~25k source docs per reduce partition, floored at the session
+    default (small inputs keep their exact current plans), capped at 512."""
+    from datamodel_clinicaldata_spark.operators.partitioning import expansion_width
+
+    assert expansion_width(0, 32) == 32
+    assert expansion_width(800_000, 32) == 32  # 32 partitions still fit
+    assert expansion_width(4_000_000, 32) == 160  # the r12 wall regime
+    assert expansion_width(1_000_000_000, 32) == 512  # cap
+    assert expansion_width(1_000_000, 64) == 64  # floor at default
+
+
+def test_source_rows_for_width_paths(spark, sf_dir):
+    """Explicit estimate wins; a small file scan short-circuits to 0
+    with NO job (the sf0.1 bench cells keep their plans and floors); a
+    non-file frame falls through to a count."""
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        source_rows_for_width,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert source_rows_for_width(docs, 12345) == 12345
+    assert source_rows_for_width(docs) == 0  # tiny parquet — "small"
+    assert source_rows_for_width(spark.range(50)) == 50  # count fallback
+
+
+def test_postings_reduce_width_widens_at_scale(spark):
+    """The postings groupBy's exchange must scale with the corpus (r12:
+    ~150M distinct fingerprint keys through 32 partitions GC-killed a
+    48 GiB JVM) and must stay ABSENT at small row counts so the sf0.1
+    plans — and their promoted floors — are untouched."""
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    wide = ngram_jaccard_pairs(docs, "text", "doc_id", n_rows_est=10_000_000)
+    plan = wide._jdf.queryExecution().optimizedPlan().toString()
+    # width = min(512, max(default, 10M // 25k)) = 400
+    assert "RepartitionByExpression" in plan and ", 400" in plan
+    small = ngram_jaccard_pairs(docs, "text", "doc_id", n_rows_est=100)
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    assert ", 400" not in plan_small
+
+    wide2 = prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", n_rows_est=10_000_000
+    )
+    plan2 = wide2._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan2 and ", 400" in plan2
+
+
+def test_winnowing_operator_width_semantics_stable(spark):
+    """Widening is a pure layout change: the engine winnowing operator
+    returns identical pairs with and without a forced-wide exchange."""
+    from datamodel_clinicaldata_spark.operators.dedup import winnowing_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(base * 4)).otherwise(
+            F.concat(F.lit(base), F.col("id").cast("string"), F.lit(" unique tail padding here"))
+        ).alias("text"),
+    )
+    narrow = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnowing_pairs(docs, "text", "doc_id", n_rows_est=30).collect()
+    )
+    wide = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnowing_pairs(
+            docs, "text", "doc_id", n_rows_est=50_000_000
+        ).collect()
+    )
+    assert narrow == wide and len(narrow) > 0

@@ -154,10 +154,14 @@ def main() -> int:
         # Cross-run consistency (ADVICE r11): per-cell minima across runs
         # are only comparable when every contributor measured the SAME
         # code at the SAME scale — and a baseline promoted from a sha
-        # other than HEAD is stale the moment it lands.
-        if reason is None:
-            if ref_sf is None:
-                ref_sf, ref_sha = run.get("sf"), run.get("git_sha")
+        # other than HEAD is stale the moment it lands. The HEAD check
+        # runs BEFORE the reference capture (ADVICE r12): a leftover
+        # stale-sha bench_out.json must be refused WITHOUT becoming the
+        # reference, or it poisons ref_sha and every genuinely-fresh run
+        # after it gets refused for "mismatching the first contributor".
+        if reason is None and head and run.get("git_sha") != head:
+            reason = f"{p}: git_sha {run.get('git_sha')} != HEAD {head}"
+        if reason is None and ref_sf is not None:
             if run.get("sf") != ref_sf:
                 reason = f"{p}: sf {run.get('sf')} != first contributor's {ref_sf}"
             elif run.get("git_sha") != ref_sha:
@@ -165,8 +169,9 @@ def main() -> int:
                     f"{p}: git_sha {run.get('git_sha')} != first "
                     f"contributor's {ref_sha}"
                 )
-            elif head and run.get("git_sha") != head:
-                reason = f"{p}: git_sha {run.get('git_sha')} != HEAD {head}"
+        if reason is None and ref_sf is None:
+            # Only a run that passed EVERY check becomes the reference.
+            ref_sf, ref_sha = run.get("sf"), run.get("git_sha")
         if reason and not force:
             print(f"SKIP contributor — {reason}")
             refused.append(reason)

@@ -1031,10 +1031,142 @@ def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     return out
 
 
+def probe_dedup_engine_ops(spark, n_docs: int, partitions: int) -> dict:
+    """The r13 done-criterion probe (verdict r12 #3): the 4M-doc corpus
+    that GC-killed the r12 run, pushed through the ENGINE operators —
+    ``operators.dedup.winnowing_pairs`` / ``minhash_lsh_pairs`` /
+    ``ngram_jaccard_pairs`` — not probe-local repartition code. The
+    reduce-width doctrine now lives in ``partitioning.widen_expansion``
+    inside those operators, so this probe passes only if the ENGINE
+    plans survive the ~150M-distinct-key postings builds. Same corpus
+    and closed-form gates as probe_dedup: docs in odd gid quads are
+    verbatim clones → every C(4,2) pair must surface (planted recall
+    strictly 1.0). Winnowing runs with n_rows_est=None to exercise the
+    auto-count path; the others get the explicit estimate."""
+    import time
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.dedup import (
+        _pairs_from_postings,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        winnowing_pairs,
+    )
+
+    n_docs -= n_docs % 8
+    grp = n_docs // 4
+    gid = F.col("doc_id") % grp
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(17)),
+        lambda j: F.substring(
+            F.md5(
+                F.pmod(F.xxhash64(gid * 131 + j), F.lit(100_000_000)).cast(
+                    "string"
+                )
+            ),
+            1,
+            8,
+        ),
+    )
+    salt = F.when(
+        gid % 2 == 0, F.concat(F.lit("u"), F.col("doc_id"))
+    ).otherwise(F.concat(F.lit("c"), gid))
+    docs = (
+        _synth(spark, n_docs, partitions)
+        .select(F.col("event_id").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.array_join(F.concat(words, F.array(salt)), " ").alias("text"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out: dict = {"n_docs": n_docs}
+    try:
+        planted = _pairs_from_postings(
+            docs.filter(gid % 2 == 1)
+            .groupBy(gid.alias("g"))
+            .agg(F.collect_list("doc_id").alias("ids"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_planted = planted.count()
+        out["planted_pairs"] = int(n_planted)
+
+        # ENGINE winnowing operator, auto-count width path. Clones share
+        # their entire fingerprint set (~dozens >= min_shared=3).
+        t0 = time.time()
+        wp = winnowing_pairs(
+            docs, "text", "doc_id", k=8, w=4, max_postings=5000, min_shared=3
+        )
+        n_wp = wp.persist(StorageLevel.MEMORY_AND_DISK).count()
+        wmiss = planted.join(wp, ["id_a", "id_b"], "left_anti").count()
+        dt = time.time() - t0
+        out["winnowing_engine"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+            "pairs": int(n_wp),
+            "planted_recall_1": bool(wmiss == 0),
+        }
+        wp.unpersist()
+
+        # ENGINE MinHash+LSH operator END-TO-END (banding + exact-Jaccard
+        # verification): clones agree on every band and verify at J=1.0.
+        t0 = time.time()
+        mh = minhash_lsh_pairs(
+            docs,
+            "text",
+            "doc_id",
+            k=3,
+            num_hashes=32,
+            bands=8,
+            threshold=0.5,
+            n_rows_est=n_docs,
+        )
+        n_mh = mh.persist(StorageLevel.MEMORY_AND_DISK).count()
+        mmiss = planted.join(mh, ["id_a", "id_b"], "left_anti").count()
+        dt = time.time() - t0
+        out["minhash_lsh_engine"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+            "verified_pairs": int(n_mh),
+            "planted_recall_1": bool(mmiss == 0),
+        }
+        mh.unpersist()
+
+        # ENGINE inverted-index exact Jaccard (the _shingle_postings
+        # sites): clones share all shingles → J=1.0 ≥ 0.9.
+        t0 = time.time()
+        nj = ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.9, n_rows_est=n_docs
+        )
+        n_nj = nj.persist(StorageLevel.MEMORY_AND_DISK).count()
+        nmiss = planted.join(nj, ["id_a", "id_b"], "left_anti").count()
+        dt = time.time() - t0
+        out["ngram_jaccard_engine"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+            "pairs": int(n_nj),
+            "planted_recall_1": bool(nmiss == 0),
+        }
+        nj.unpersist()
+        planted.unpersist()
+    finally:
+        docs.unpersist()
+    return out
+
+
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     from datamodel_clinicaldata_spark.session import get_spark
 
+    if "--engine-docs" in sys.argv:
+        n_docs = int(sys.argv[sys.argv.index("--engine-docs") + 1])
+        spark = get_spark("scale-probe-engine-ops")
+        res = probe_dedup_engine_ops(spark, n_docs, partitions=256)
+        print(f"PROBE dedup_engine_ops: {json.dumps(res)}", file=sys.stderr, flush=True)
+        spark.stop()
+        print(json.dumps(res, indent=1))
+        return
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     spark = get_spark("scale-probe")
     res = run_probes(spark, rows)
     spark.stop()
