@@ -1155,9 +1155,88 @@ def probe_dedup_engine_ops(spark, n_docs: int, partitions: int) -> dict:
     return out
 
 
+def probe_segmented_fold(spark, rows: int, partitions: int) -> dict:
+    """The past-the-array-bound fold path (verdict r12 #7): ONE key
+    holding ``rows`` points — past the measured 2×10⁷ single-array
+    ceiling (4×10⁷ OOM'd the collect_list task, r12 ladder run 2) —
+    driven through ``operators.folds.segmented_fold``, which threads the
+    truncating EWMA/Holt accumulator through bounded segment arrays in
+    order. Same closed forms as probe_hot_key_fold (constant input is a
+    fixed point of both recurrences), so exactness can't be faked;
+    expected rounds = ceil(rows / 10M)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datamodel_clinicaldata_spark.operators.folds import segmented_fold
+
+    v_const = 123_456_789
+    base = _synth(spark, rows, partitions).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.struct(
+            F.col("event_id").alias("t"),
+            F.lit(v_const).cast("long").alias("v"),
+        ).alias("p"),
+    )
+
+    def idiv10(x):
+        m = ((x % 10) + 10) % 10
+        return ((x - m).cast("decimal(38,0)") / F.lit(10)).cast("long")
+
+    # one combined accumulator: EWMA level + Holt (level, trend)
+    init = F.lit(None).cast("struct<e:bigint,l:bigint,b:bigint>")
+
+    def step(acc, p):
+        ewma = idiv10(8 * acc["e"] + 2 * p["v"])
+        lvl = idiv10(2 * p["v"] + 8 * (acc["l"] + acc["b"]))
+        trend = idiv10(3 * (lvl - acc["l"]) + 7 * acc["b"])
+        return F.when(
+            acc.isNull(),
+            F.struct(
+                p["v"].alias("e"),
+                p["v"].alias("l"),
+                F.lit(0).cast("long").alias("b"),
+            ),
+        ).otherwise(
+            F.struct(ewma.alias("e"), lvl.alias("l"), trend.alias("b"))
+        )
+
+    seg_points = 10_000_000
+    t0 = time.time()
+    r = segmented_fold(
+        base,
+        ["user_id"],
+        F.col("p"),
+        init,
+        step,
+        max_segment_points=seg_points,
+    ).collect()[0]
+    dt = time.time() - t0
+    acc = r["acc"]
+    return {
+        "series_points": rows,
+        "segment_points": seg_points,
+        "rounds": (rows + seg_points - 1) // seg_points,
+        "sec": round(dt, 2),
+        "points_per_sec": int(rows / dt),
+        "ewma_exact": bool(acc["e"] == v_const),
+        "holt_exact": bool(acc["l"] == v_const and acc["b"] == 0),
+    }
+
+
 def main() -> None:
     from datamodel_clinicaldata_spark.session import get_spark
 
+    if "--segmented-fold" in sys.argv:
+        rows = int(sys.argv[sys.argv.index("--segmented-fold") + 1])
+        spark = get_spark("scale-probe-segmented-fold")
+        res = probe_segmented_fold(spark, rows, partitions=64)
+        print(
+            f"PROBE segmented_fold: {json.dumps(res)}", file=sys.stderr, flush=True
+        )
+        spark.stop()
+        print(json.dumps(res, indent=1))
+        return
     if "--engine-docs" in sys.argv:
         n_docs = int(sys.argv[sys.argv.index("--engine-docs") + 1])
         spark = get_spark("scale-probe-engine-ops")
