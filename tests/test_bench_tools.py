@@ -164,6 +164,19 @@ def test_promotion_refused_on_mismatched_runs(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, [a, _bench_record(0.2, 9.0)]) == 0
 
 
+def test_promotion_refused_on_suspect_weather_storm(tmp_path, monkeypatch):
+    """r13: a run whose own tripwire flagged a storm's worth of cells
+    (median >3× floor surviving a gated re-measure) is weather, not
+    baseline material — the sustained steal-sim record flags 6/6."""
+    ok = _bench_record(0.1, 10.0)
+    stormy = _bench_record(
+        0.1, 10.0, suspect_weather=[f"q{i}" for i in range(9)]
+    )
+    assert _run(tmp_path, monkeypatch, [ok, stormy]) == 3
+    mild = _bench_record(0.1, 10.0, suspect_weather=["q1"])
+    assert _run(tmp_path, monkeypatch, [ok, mild]) == 0
+
+
 def test_promotion_ref_capture_only_after_all_checks(tmp_path, monkeypatch):
     """ADVICE r12 (medium): a leftover STALE-sha bench_out.json used to
     be refused by the HEAD check but still captured as ref_sha, so every

@@ -104,6 +104,13 @@ def _gate(path: str, run: dict) -> str | None:
         return f"{path}: start loadavg {start} > {MAX_START_LOAD}"
     if len(noisy) > MAX_NOISY:
         return f"{path}: {len(noisy)} canary-flagged windows > {MAX_NOISY}"
+    # r13: the steal tripwire's own verdicts gate too — a run where many
+    # cells stayed >3× their floor through a gated re-measure was taken
+    # in sustained weather (the steal-sim record flags all 6 of 6);
+    # min-of-N absorbs a couple, a storm's worth poisons the minima.
+    suspect = run.get("suspect_weather", [])
+    if len(suspect) > MAX_NOISY:
+        return f"{path}: {len(suspect)} suspect_weather cells > {MAX_NOISY}"
     if canary.get("budget_exhausted"):
         return f"{path}: canary wait budget exhausted (ungated timings)"
     return None
