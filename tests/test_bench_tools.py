@@ -300,14 +300,21 @@ def _stub_bench_instruments(monkeypatch, bench):
 
 def test_bench_tripwire_corrects_and_flags(tmp_path, monkeypatch, spark):
     """Steal-simulated end-to-end run (verdict r12 #1 done-criterion):
-    two synthetic cells whose promoted floor is 0.1 s —
+    two synthetic cells whose promoted floor is 0.4 s —
 
-    - ``fake_trip_recover`` sleeps 0.6 s during warm+timed runs (a steal
+    - ``fake_trip_recover`` sleeps 2.0 s during warm+timed runs (a steal
       burst) and is fast by retime time → the gated re-measure CORRECTS
       the cell (retimed_cells carries was/now, median replaced);
-    - ``fake_trip_stuck`` sleeps 0.6 s always (sustained weather or a
+    - ``fake_trip_stuck`` sleeps 2.0 s always (sustained weather or a
       real regression) → the re-measure refuses to come down and the
       cell lands in suspect_weather, excluded from tier1_total_clean.
+
+    Margins (r13 flake fix): the tripwire bar is trip_ratio × floor =
+    1.2 s, and the "fast" retime run still pays a real noop write of
+    ``range(1)`` — measured 0.3-0.7 s on a loaded 32-core box, which
+    blew through the old 0.3 s bar and flagged the recovering cell as
+    suspect. The floor/sleep pair must keep (noop overhead) ≪ bar ≪
+    (sleep): 0.4/2.0 leaves ~0.5 s of slack on both sides.
     """
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -328,12 +335,12 @@ def test_bench_tripwire_corrects_and_flags(tmp_path, monkeypatch, spark):
     def fake_recover(s, sf_dir):
         calls["recover"] += 1
         if calls["recover"] <= 2:  # warm + the single timed run
-            _time.sleep(0.6)
+            _time.sleep(2.0)
         return s.range(1)
 
     def fake_stuck(s, sf_dir):
         calls["stuck"] += 1
-        _time.sleep(0.6)
+        _time.sleep(2.0)
         return s.range(1)
 
     monkeypatch.setitem(QUERIES, "fake_trip_recover", fake_recover)
@@ -344,8 +351,8 @@ def test_bench_tripwire_corrects_and_flags(tmp_path, monkeypatch, spark):
         json.dump(
             {
                 "queries_min": {
-                    "fake_trip_recover": 0.1,
-                    "fake_trip_stuck": 0.1,
+                    "fake_trip_recover": 0.4,
+                    "fake_trip_stuck": 0.4,
                 },
                 "git_sha": "testsha",
             },
@@ -373,12 +380,12 @@ def test_bench_tripwire_corrects_and_flags(tmp_path, monkeypatch, spark):
         rec = json.load(fh)
     # the burst cell was corrected by the gated re-measure
     rt = rec["retimed_cells"]["fake_trip_recover"]
-    assert rt["was_median"] >= 0.6 and rt["retimed"] < 0.3
-    assert rec["queries_median"]["fake_trip_recover"] < 0.3
-    assert rec["queries"]["fake_trip_recover"] < 0.3
+    assert rt["was_median"] >= 2.0 and rt["retimed"] < 1.2
+    assert rec["queries_median"]["fake_trip_recover"] < 1.2
+    assert rec["queries"]["fake_trip_recover"] < 1.2
     # the sustained cell survived the re-measure → flagged, not corrected
     assert rec["suspect_weather"] == ["fake_trip_stuck"]
-    assert rec["queries_median"]["fake_trip_stuck"] >= 0.6
+    assert rec["queries_median"]["fake_trip_stuck"] >= 2.0
     # suspect cells stay OUT of the clean tier-1 total (neither fake is
     # tier-1, so the clean set is empty here) and the record carries the
     # tripwire parameters for the reader
