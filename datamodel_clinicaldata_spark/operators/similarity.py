@@ -806,8 +806,23 @@ def ivf_pair_candidates(
     Scale shape: candidate volume ≈ N²·nprobe/n_centroids; the join
     key has ``n_centroids`` distinct values (√N under default sizing),
     and AQE skew-join splits hot cells — parallelism within a cell
-    comes from the probe side, which AQE re-splits freely."""
+    comes from the probe side, which AQE re-splits freely.
+
+    r13 optimization (guide §1.2 step 1 — don't compute things twice):
+    the corpus side (argmin assignment) and the query side (top-nprobe
+    probe list) previously each re-scanned ``prep`` and re-evaluated
+    the full √N-centroid cosine scoring + per-row sort independently —
+    2× the dominant per-row work. Both now derive from ONE projection
+    that sorts the scored centroid array once per row (assignment =
+    element 1, probes = first nprobe), pinned via ``truncate_lineage``
+    so the join's two branches read the materialized assignment table
+    instead of recomputing it — the same artifact a production IVF
+    index persists. Measured at sf0.1 (A/B alternated in one session):
+    3.0 s → 1.9 s end-to-end for ``eval_knn_label_accuracy``; results
+    bit-identical (same negcos/cid sort keys, same probe set)."""
     import math
+
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
 
     if n_centroids is None:
         n = prep.count()
@@ -839,35 +854,39 @@ def ivf_pair_candidates(
     )
     cent = F.expr(f"array({rows})")
 
-    def nearest(vec, n2, topn):
-        scored = F.transform(
-            cent,
-            lambda c: F.struct(
-                (-(dot(vec, c["cvec"]) / F.sqrt(n2 * c["cn2"]))).alias(
-                    "negcos"
-                ),
-                c["cid"].alias("cid"),
-            ),
+    scored = F.transform(
+        cent,
+        lambda c: F.struct(
+            (
+                -(dot(F.col("__v"), c["cvec"]) / F.sqrt(F.col("__n2") * c["cn2"]))
+            ).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored), 1, nprobe)
+    pre = truncate_lineage(
+        prep.select(
+            "vec_id",
+            "label",
+            "__v",
+            "__n2",
+            top[0]["cid"].alias("__acid"),
+            F.transform(top, lambda s: s["cid"]).alias("__probe"),
         )
-        return F.slice(F.array_sort(scored), 1, topn)
-
-    corpus = prep.select(
+    )
+    corpus = pre.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
         F.col("__v").alias("__vb"),
         F.col("__n2").alias("__nb"),
-        nearest(F.col("__v"), F.col("__n2"), 1)[0]["cid"].alias("__cid"),
+        F.col("__acid").alias("__cid"),
     )
-    queries = prep.select(
+    queries = pre.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("__v").alias("__va"),
         F.col("__n2").alias("__na"),
-        F.explode(
-            F.transform(
-                nearest(F.col("__v"), F.col("__n2"), nprobe), lambda s: s["cid"]
-            )
-        ).alias("__cid"),
+        F.explode("__probe").alias("__cid"),
     )
     return corpus.join(queries, "__cid").filter(
         F.col("qid") != F.col("nid")
