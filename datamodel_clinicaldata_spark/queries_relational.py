@@ -6562,10 +6562,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # swap too.
     from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
 
+    # r13: repartition("u") FIRST, then aggregate — HashPartitioning(u)
+    # satisfies the (u, v) ClusteredDistribution (a subset of the keys),
+    # so the count aggregate rides the same exchange instead of paying
+    # its own (u, v) shuffle of the full exploded pair stream and THEN a
+    # second u-keyed shuffle of the aggregated edges. One exchange
+    # instead of two on the edge build (plan diff in
+    # plans/r13/graph_label_propagation_{before,after}.txt); measured
+    # A/B alternated at sf0.1: 2.92 s → 2.67 s min, 3.1 → 2.7 median.
     e = truncate_lineage(
-        pairs.groupBy("u", "v")
+        pairs.repartition("u")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .repartition("u")
     )
     p = read_table(spark, sf_dir, "part")
     labels = p.select(
