@@ -438,11 +438,16 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only evidence into the driver's value-hash gate. Ids ≡ 0
     (mod 101) carry truncated blobs → tagged dirty rows.
 
-    Scale shape: two chained Arrow-batched ``mapInPandas`` hops on
-    pruned columns, embarrassingly parallel, no shuffle."""
+    Scale shape: ONE Arrow-batched ``mapInPandas`` hop on the pruned id
+    column (r13, guide §4): synth and decode run back-to-back in the
+    same Python task via ``synth_decode_png_stats``, so the PNG bytes
+    never cross the JVM↔Python boundary — the previous two-hop
+    composition shipped every blob across it twice (measured A/B at
+    sf0.1: ~1.5 s → ~1.1 s; byte-identical output, pinned against the
+    two-hop form in tests/test_multimodal.py). Embarrassingly parallel,
+    no shuffle."""
     from datamodel_clinicaldata_spark.operators.multimodal import (
-        decode_image_png,
-        synth_png_from_ids,
+        synth_decode_png_stats,
     )
     from datamodel_clinicaldata_spark.operators.partitioning import (
         ensure_min_parallelism,
@@ -451,7 +456,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_parallelism(
         read_table(spark, sf_dir, "documents").select("doc_id")
     )
-    dec = decode_image_png(synth_png_from_ids(d))
+    dec = synth_decode_png_stats(d)
     return dec.select(
         "media_id",
         "width",

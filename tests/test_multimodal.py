@@ -409,6 +409,31 @@ def test_decode_image_bmp_dirty_and_compressed_tagged(spark):
     assert "compressed" in out[3]["decode_error"]
 
 
+def test_fused_png_hop_matches_two_hop_composition(spark):
+    """r13 fused synth+decode hop: ``synth_decode_png_stats`` must emit
+    byte-identical rows to ``decode_image_png(synth_png_from_ids(df))``
+    — the fusion removes two Python-boundary crossings of every blob,
+    never a value. Covers clean, dirty (≡0 mod 101), and size-variant
+    ids."""
+    from datamodel_clinicaldata_spark.operators.multimodal import (
+        decode_image_png,
+        synth_decode_png_stats,
+        synth_png_from_ids,
+    )
+
+    ids = [0, 1, 7, 89, 97, 101, 202, 255]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    two_hop = {
+        r["media_id"]: r.asDict()
+        for r in decode_image_png(synth_png_from_ids(df)).collect()
+    }
+    fused = {
+        r["media_id"]: r.asDict()
+        for r in synth_decode_png_stats(df).collect()
+    }
+    assert fused == two_hop
+
+
 def test_synth_decode_roundtrip_all_codecs(spark):
     """The three closed-form synthesizers (BMP/WAV/PNG) roundtrip through
     their real decoders: decoded stats equal the generation formula, and
