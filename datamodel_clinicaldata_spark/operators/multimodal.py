@@ -693,10 +693,6 @@ def synth_bmp_from_ids(
     Runs as one Arrow-batched ``mapInPandas`` over the pruned id column;
     blob bytes follow the exact layout ``_parse_bmp`` documents
     (BGR storage, 4-byte row padding, bottom-up rows)."""
-    import struct
-
-    import numpy as np
-
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -709,39 +705,70 @@ def synth_bmp_from_ids(
             ids, blobs = [], []
             for did in pdf[id_col]:
                 did = int(did)
-                if did % 97 == 0:
-                    blob = b"BM\x00\x00"  # truncated header → tagged dirty
-                else:
-                    w, h = 4 + did % 5, 3 + did % 4
-                    x = np.arange(w)[None, :]
-                    y = np.arange(h)[:, None]
-                    r = (3 * did + 7 * x + 1 * y) % 256
-                    g = (2 * did + 5 * x + 3 * y) % 256
-                    b = (1 * did + 37 * x + 11 * y) % 256
-                    bgr = np.stack(
-                        np.broadcast_arrays(b, g, r), axis=2
-                    ).astype(np.uint8)
-                    row_bytes = (w * 3 + 3) & ~3
-                    body = b"".join(
-                        bgr[yy].tobytes().ljust(row_bytes, b"\x00")
-                        for yy in range(h - 1, -1, -1)  # bottom-up
-                    )
-                    dib = struct.pack(
-                        "<IiiHHIIiiII",
-                        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
-                    )
-                    off = 14 + len(dib)
-                    blob = (
-                        b"BM"
-                        + struct.pack("<IHHI", off + len(body), 0, 0, off)
-                        + dib
-                        + body
-                    )
                 ids.append(did)
-                blobs.append(blob)
+                blobs.append(_bmp_blob_for_id(did))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return df.select(id_col).mapInPandas(synth, schema)
+
+
+def _bmp_blob_for_id(did: int) -> bytes:
+    """One synthetic BMP blob for ``did`` — the per-id body of
+    ``synth_bmp_from_ids``, extracted (r13) for the fused synth+decode
+    hop (``synth_decode_bmp_stats``). Ids ≡ 0 (mod 97) emit a truncated
+    header → tagged-dirty path downstream."""
+    import struct
+
+    import numpy as np
+
+    if did % 97 == 0:
+        return b"BM\x00\x00"  # truncated header → tagged dirty
+    w, h = 4 + did % 5, 3 + did % 4
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = (3 * did + 7 * x + 1 * y) % 256
+    g = (2 * did + 5 * x + 3 * y) % 256
+    b = (1 * did + 37 * x + 11 * y) % 256
+    bgr = np.stack(np.broadcast_arrays(b, g, r), axis=2).astype(np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    body = b"".join(
+        bgr[yy].tobytes().ljust(row_bytes, b"\x00")
+        for yy in range(h - 1, -1, -1)  # bottom-up
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    off = 14 + len(dib)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + dib
+        + body
+    )
+
+
+def synth_decode_bmp_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """FUSED BMP synth→decode in ONE Arrow hop — the BMP twin of
+    ``synth_decode_png_stats`` (same r13 rationale: the two-hop
+    composition ships every blob across the JVM↔Python boundary twice;
+    fused, it never crosses). Identical bytes: ``_bmp_blob_for_id`` +
+    ``_parse_bmp`` back-to-back; output pinned equal to the two-hop form
+    in tests/test_multimodal.py."""
+    schema = _image_stats_schema("media_id")
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for did in pdf[id_col]:
+                did = int(did)
+                rows["media_id"].append(did)
+                _append_image_stats(rows, _parse_bmp, _bmp_blob_for_id(did))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(fused, schema)
 
 
 def synth_wav_from_ids(

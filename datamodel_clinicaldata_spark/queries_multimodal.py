@@ -289,13 +289,14 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. Ids ≡ 0 (mod 97) carry truncated blobs and must surface as
     tagged dirty rows — the never-fail-a-batch contract, driver-checked.
 
-    Scale shape: two chained Arrow-batched ``mapInPandas`` hops over the
-    pruned id column (synthesis) and (media_id, content) (decode) — the
-    standard multimodal plumbing, blob-width-aware and embarrassingly
-    parallel; no shuffle anywhere."""
+    Scale shape: ONE Arrow-batched ``mapInPandas`` hop over the pruned
+    id column (r13, guide §4 — see ``multimodal_decode_png``): synth and
+    decode run back-to-back via ``synth_decode_bmp_stats``, so blob
+    bytes never cross the JVM↔Python boundary; output pinned
+    byte-identical to the two-hop composition in
+    tests/test_multimodal.py. Embarrassingly parallel; no shuffle."""
     from datamodel_clinicaldata_spark.operators.multimodal import (
-        decode_image_bmp,
-        synth_bmp_from_ids,
+        synth_decode_bmp_stats,
     )
     from datamodel_clinicaldata_spark.operators.partitioning import (
         ensure_min_parallelism,
@@ -304,7 +305,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_parallelism(
         read_table(spark, sf_dir, "documents").select("doc_id")
     )
-    dec = decode_image_bmp(synth_bmp_from_ids(d))
+    dec = synth_decode_bmp_stats(d)
     return dec.select(
         "media_id",
         "width",

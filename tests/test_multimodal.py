@@ -416,22 +416,27 @@ def test_fused_png_hop_matches_two_hop_composition(spark):
     never a value. Covers clean, dirty (≡0 mod 101), and size-variant
     ids."""
     from datamodel_clinicaldata_spark.operators.multimodal import (
+        decode_image_bmp,
         decode_image_png,
+        synth_bmp_from_ids,
+        synth_decode_bmp_stats,
         synth_decode_png_stats,
         synth_png_from_ids,
     )
 
     ids = [0, 1, 7, 89, 97, 101, 202, 255]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    two_hop = {
-        r["media_id"]: r.asDict()
-        for r in decode_image_png(synth_png_from_ids(df)).collect()
-    }
-    fused = {
-        r["media_id"]: r.asDict()
-        for r in synth_decode_png_stats(df).collect()
-    }
-    assert fused == two_hop
+    for synth, dec, fused_op in (
+        (synth_png_from_ids, decode_image_png, synth_decode_png_stats),
+        (synth_bmp_from_ids, decode_image_bmp, synth_decode_bmp_stats),
+    ):
+        two_hop = {
+            r["media_id"]: r.asDict() for r in dec(synth(df)).collect()
+        }
+        fused = {
+            r["media_id"]: r.asDict() for r in fused_op(df).collect()
+        }
+        assert fused == two_hop
 
 
 def test_synth_decode_roundtrip_all_codecs(spark):
