@@ -1099,10 +1099,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would produce, so the e6-quantized cosine (and the oracle match)
     # is bit-unchanged.
     from datamodel_clinicaldata_spark.functions.vectors import as_double, dot
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
 
     ad = assigned.select(
         "vec_id", "cid", as_double(F.col("embedding")).alias("__v")
     ).select("vec_id", "cid", "__v", dot(F.col("__v"), F.col("__v")).alias("__n"))
+    # r13 pin (assignment-table doctrine, same as ivf_pair_candidates):
+    # BOTH sides of the cid self-join consume `ad`, and the 16-centroid
+    # scoring + sort + self-dot sit ABOVE the reused scan exchange, so
+    # each side re-ran them — 2× the per-row assignment work. Pinning the
+    # narrow (id, cid, __v, __n) frame computes assignment once; the
+    # cluster-pair stage reads materialized rows. Measured A/B alternated
+    # at sf0.1: ~2.1-3.2 s → ~1.1-2.2 s (each adjacent pair faster);
+    # results bit-identical. Reliable-checkpoint doctrine applies via
+    # truncate_lineage.
+    ad = truncate_lineage(ad)
     a = ad.alias("la").select(
         F.col("la.cid").alias("cid"),
         F.col("la.vec_id").alias("id_a"),
