@@ -253,9 +253,23 @@ def similarity_neardup_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny twin join to 1–2 partitions, which would serialize the
     80-plane bucketing projection (a production-size corpus arrives
     pre-partitioned and needs neither)."""
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
     e = read_table(spark, sf_dir, "embeddings")
-    corpus = _clustered_corpus(e).repartition(
-        spark.sparkContext.defaultParallelism
+    # r13 pin (assignment-table doctrine, guide §2.4/§5): the synthetic
+    # corpus (scan + successor equi-join + union + spread) feeds FOUR
+    # consumers — both sides of the bucket self-join and both verify
+    # sides — and the broadcast on the bucket join blocks exchange
+    # reuse, so the plan recomputed it 4× (12 parquet scans / 11
+    # exchanges in plans/r13/similarity_neardup_lsh_prod_before.txt).
+    # Pinning the (vec_id, embedding) frame computes it once; every
+    # consumer reads materialized rows. Results bit-identical (pure
+    # materialization). Reliable-checkpoint doctrine applies.
+    # Lazy pin: materialization rides the first consuming stage (no
+    # blocking job); eager A/B at sf0.1 was slower than no pin.
+    corpus = truncate_lineage(
+        _clustered_corpus(e).repartition(spark.sparkContext.defaultParallelism),
+        eager=False,
     )
     return cosine_neardup_pairs(
         corpus,
