@@ -436,8 +436,13 @@ def diag_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = e.select(
         "event_type", "event_id", F.unix_micros("ts").alias("__us")
     )
+    # r13: counted-small adaptive path — A/B at sf0.1: 3.39 → 1.33 s
+    # (OPTIMIZATION_r13.md); >2M events flip back to the two-phase prefix.
     run = ordered_prefix(
-        proj, [F.col("event_id").asc()], running_max={"__us": "__run_max"}
+        proj,
+        [F.col("event_id").asc()],
+        running_max={"__us": "__run_max"},
+        count_small=2_000_000,
     )
     late = F.greatest(F.col("__run_max") - F.col("__us"), F.lit(0))
     o = run.select("event_type", late.alias("late_us"))

@@ -23,20 +23,25 @@ BOUNDED_OK = {
     # entries here are only for bounded shapes the plan cannot reveal.
     # ordered_prefix: exclusive-prefix window over the per-partition stats
     # frame (≤ spark.sql.shuffle.partitions rows)
-    "agg_pareto_abc": (1, "offsets window over ≤n_partitions stats rows"),
-    "agg_gini_coefficient": (1, "offsets window over ≤n_partitions stats rows"),
-    "agg_weighted_quantiles": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
-    "diag_ks_two_sample": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
-    "diag_mannwhitney_u": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two)"),
-    "eval_rank_correlation_spearman": (2, "two offsets windows over ≤n_partitions stats rows"),
-    "events_max_concurrency": (2, "offsets windows over ≤n_partitions stats rows"),
-    "events_rfm_scores": (1, "offsets window over ≤n_partitions stats rows (3 ranks share it)"),
-    "text_zipf_fit": (1, "offsets window over ≤n_partitions stats rows"),
-    "diag_join_key_skew": (1, "offsets window over ≤n_partitions stats rows"),
-    "funnel_time_to_convert": (1, "offsets window over ≤n_partitions stats rows"),
-    "graph_pagerank_dup_hubs": (1, "offsets window over ≤n_partitions stats rows"),
-    "diag_late_arrivals": (1, "offsets window over ≤n_partitions stats rows"),
-    "agg_skyline_pareto": (1, "offsets window over ≤n_partitions stats rows"),
+    # r13: most ordered_prefix callers now pass count_small=2M (the
+    # pagerank-style adaptive escape) — at audited SFs the plan shows the
+    # COUNTED-SMALL single window, bounded by the measured ≤2M row count,
+    # not a guess; above the threshold the two-phase offsets shape
+    # returns (reason strings say which form the audit sees).
+    "agg_pareto_abc": (1, "counted-small bounded window (≤2M measured rows; two-phase offsets above)"),
+    "agg_gini_coefficient": (1, "counted-small bounded window (≤2M measured rows)"),
+    "agg_weighted_quantiles": (2, "offsets windows over ≤n_partitions stats rows (AQE renders two; count_small A/B LOST here — stays two-phase)"),
+    "diag_ks_two_sample": (2, "counted-small bounded window (≤2M measured rows)"),
+    "diag_mannwhitney_u": (2, "counted-small bounded window (≤2M measured rows)"),
+    "eval_rank_correlation_spearman": (2, "two counted-small bounded windows (≤2M measured rows each)"),
+    "events_max_concurrency": (2, "counted-small bounded window (≤2M measured endpoint rows)"),
+    "events_rfm_scores": (3, "three chained counted-small bounded rank windows (≤2M measured customers each)"),
+    "text_zipf_fit": (1, "offsets window over ≤n_partitions stats rows (count_small A/B was a wash — stays two-phase)"),
+    "diag_join_key_skew": (1, "counted-small bounded window (≤2M measured rows)"),
+    "funnel_time_to_convert": (1, "counted-small bounded window (≤2M measured rows)"),
+    "graph_pagerank_dup_hubs": (1, "counted-small bounded window (≤2M measured nodes; pagerank's original count_small)"),
+    "diag_late_arrivals": (1, "counted-small bounded window (≤2M measured rows)"),
+    "agg_skyline_pareto": (1, "counted-small bounded window (≤2M measured rows)"),
     # calendar-bounded post-agg frames (≤ |days| rows regardless of SF)
     "events_new_vs_returning": (1, "cumsum over ≤|calendar days| rows"),
     "diag_chisq_independence": (1, "margins over ≤|types×weekdays| contingency cells"),
@@ -50,7 +55,7 @@ BOUNDED_OK = {
     "orders_yoy_growth": (3, "lag-12 windows over the ≤|calendar months| frame (rendered per output branch)"),
     "diag_label_imbalance": (1, "share/total window over the ≤|labels| dimension frame"),
     "events_survival_life_table": (1, "at-risk prefix window over the ≤|study-window days| life-table frame"),
-    "feature_quantile_normalization": (4, "ordered_prefix offsets windows over ≤n_partitions stats rows (re-rendered across the rank-mean join branches)"),
+    "feature_quantile_normalization": (4, "counted-small bounded window (≤2M measured rows; the rank-mean regroup window is rk-partitioned)"),
     # strict-W8 replication: the reference's diff(-1) runs over the WHOLE
     # physically-sorted frame, so exact parity REQUIRES one unpartitioned
     # lead (operators/windows.py:w_global) — parity row only, never the
