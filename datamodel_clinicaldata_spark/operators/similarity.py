@@ -670,26 +670,28 @@ def contrastive_triplets(
         .withColumn("__r", F.row_number().over(w_global))
         .filter(F.col("__r") == 1)
     )
-    pos = best.filter(F.col("__same")).select(
-        anchor_id_col,
-        F.col(id_col).alias("pos_id"),
-        F.col("__sim").alias("pos_sim"),
+    # r13 (guide §2.4): pos/neg used to be two FILTERED VIEWS of `best`
+    # joined back on anchor_id — consuming `best` twice re-ran the whole
+    # broadcast-score + two-phase-rank pipeline per side (plan: 4 corpus
+    # scans, 2 BroadcastNestedLoopJoins, 8 WindowGroupLimits). `best` has
+    # at most ONE row per (anchor, side), so a conditional-max PIVOT over
+    # anchor_id reads it once; filtering both sides non-null reproduces
+    # the inner join exactly (max of a single value is that value).
+    piv = best.groupBy(anchor_id_col).agg(
+        F.max(F.when(F.col("__same"), F.col(id_col))).alias("pos_id"),
+        F.max(F.when(F.col("__same"), F.col("__sim"))).alias("pos_sim"),
+        F.max(F.when(~F.col("__same"), F.col(id_col))).alias("neg_id"),
+        F.max(F.when(~F.col("__same"), F.col("__sim"))).alias("neg_sim"),
     )
-    neg = best.filter(~F.col("__same")).select(
+    return piv.filter(
+        F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+    ).select(
         anchor_id_col,
-        F.col(id_col).alias("neg_id"),
-        F.col("__sim").alias("neg_sim"),
-    )
-    return (
-        pos.join(neg, anchor_id_col)
-        .select(
-            anchor_id_col,
-            "pos_id",
-            "pos_sim",
-            "neg_id",
-            "neg_sim",
-            round_fixed(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
-        )
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        round_fixed(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
 
 

