@@ -71,7 +71,9 @@ def sign_bits(vec: Column, planes: list[list[float]]) -> Column:
     return bits.cast("long")
 
 
-def sign_bits_expr(vec_col: str, planes: list[list[float]]) -> Column:
+def sign_bits_expr(
+    vec_col: str, planes: list[list[float]], pre_cast: bool = False
+) -> Column:
     """``sign_bits`` built as ONE parsed SQL expression per call instead
     of per-literal Column objects. Identical arithmetic (same double
     literals via ``repr`` round-trip, same sequential zip_with/aggregate
@@ -81,8 +83,12 @@ def sign_bits_expr(vec_col: str, planes: list[list[float]]) -> Column:
     9.4 s of Python-side expression assembly per query build → ~0.1 s;
     the benched query times include construction, so this is real query
     latency, not just driver comfort. ``vec_col`` is the raw (float)
-    array column name; the double cast happens inside the expression."""
-    dv = f"transform({vec_col}, x -> cast(x as double))"
+    array column name; the double cast happens inside the expression —
+    UNLESS ``pre_cast=True``, where ``vec_col`` already holds
+    array<double> and the per-plane cast-transform (re-evaluated once
+    per plane, interpreted — 80× per row on the prod LSH bucketing) is
+    skipped. Same doubles either way, so buckets are bit-identical."""
+    dv = vec_col if pre_cast else f"transform({vec_col}, x -> cast(x as double))"
     terms = []
     for i, p in enumerate(planes):
         arr = "array(" + ",".join(f"{x!r}D" for x in p) + ")"

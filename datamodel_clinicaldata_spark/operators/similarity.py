@@ -51,13 +51,23 @@ def cosine_topk_bruteforce(
     only the surviving ≤ k·n_partitions rows per query. Same shuffle
     volume on phase 1 (inherent to window ranking), but no serial-sort
     bottleneck and a negligible phase-2."""
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    # Hoisted norms (anchor-norm doctrine): each side's double cast and
+    # self-dot happen once per ROW, not once per (row, query) pair — the
+    # naive per-pair cosine() costs 3 folds + 2 casts per pair. The pair
+    # expression dot/sqrt(n2a·n2b) is the identical IEEE sequence as
+    # cosine(corpus_vec, query_vec), so scores are bit-unchanged.
+    q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qvec"))
+    q = q.withColumn("__qn2", dot(F.col("__qvec"), F.col("__qvec")))
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    c = c.withColumn("__cn2", dot(F.col("__cv"), F.col("__cv")))
+    scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        round_fixed(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        round_fixed(
+            dot(F.col("__cv"), F.col("__qvec"))
+            / F.sqrt(F.col("__cn2") * F.col("__qn2")),
+            6,
+        ).alias("cos_sim"),
     )
     order = [F.col("cos_sim").desc(), F.col(id_col).asc()]
     w_local = Window.partitionBy(query_id_col, F.spark_partition_id()).orderBy(*order)
@@ -110,20 +120,30 @@ def neardup_candidate_pairs(
     # spent ~9 s of PYTHON time per DataFrame construction — which the
     # bench times — at 80×64; the parsed form is bit-identical (pinned
     # by tests) and ~100× cheaper to build.
-    buckets = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        sign_bits_expr(vec_col, tables[t]).alias("bucket"),
-                    )
-                    for t in range(len(tables))
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, "tb.table", "tb.bucket")
+    # The double cast is hoisted to ONE named column: inlined, every
+    # table's sign_bits_expr re-ran the cast-transform (n_tables×bits
+    # interpreted dots each re-casting dim floats — 80 re-casts per row
+    # on the prod config). Same doubles, bit-identical buckets.
+    buckets = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__dv"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            sign_bits_expr("__dv", tables[t], pre_cast=True).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(len(tables))
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(id_col, "tb.table", "tb.bucket")
+    )
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -223,6 +243,52 @@ def _centroid_array_expr(cents: list[list[float]]) -> "F.Column":
     return F.expr(f"array({rows})")
 
 
+def _fold_self_n2(c: list[float]) -> float:
+    """Sequential ``acc + x·x`` left fold in Python doubles — the SAME
+    IEEE operation sequence as ``functions.vectors.dot(v, v)`` and
+    DuckDB's ``list_inner_product(v, v)``, so a driver-side centroid
+    self-norm literal is bit-identical to what either engine would
+    compute at run time."""
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _centroid_array_expr_n2(cents: list[list[float]]) -> "F.Column":
+    """``_centroid_array_expr`` plus a HOISTED self-norm ``cn2`` per
+    centroid (same literal doctrine as ``ivf_pair_candidates``): the
+    straightforward ``cosine(v, c)`` inside a per-centroid transform
+    recomputes dot(v,v) AND dot(c,c) for every (row, centroid) — 3
+    interpreted folds where 1 suffices, tripling the dominant
+    assignment cost. With cn2 embedded and the row norm hoisted to a
+    column, assignment is one cross-dot per centroid."""
+    rows = ",".join(
+        "named_struct('cid', {}, 'cvec', array({}), 'cn2', {!r}D)".format(
+            i, ",".join(f"{float(x)!r}D" for x in c), _fold_self_n2(c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return F.expr(f"array({rows})")
+
+
+def nearest_scored(v: "F.Column", n2: "F.Column", cent_n2: "F.Column") -> "F.Column":
+    """Sorted (negcos, cid) struct array scoring a pre-cast double vector
+    ``v`` with hoisted self-norm ``n2`` against a ``_centroid_array_expr_n2``
+    literal. Element 1 is the assignment; the first nprobe are the probe
+    list. The expression sequence dot(v,c)/sqrt(n2·cn2) is the identical
+    IEEE sequence as ``cosine(v, c)`` (sqrt-of-product, row side first),
+    so scores — and every oracle hash — are bit-unchanged."""
+    scored = F.transform(
+        cent_n2,
+        lambda c: F.struct(
+            (-(dot(v, c["cvec"]) / F.sqrt(n2 * c["cn2"]))).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_sort(scored)
+
+
 def kmeans_refine(
     corpus: DataFrame,
     seeds: list[list[float]],
@@ -242,22 +308,17 @@ def kmeans_refine(
     cents = [list(map(float, s)) for s in seeds]
     dim = len(cents[0])
     for _ in range(iters):
-        cent_array = _centroid_array_expr(cents)
-        assigned = corpus.select(
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        cent_array,
-                        lambda c: F.struct(
-                            (-cosine(F.col(vec_col), c["cvec"])).alias("negcos"),
-                            c["cid"].alias("cid"),
-                        ),
-                    )
-                ),
-                1,
-                1,
-            )[0]["cid"].alias("__cid"),
-            as_double(F.col(vec_col)).alias("__v"),
+        # Hoisted-norm assignment — see nearest_scored (bit-identical).
+        cent_array = _centroid_array_expr_n2(cents)
+        assigned = (
+            corpus.select(as_double(F.col(vec_col)).alias("__v"))
+            .withColumn("__n2", dot(F.col("__v"), F.col("__v")))
+            .select(
+                nearest_scored(F.col("__v"), F.col("__n2"), cent_array)[0][
+                    "cid"
+                ].alias("__cid"),
+                F.col("__v"),
+            )
         )
         # Per-(cluster, dimension) partial sums — posexplode keeps the
         # combine map-side (shuffle rows ≈ partitions × k × dim), never a
@@ -325,31 +386,48 @@ def ivf_topk(
     seeds = [r["__cvec"] for r in sampled.collect()]  # ≤ n_centroids vecs
     if refine_iters > 0:
         seeds = kmeans_refine(corpus, seeds, vec_col=vec_col, iters=refine_iters)
-    cent_array = _centroid_array_expr([list(map(float, v)) for v in seeds])
+    # Hoisted-norm assignment (ivf_pair_candidates doctrine): the row's
+    # double cast and self-dot happen ONCE per row, centroid self-norms
+    # ride the literal — one cross-dot per (row, centroid) instead of 3
+    # folds + per-centroid re-casts. Scores bit-identical (see
+    # nearest_scored).
+    cent_array = _centroid_array_expr_n2([list(map(float, v)) for v in seeds])
 
-    def nearest(vec, topn):
-        scored = F.transform(
-            cent_array,
-            lambda c: F.struct(
-                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
-            ),
+    def nearest(topn):
+        return F.slice(
+            nearest_scored(F.col("__v"), F.col("__n2"), cent_array), 1, topn
         )
-        return F.slice(F.array_sort(scored), 1, topn)
 
-    assigned = corpus.withColumn(
-        "__cid", nearest(F.col(vec_col), 1)[0]["cid"]
+    assigned = corpus.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n2", dot(F.col("__v"), F.col("__v"))).select(
+        F.col(id_col),
+        "__v",
+        "__n2",
+        nearest(1)[0]["cid"].alias("__cid"),
     )
     q = queries.select(
         F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n2", dot(F.col("__v"), F.col("__v"))).select(
+        F.col(query_id_col),
+        F.col("__v").alias("__qvec"),
+        F.col("__n2").alias("__qn2"),
         F.explode(
-            F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])
+            F.transform(nearest(nprobe), lambda s: s["cid"])
         ).alias("__cid"),
     )
+    # Pair scoring reuses both hoisted norms: dot/sqrt sequence matches
+    # cosine(corpus_vec, query_vec) exactly (row side first under sqrt).
     scored = assigned.join(F.broadcast(q), "__cid").select(
         query_id_col,
         id_col,
-        round_fixed(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        round_fixed(
+            dot(F.col("__v"), F.col("__qvec"))
+            / F.sqrt(F.col("__n2") * F.col("__qn2")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -393,27 +471,31 @@ def ivf_quantized_topk(
         .limit(n_centroids)
     )
     seeds = [r["__cvec"] for r in sampled.collect()]  # ≤ n_centroids vecs
-    cent_array = _centroid_array_expr([list(map(float, v)) for v in seeds])
+    # Hoisted-norm assignment — see ivf_topk / nearest_scored (scores
+    # bit-identical to the inline cosine form).
+    cent_array = _centroid_array_expr_n2([list(map(float, v)) for v in seeds])
 
-    def nearest(vec, topn):
-        scored = F.transform(
-            cent_array,
-            lambda c: F.struct(
-                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
-            ),
+    def nearest(topn):
+        return F.slice(
+            nearest_scored(F.col("__v"), F.col("__n2"), cent_array), 1, topn
         )
-        return F.slice(F.array_sort(scored), 1, topn)
 
     assigned = corpus.select(
         F.col(id_col),
-        nearest(F.col(vec_col), 1)[0]["cid"].alias("__cid"),
-        quantize_int8(F.col(vec_col)).alias("__code"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n2", dot(F.col("__v"), F.col("__v"))).select(
+        F.col(id_col),
+        nearest(1)[0]["cid"].alias("__cid"),
+        quantize_int8(F.col("__v")).alias("__code"),
     )
     q = queries.select(
         F.col(query_id_col),
-        quantize_int8(F.col(vec_col)).alias("__qcode"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n2", dot(F.col("__v"), F.col("__v"))).select(
+        F.col(query_id_col),
+        quantize_int8(F.col("__v")).alias("__qcode"),
         F.explode(
-            F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])
+            F.transform(nearest(nprobe), lambda s: s["cid"])
         ).alias("__cid"),
     )
     scored = assigned.join(F.broadcast(q), "__cid").select(
@@ -501,14 +583,20 @@ def quantized_topk(
     )
 
 
-def _projection_expr(vec_col: str, planes: list[list[float]]) -> "F.Column":
+def _projection_expr(
+    vec_col: str, planes: list[list[float]], pre_cast: bool = False
+) -> "F.Column":
     """Project ``vec_col`` onto ``planes`` as ONE parsed SQL expression
     returning ``array<double>`` — same parsed-literal doctrine as
     ``sign_bits_expr`` (construction is one string parse, not a py4j
     crawl) and the same sequential zip_with/aggregate fold as
     ``functions.vectors.dot``, so every component is bit-identical to
-    DuckDB's ``list_inner_product`` over the same double literals."""
-    dv = f"transform({vec_col}, x -> cast(x as double))"
+    DuckDB's ``list_inner_product`` over the same double literals.
+    ``pre_cast=True``: ``vec_col`` is already array<double>, so the
+    cast-transform (otherwise inlined and re-evaluated once per plane)
+    is skipped — same doubles, 32× less per-row transform work at
+    proj_dim=32."""
+    dv = vec_col if pre_cast else f"transform({vec_col}, x -> cast(x as double))"
     comps = []
     for p in planes:
         arr = "array(" + ",".join(f"{x!r}D" for x in p) + ")"
@@ -549,17 +637,22 @@ def projection_topk_rerank(
     recall vs brute force is pinned in tests/test_similarity.py.
     """
     planes = _lcg_planes(proj_dim, dim, seed)
-    proj = _projection_expr(vec_col, planes)
+    proj = _projection_expr("__dv", planes, pre_cast=True)
 
     # Per-row norms precomputed BEFORE the pair join (each vector's
     # self-dot happens once, not once per pair); dot/sqrt sequence is
     # unchanged so scores stay bit-identical to the oracle's
-    # sqrt-of-product form.
-    corpus_p = ensure_min_parallelism(corpus).select(
-        F.col(id_col), proj.alias("__p")
+    # sqrt-of-product form. The double cast is likewise hoisted to one
+    # named column — inlined it re-ran once per plane (32× per row).
+    corpus_p = (
+        ensure_min_parallelism(corpus)
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("__dv"))
+        .select(F.col(id_col), proj.alias("__p"))
     )
     corpus_p = corpus_p.withColumn("__pn2", dot(F.col("__p"), F.col("__p")))
-    queries_p = queries.select(F.col(query_id_col), proj.alias("__qp"))
+    queries_p = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__dv")
+    ).select(F.col(query_id_col), proj.alias("__qp"))
     queries_p = queries_p.withColumn("__qn2", dot(F.col("__qp"), F.col("__qp")))
 
     coarse = corpus_p.crossJoin(F.broadcast(queries_p)).select(
@@ -728,24 +821,19 @@ def assign_cells(
     import numpy as np
 
     if impl == "expr":
-        cent = _centroid_array_expr(cents)
-        from datamodel_clinicaldata_spark.functions.vectors import dot
-
-        vnorm = dot(F.col(vec_col), F.col(vec_col))
-        scored = F.transform(
-            cent,
-            lambda c: F.struct(
-                (
-                    -dot(F.col(vec_col), c["cvec"])
-                    / F.sqrt(vnorm * dot(c["cvec"], c["cvec"]))
-                ).alias("negcos"),
-                c["cid"].alias("cid"),
+        # Hoisted-norm assignment (see nearest_scored): row self-dot as a
+        # named column computed once, centroid self-norms as literals —
+        # previously BOTH were re-evaluated per (row, centroid).
+        cent = _centroid_array_expr_n2(cents)
+        assigned = df.withColumn(
+            "__an2", dot(F.col(vec_col), F.col(vec_col))
+        ).withColumn(
+            out_col,
+            nearest_scored(F.col(vec_col), F.col("__an2"), cent)[0]["cid"].cast(
+                "int"
             ),
         )
-        return df.withColumn(
-            out_col,
-            F.slice(F.array_sort(scored), 1, 1)[0]["cid"].cast("int"),
-        )
+        return assigned.drop("__an2")
     if impl != "arrow":
         raise ValueError(f"assign_cells: unknown impl {impl!r}")
 

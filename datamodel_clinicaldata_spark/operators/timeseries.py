@@ -42,6 +42,8 @@ def time_bucket_gapfill(
       engine-independent. The interpolation INPUTS are the 4-dp-rounded
       bucket sums, so both engines fill from bit-identical anchors.
     """
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
     b = (
         events.groupBy(
             F.col(key_col).alias("key"),
@@ -52,6 +54,13 @@ def time_bucket_gapfill(
             F.count("*").cast("long").alias("n_events"),
         )
     )
+    # Lazy lineage pin: `b` feeds BOTH the spine (per-key lo/hi) and the
+    # join's build side; unpinned, the optimizer collapses the spine
+    # branch into a second full scan+aggregate of `events` (the 100 TB
+    # input), while the pin materializes the (key, bucket) rollup — a
+    # frame bounded by the key×bucket domain — and reads it twice.
+    # Measured no worse at sf0.1 (alternating A/B, OPTIMIZATION_r13.md).
+    b = truncate_lineage(b, None, eager=False)
     spine = (
         b.groupBy("key")
         .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
@@ -81,10 +90,32 @@ def time_bucket_gapfill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     anchor_ts = F.when(F.col("v").isNotNull(), F.col("bucket_ts"))
-    prev_v = F.last("v", ignorenulls=True).over(w_prev)
-    prev_t = F.last(anchor_ts, ignorenulls=True).over(w_prev)
-    next_v = F.last("v", ignorenulls=True).over(w_next)
-    next_t = F.last(anchor_ts, ignorenulls=True).over(w_next)
+    # Anchors are NAMED COLUMNS, not inline window expressions: every
+    # reference to an inline `F.last(..).over(w)` in the fill CASE
+    # expands to its own window aggregate (the old plan ran last(v) asc
+    # SEVEN times and 11 running aggregates total); naming them keeps
+    # each Window operator at exactly its 2 aggregates. Same expressions,
+    # bit-identical doubles.
+    withprev = j.select(
+        "key",
+        "bucket_ts",
+        "v",
+        "n_events",
+        F.last("v", ignorenulls=True).over(w_prev).alias("__prev_v"),
+        F.last(anchor_ts, ignorenulls=True).over(w_prev).alias("__prev_t"),
+    )
+    anchored = withprev.select(
+        "key",
+        "bucket_ts",
+        "v",
+        "n_events",
+        "__prev_v",
+        "__prev_t",
+        F.last("v", ignorenulls=True).over(w_next).alias("__next_v"),
+        F.last(anchor_ts, ignorenulls=True).over(w_next).alias("__next_t"),
+    )
+    prev_v, prev_t = F.col("__prev_v"), F.col("__prev_t")
+    next_v, next_t = F.col("__next_v"), F.col("__next_t")
 
     frac = (
         F.unix_timestamp("bucket_ts") - F.unix_timestamp(prev_t)
@@ -98,7 +129,7 @@ def time_bucket_gapfill(
         .when(prev_v.isNotNull(), prev_v)
         .otherwise(next_v)
     )
-    return j.select(
+    return anchored.select(
         F.col("key").alias(key_col),
         "bucket_ts",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),

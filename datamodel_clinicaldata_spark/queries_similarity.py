@@ -72,16 +72,46 @@ def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.45 (threshold chosen to be non-trivial on
     the testdata distribution, max observed ≈ 0.51)."""
     e = read_table(spark, sf_dir, "embeddings")
-    from datamodel_clinicaldata_spark.functions.vectors import cosine, round_fixed
+    from datamodel_clinicaldata_spark.functions.vectors import (
+        as_double,
+        dot,
+        round_fixed,
+    )
 
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    # Hoisted norms: cast + self-dot once per ROW, not per PAIR — the
+    # inline cosine() cost 3 folds + 2 casts per all-pairs row. The pair
+    # expression dot/sqrt(na·nb) is cosine()'s exact IEEE sequence.
+    # Measured (alternating A/B at sf0.1, 2000 vecs → 2M pairs): 87.3 s
+    # → 17.4 s min. ensure_min_parallelism then spreads the BNLJ stream
+    # side — the single-split bench scan otherwise runs every pair's
+    # fold on ONE core (partitioning doctrine).
+    side = ensure_min_parallelism(e).select(
+        "vec_id", as_double(F.col("embedding")).alias("__v")
+    ).withColumn("__n2", dot(F.col("__v"), F.col("__v")))
+    a = side.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            round_fixed(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            round_fixed(
+                dot(F.col("__va"), F.col("__vb"))
+                / F.sqrt(F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.45)
     )
@@ -1073,12 +1103,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathologically hot cluster is the one skew risk — the same cap
     doctrine as the LSH bucket join (cap + log) applies; at bench
     scale the 16-cluster join is measured directly."""
-    from datamodel_clinicaldata_spark.functions.vectors import cosine, round_fixed
+    from datamodel_clinicaldata_spark.functions.vectors import round_fixed
     from datamodel_clinicaldata_spark.operators.partitioning import (
         ensure_min_parallelism,
     )
     from datamodel_clinicaldata_spark.operators.similarity import (
-        _centroid_array_expr,
+        _centroid_array_expr_n2,
+        nearest_scored,
     )
 
     # Bare-scan parallelism spread (partitioning doctrine): the per-row
@@ -1088,36 +1119,31 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rest, so nothing re-spreads later). No-op on a many-split scan.
     e = ensure_min_parallelism(read_table(spark, sf_dir, "embeddings"))
     sampled = e.orderBy("vec_id").limit(16).select("embedding").collect()
-    cent = _centroid_array_expr(
+    cent = _centroid_array_expr_n2(
         [list(map(float, r["embedding"])) for r in sampled]
     )
 
-    def nearest_cid(vec):
-        scored = F.transform(
-            cent,
-            lambda c: F.struct(
-                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
-            ),
-        )
-        return F.slice(F.array_sort(scored), 1, 1)[0]["cid"]
-
-    assigned = e.select(
-        "vec_id",
-        "embedding",
-        nearest_cid(F.col("embedding")).cast("int").alias("cid"),
-    )
-    # Norm hoist (anchor-norm doctrine): dot(v, v) once per VECTOR here,
-    # not inside the per-pair cosine — the naive cosine(a, b) costs three
-    # 64-d folds per pair, i.e. 3× the work across Σ|cluster|² pairs. The
-    # hoisted self-dot is the identical IEEE double the in-pair form
-    # would produce, so the e6-quantized cosine (and the oracle match)
-    # is bit-unchanged.
+    # Norm hoist (anchor-norm doctrine), now through the WHOLE pipeline:
+    # the double cast and self-dot happen once per vector and feed BOTH
+    # the 16-centroid assignment (previously 3 folds + a re-cast per
+    # centroid via inline cosine) and the within-cluster pair cosines.
+    # nearest_scored's dot/sqrt(n2·cn2) is the identical IEEE sequence
+    # as the inline form, so cid and the e6 cosines are bit-unchanged.
     from datamodel_clinicaldata_spark.functions.vectors import as_double, dot
     from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
 
-    ad = assigned.select(
-        "vec_id", "cid", as_double(F.col("embedding")).alias("__v")
-    ).select("vec_id", "cid", "__v", dot(F.col("__v"), F.col("__v")).alias("__n"))
+    ad = (
+        e.select("vec_id", as_double(F.col("embedding")).alias("__v"))
+        .withColumn("__n", dot(F.col("__v"), F.col("__v")))
+        .select(
+            "vec_id",
+            nearest_scored(F.col("__v"), F.col("__n"), cent)[0]["cid"]
+            .cast("int")
+            .alias("cid"),
+            "__v",
+            "__n",
+        )
+    )
     # r13 pin (assignment-table doctrine, same as ivf_pair_candidates):
     # BOTH sides of the cid self-join consume `ad`, and the 16-centroid
     # scoring + sort + self-dot sit ABOVE the reused scan exchange, so
@@ -1217,31 +1243,31 @@ def similarity_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — shuffle rows ≈ partitions × k × dim, never a cluster's
     vectors in one row; the seed-component dim (k×64 rows) broadcasts
     onto the result."""
-    from datamodel_clinicaldata_spark.functions.vectors import cosine
     from datamodel_clinicaldata_spark.operators.partitioning import (
         ensure_min_parallelism,
     )
     from datamodel_clinicaldata_spark.operators.similarity import (
-        _centroid_array_expr,
+        _centroid_array_expr_n2,
+        nearest_scored,
     )
+    from datamodel_clinicaldata_spark.functions.vectors import dot
 
     e = ensure_min_parallelism(read_table(spark, sf_dir, "embeddings"))
     sampled = e.orderBy("vec_id").limit(16).select("embedding").collect()
     seeds = [list(map(float, r["embedding"])) for r in sampled]
-    cent = _centroid_array_expr(seeds)
+    # Hoisted-norm assignment (nearest_scored doctrine) — cid and every
+    # downstream fixed-point sum are bit-unchanged.
+    cent = _centroid_array_expr_n2(seeds)
 
-    def nearest_cid(vec):
-        scored = F.transform(
-            cent,
-            lambda c: F.struct(
-                (-cosine(vec, c["cvec"])).alias("negcos"), c["cid"].alias("cid")
-            ),
+    assigned = (
+        e.select(F.col("embedding").cast("array<double>").alias("__v"))
+        .withColumn("__n2", dot(F.col("__v"), F.col("__v")))
+        .select(
+            nearest_scored(F.col("__v"), F.col("__n2"), cent)[0]["cid"]
+            .cast("int")
+            .alias("cid"),
+            "__v",
         )
-        return F.slice(F.array_sort(scored), 1, 1)[0]["cid"]
-
-    assigned = e.select(
-        nearest_cid(F.col("embedding")).cast("int").alias("cid"),
-        F.col("embedding").cast("array<double>").alias("__v"),
     )
     comp = (
         assigned.select("cid", F.posexplode("__v").alias("pos0", "x"))

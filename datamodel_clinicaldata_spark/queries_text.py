@@ -449,6 +449,15 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     ).distinct()
+    # r13 pin (assignment-table doctrine): `toks` — a full explode +
+    # DISTINCT shuffle of the token stream — feeds FOUR consumers (nn,
+    # the two differently-keyed df broadcasts, both self-join sides);
+    # the broadcast keys differ, so exchange reuse cannot cover them and
+    # the plan recomputed the distinct ~4×. One lazy pin computes it
+    # once; results bit-identical (pure materialization).
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    toks = truncate_lineage(toks, eager=False)
     nn = toks.agg(F.count_distinct("doc_id").cast("long").alias("n"))
     df_ = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a = toks.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
@@ -931,16 +940,32 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     small and a shuffle hash join on (w1, w2) otherwise — → one per-doc
     aggregate."""
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "tok"),
+    # r13: adjacent bigrams are an ARRAY property, not a join — zip_with
+    # over the token array (offset slices) emits each doc's (w_i, w_{i+1})
+    # pairs in one projection, where the old positional self-join paid
+    # two (doc, pos)-keyed exchanges for rows that sat adjacent in the
+    # same array all along (guide §2.4). Identical bigram multiset.
+    tok_arr = F.split(F.trim(F.col("text")), r"\s+")
+    npairs = F.greatest(F.size(tok_arr) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(tok_arr, 1, npairs),
+        F.slice(tok_arr, 2, npairs),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    a = toks.select("doc_id", F.col("i").alias("ia"), F.col("tok").alias("w1"))
-    b = toks.select("doc_id", F.col("i").alias("ib"), F.col("tok").alias("w2"))
-    bi = a.join(b, (a["doc_id"] == b["doc_id"]) & (b["ib"] == a["ia"] + 1)).drop(
-        b["doc_id"]
+    bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
     )
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    # Pin: `bi` feeds the bigram-count dim AND the scoring join; `bc`
+    # feeds the context rollup AND the join — unpinned, each consumer
+    # re-ran the explode / the count aggregate (same multi-consumer
+    # doctrine as the lsh_prod and pmi pins).
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    bi = truncate_lineage(bi, eager=False)
+    bc = truncate_lineage(
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2")),
+        eager=False,
+    )
     uc = bc.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     term = F.floor(
         -F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000_000
