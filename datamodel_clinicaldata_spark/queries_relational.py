@@ -6399,15 +6399,25 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psum"),
     )
-    touches = seq.filter(F.col("event_type").isin("view", "click")).select(
-        "user_id", "event_type", (F.col("psum") + 1).alias("conv_id")
+    # r13: the realized-conversion join is window arithmetic — purchase
+    # indices are exactly {1..max(psum) per user} (each purchase row
+    # increments the inclusive running count), so a touch's conversion
+    # psum+1 is realized iff psum+1 ≤ max(psum) over the user. That
+    # replaces the distinct + (user, conv) equi-join (two exchanges)
+    # with one unordered window max riding the SAME user_id exchange;
+    # the per-conversion count window's ClusteredDistribution(user,
+    # conv) is likewise satisfied by HashPartitioning(user) — sort only,
+    # no new shuffle. Row-for-row identical to the join form (guide
+    # §2.4; oracle hash-match sf0.001/0.01).
+    touches = (
+        seq.withColumn("__tot", F.max("psum").over(Window.partitionBy("user_id")))
+        .filter(
+            F.col("event_type").isin("view", "click")
+            & (F.col("psum") + 1 <= F.col("__tot"))
+        )
+        .select("user_id", "event_type", (F.col("psum") + 1).alias("conv_id"))
     )
-    convs = (
-        seq.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("psum").alias("conv_id"))
-        .distinct()
-    )
-    attributed = touches.join(convs, ["user_id", "conv_id"]).select(
+    attributed = touches.select(
         "user_id",
         "event_type",
         "conv_id",

@@ -395,3 +395,47 @@ def test_knn_label_accuracy_guard_and_candidate_path(spark, sf_dir):
     # qid 3 (true 7)        -> votes {1500:3}      -> pred 1500, wrong
     assert out[1500] == (3, 3)
     assert out[7] == (1, 0)
+
+
+def test_nearest_scored_bit_equal_inline_cosine(spark, sf_dir):
+    """The hoisted-norm assignment (``nearest_scored`` over a cn2-carrying
+    centroid literal + a hoisted row self-dot) must produce the EXACT
+    (negcos, cid) sort keys of the inline ``-cosine(v, c)`` transform —
+    the r13 optimization's correctness contract is bit-identity, not
+    tolerance. Checked on the real fixture embeddings against 16 seeds."""
+    from datamodel_clinicaldata_spark.functions.vectors import as_double, cosine, dot
+    from datamodel_clinicaldata_spark.operators.similarity import (
+        _centroid_array_expr,
+        _centroid_array_expr_n2,
+        nearest_scored,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.orderBy("vec_id").limit(16).collect()
+    ]
+    inline = F.transform(
+        _centroid_array_expr(cents),
+        lambda c: F.struct(
+            (-cosine(F.col("embedding"), c["cvec"])).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    hoisted_rows = (
+        e.select("vec_id", "embedding", as_double(F.col("embedding")).alias("__v"))
+        .withColumn("__n2", dot(F.col("__v"), F.col("__v")))
+        .select(
+            "vec_id",
+            F.sort_array(inline).alias("a"),
+            nearest_scored(
+                F.col("__v"), F.col("__n2"), _centroid_array_expr_n2(cents)
+            ).alias("b"),
+        )
+        .collect()
+    )
+    assert hoisted_rows
+    for r in hoisted_rows:
+        ka = [(x["negcos"], x["cid"]) for x in r["a"]]
+        kb = [(x["negcos"], x["cid"]) for x in r["b"]]
+        assert ka == kb, f"vec {r['vec_id']}: hoisted scores diverge"

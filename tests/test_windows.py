@@ -326,3 +326,27 @@ def test_gapfill_invariants_random(spark):
         assert sum(r["n_events"] for r in rs) == want
         # every row has a filled value
         assert all(r["value_fill_e4"] is not None for r in rs)
+
+
+def test_gapfill_plan_window_aggregates_deduped(spark):
+    """r13 plan pin: the gapfill anchors are NAMED columns, so each of the
+    two Window operators carries exactly its 2 running aggregates — the
+    inline-anchor form expanded every fill-CASE reference into its own
+    aggregate (11 windowspecdefinitions; measured plan bloat, see
+    OPTIMIZATION_r13.md). 4 = (prev_v, prev_t) asc + (next_v, next_t) desc."""
+    from datetime import datetime, timedelta
+
+    from datamodel_clinicaldata_spark.operators.timeseries import time_bucket_gapfill
+
+    base = datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(1, base + timedelta(hours=h), 1.0) for h in (0, 3)],
+        "user_id long, ts timestamp, value double",
+    )
+    plan = (
+        time_bucket_gapfill(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("windowspecdefinition") == 4, plan
