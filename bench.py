@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -326,6 +327,112 @@ def _flush(out_path: str, record: dict) -> None:
             pass
         raise
     os.replace(tmp, out_path)
+
+
+# The driver captures only the LAST 2000 chars of stdout (BENCH_r13's
+# "tail" field is exactly 2000 chars); a final line longer than that
+# loses its HEAD and the driver records parsed:null (the r7 post-mortem).
+# Budget the line to 1900 bytes so the trailing newline plus any capture
+# slop can never push it over.
+COMPACT_LINE_LIMIT = 1900
+
+
+def _prev_printed_names(root: str | None = None) -> set[str]:
+    """Names the PREVIOUS round's driver-parsed line carried.
+
+    The driver's per-query comparator diffs this round's printed queries
+    map against last round's; any name present there but absent here is
+    recorded as dropped_from_bench even when the cell ran (five phantom
+    drops in PERF_r13). A cell that was slow last round (storm or real)
+    and fast now is exactly the cell most at risk of falling out of the
+    slowest-first packing — so those names are force-kept. Reads the
+    highest-numbered BENCH_r*.json with a parsed record; empty set when
+    none exists (fresh checkout, driver sandbox without history)."""
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, set[str]] = (-1, set())
+    try:
+        for fn in os.listdir(root):
+            m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+            if not m or int(m.group(1)) <= best[0]:
+                continue
+            try:
+                with open(os.path.join(root, fn)) as fh:
+                    parsed = json.load(fh).get("parsed") or {}
+                q = parsed.get("queries")
+                if isinstance(q, dict) and q:
+                    best = (int(m.group(1)), set(q))
+            except (OSError, ValueError):
+                continue
+    except OSError:
+        pass
+    return best[1]
+
+
+def _compact_line(
+    medians: dict[str, float],
+    extras: dict,
+    suspect_weather: list[str],
+    retimed_cells: dict[str, dict],
+    limit: int = COMPACT_LINE_LIMIT,
+    keep: set[str] | None = None,
+) -> str:
+    """Build the driver-parsed one-line JSON summary.
+
+    PERF_r13 was blind (n_common 0, null geomean, empty scaling block,
+    five phantom dropped_from_bench cells) because this line carried only
+    the 5 slowest cells and the driver's per-query comparator reads ONLY
+    the printed line, never bench_out.json (verdict r13 #1). The full
+    109-cell map cannot fit — r7 printed it, blew the driver's 2000-char
+    tail capture, and got parsed:null — so: pack as many {name: sec}
+    entries as fit, slowest first (a strict superset of the old top-5, so
+    no existing entry is removed or renamed), force-keep every name the
+    previous round's parsed line carried (``keep``) so a cell can never
+    look dropped just because it got FASTER, and record how many cells
+    were left out (queries_omitted). Per-cell weather flags travel as
+    indices into the queries dict's key order (suspect_qi / retimed_qi):
+    the full name lists would not fit the byte budget; names live in
+    bench_out.json. Pure function, pinned in tests/test_bench_tools.py."""
+    keep = keep or set()
+    order = sorted(medians.items(), key=lambda kv: kv[1], reverse=True)
+    rec = {
+        "metric": "headline_queries_total",
+        **extras,
+        "queries": {n: round(v, 2) for n, v in order},
+        "queries_omitted": 0,
+        "suspect_qi": [],
+        "retimed_qi": [],
+    }
+
+    def _finalize() -> str:
+        names = list(rec["queries"])
+        rec["suspect_qi"] = [
+            i for i, n in enumerate(names) if n in suspect_weather
+        ]
+        rec["retimed_qi"] = [
+            i for i, n in enumerate(names) if n in retimed_cells
+        ]
+        rec["queries_omitted"] = len(medians) - len(names)
+        return json.dumps(rec)
+
+    line = _finalize()
+    # Drop the CHEAPEST cells until the line fits — first those not in
+    # ``keep``, then (only if still over budget) kept ones. The slowest
+    # cells are the cross-round signal and the old top-5 contract is a
+    # prefix of this ordering, so it can never be evicted before
+    # anything else.
+    for pass_protects_keep in (True, False):
+        evictable = [
+            n
+            for n, _ in reversed(order)
+            if n in rec["queries"]
+            and (not pass_protects_keep or n not in keep)
+        ]
+        for name in evictable:
+            if len(line) <= limit or len(rec["queries"]) <= 5:
+                break
+            rec["queries"].pop(name)
+            line = _finalize()
+    return line
 
 
 def _headline_value(timings: dict[str, float], repeats_used: dict[str, int]) -> float:
@@ -1126,39 +1233,43 @@ def main() -> None:
     # r7 post-mortem: the "compact" line still carried the full 59-entry
     # per-query dict (~2.4 KB) and the driver's tail window truncated its
     # HEAD for the fourth round running.  The final line must be genuinely
-    # <= 1 KB: per-query medians live in bench_out.json; here we keep only
-    # the 5 most expensive rows (2-decimal) so the record still names the
-    # hot spots.  An assertion guards the budget so a future edit cannot
-    # silently regrow the line.
+    # Full per-query medians live in bench_out.json; the printed line
+    # packs as many as fit the driver's tail capture (slowest first,
+    # previous round's names force-kept — see _compact_line). An
+    # assertion guards the budget so a future edit cannot silently
+    # regrow the line past the capture window.
     flagship = medians.get("clinical_cohort_week")
-    top5 = dict(
-        sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    line = _compact_line(
+        medians,
+        {
+            "value": round(total, 2),
+            "unit": "sec",
+            "sf": out["sf"],
+            "flagship_median": round(flagship, 3)
+            if flagship is not None
+            else None,
+            "n_queries": len(timings),
+            # Weather accounting in the PARSED line (verdict r12 #1): a
+            # reader comparing `value` across rounds sees, without opening
+            # bench_out.json, which cells are steal-suspect (suspect_qi,
+            # indices into the queries key order) and the clean fixed-set
+            # tier-1 subtotal.
+            "tier1_total_clean": out["tier1_total_clean"],
+            "tier1_clean_n": out["tier1_clean_n"],
+            "suspect_weather_n": len(suspect_weather),
+            "retimed_n": len(retimed_cells),
+            "cold_n": len(cold_cells),
+            "elapsed_sec": round(budget.elapsed(), 1),
+            "truncated_after": truncated_after,
+            "full_record": "bench_out.json",
+        },
+        suspect_weather,
+        retimed_cells,
+        keep=_prev_printed_names(),
     )
-    compact = {
-        "metric": "headline_queries_total",
-        "value": round(total, 2),
-        "unit": "sec",
-        "queries": {n: round(v, 2) for n, v in top5.items()},
-        "sf": out["sf"],
-        "flagship_median": round(flagship, 3) if flagship is not None else None,
-        "n_queries": len(timings),
-        # Weather accounting in the PARSED line (verdict r12 #1): a
-        # reader comparing `value` across rounds needs to see, without
-        # opening bench_out.json, that N cells are steal-suspect and what
-        # the clean tier-1 total is. The suspect list itself can be long;
-        # the compact line carries the first 3 names + the count.
-        "tier1_total_clean": out["tier1_total_clean"],
-        "tier1_clean_n": out["tier1_clean_n"],
-        "suspect_weather_n": len(suspect_weather),
-        "suspect_weather_head": suspect_weather[:3],
-        "retimed_n": len(retimed_cells),
-        "cold_n": len(cold_cells),
-        "elapsed_sec": round(budget.elapsed(), 1),
-        "truncated_after": truncated_after,
-        "full_record": "bench_out.json",
-    }
-    line = json.dumps(compact)
-    assert len(line) <= 1024, f"compact bench line too long: {len(line)}B"
+    assert len(line) <= COMPACT_LINE_LIMIT, (
+        f"compact bench line too long: {len(line)}B"
+    )
     print(line, flush=True)
 
 

@@ -214,6 +214,72 @@ def test_headline_value_excludes_cold_cells():
     assert bench._headline_value(timings, repeats) == 3.5
 
 
+def test_compact_line_full_map_and_budget():
+    """Verdict r13 #1: the driver's per-query comparator reads ONLY the
+    printed one-line JSON, and r13's top-5-only line left it blind
+    (n_common 0, null geomean, phantom dropped cells). Pin the fixed
+    contract: every cell's median in the line when it fits, slowest
+    first (the old top-5 is a prefix, so no existing entry is removed or
+    renamed), weather flags as indices into the queries key order, and a
+    byte budget that evicts only the cheapest cells — counted in
+    queries_omitted — because a line longer than the driver's 2000-char
+    tail capture loses its head and parses as null."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    extras = {"value": 10.0, "unit": "sec", "sf": 0.1}
+
+    # Small run: everything fits, ordered slowest-first.
+    medians = {"a": 1.0, "b": 3.0, "c": 2.0}
+    line = bench._compact_line(medians, extras, ["c"], {"a": {}})
+    rec = json.loads(line)
+    assert list(rec["queries"]) == ["b", "c", "a"]
+    assert rec["queries_omitted"] == 0
+    assert rec["suspect_qi"] == [1] and rec["retimed_qi"] == [2]
+    assert rec["value"] == 10.0 and rec["metric"] == "headline_queries_total"
+
+    # A full 109-cell grid with realistic name lengths cannot ALL fit
+    # (r7 proved that: full map → tail overflow → parsed:null), but the
+    # packing must carry far more than the old 5 and count the rest.
+    wide = {
+        f"dedup_cluster_components_cell_{i:03d}": float(i) for i in range(109)
+    }
+    line = json.loads(bench._compact_line(wide, extras, [], {}))
+    assert len(line["queries"]) >= 35
+    assert line["queries_omitted"] == 109 - len(line["queries"])
+    assert len(json.dumps(line)) <= bench.COMPACT_LINE_LIMIT
+
+    # A cell named in the previous round's parsed line survives the
+    # eviction even when it is now among the cheapest — otherwise the
+    # driver records a phantom dropped_from_bench for a cell that simply
+    # got faster (the exact r13 failure mode).
+    fast_prev = "dedup_cluster_components_cell_000"  # value 0.0 → first out
+    line = json.loads(
+        bench._compact_line(wide, extras, [], {}, keep={fast_prev})
+    )
+    assert fast_prev in line["queries"]
+    assert len(json.dumps(line)) <= bench.COMPACT_LINE_LIMIT
+
+    # Pathological widths: cheapest cells are evicted first, the slow
+    # head (the cross-round signal and the old top-5 contract) survives,
+    # the count of evictions is reported, and flag indices still point
+    # at the right names inside the truncated dict.
+    huge = {f"q{i:04d}_{'x' * 60}": float(i) for i in range(200)}
+    line = json.loads(
+        bench._compact_line(huge, extras, [f"q0199_{'x' * 60}"], {})
+    )
+    names = list(line["queries"])
+    assert len(json.dumps(line)) <= bench.COMPACT_LINE_LIMIT
+    assert line["queries_omitted"] == 200 - len(names) > 0
+    assert names[0] == f"q0199_{'x' * 60}"  # slowest kept
+    assert line["suspect_qi"] == [0]
+    # slowest-first means every kept cell outranks every evicted one
+    kept_vals = sorted(line["queries"].values(), reverse=True)
+    assert list(line["queries"].values()) == kept_vals
+
+
 def test_flush_removes_tmp_on_failure(tmp_path):
     """ADVICE r12: a serialization crash must not leave a stale .tmp
     next to the artifact (and the tmp name is per-pid so concurrent
