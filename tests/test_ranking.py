@@ -261,6 +261,65 @@ def test_ordered_prefix_count_small_above_threshold_is_distributed(spark, df):
     )
 
 
+def test_ordered_prefix_count_gate_skips_count_on_big_estimates(spark, df):
+    """Verdict r13 #3/#5: count_small paid an exact df.count() at EVERY
+    scale — a full extra pass over non-materialized inputs above the
+    threshold, where the escape buys nothing. The r14 stats gate must
+    (a) skip the count job entirely when the optimizer estimate is big,
+    (b) still count (and take the local path) for small inputs, and
+    (c) honor count_mode="exact" for materialized frames whose origin
+    stats are useless (pinned fixpoints)."""
+    from datamodel_clinicaldata_spark.operators import ranking as rk
+
+    # (a) big estimate → no count: spark.range carries an exact 8 B/row
+    # estimate, so 1B rows ≫ 2M × 100 B skips the confirming count.
+    big = spark.range(1_000_000_000)
+    assert not rk._should_exact_count(big, 2_000_000)
+    # (b) small estimate → count runs and the local path is taken; the
+    # result equals the distributed path (row-for-row, pinned above).
+    assert rk._should_exact_count(df, 10_000)
+    counts = []
+    orig_count = type(df).count
+    try:
+        type(df).count = lambda self: counts.append(1) or orig_count(self)
+        out = ordered_prefix(
+            df, _cols(("v:asc", "id:asc")), rank_col="rank",
+            count_small=10_000,
+        )
+        out.collect()
+        assert len(counts) == 1  # gated count ran exactly once
+        # big-estimate input + count_small → gate must not count
+        # (materialize="none": skip the two-phase path's eager pin so
+        # this stays a plan-construction-only assertion)
+        counts.clear()
+        ordered_prefix(
+            big.withColumn("v", F.col("id")),
+            [F.col("v").asc(), F.col("id").asc()],
+            rank_col="rank",
+            count_small=2_000_000,
+            materialize="none",
+        )
+        assert counts == []  # plan built with ZERO count jobs
+    finally:
+        type(df).count = orig_count
+    # (c) exact mode bypasses the estimate gate
+    pinned = spark.range(50).localCheckpoint()
+    import pytest
+
+    with pytest.raises(ValueError):
+        ordered_prefix(
+            pinned, [F.col("id").asc()], rank_col="r", count_mode="bogus"
+        )
+    got = ordered_prefix(
+        pinned,
+        [F.col("id").asc()],
+        rank_col="rank",
+        count_small=1_000,
+        count_mode="exact",
+    )
+    assert [r.rank for r in got.orderBy("id").collect()] == list(range(1, 51))
+
+
 def test_ordered_prefix_materialize_modes_agree(spark, df):
     """persist-mode materialization is a measurement instrument
     (verdict r6 #1): it must produce the identical answer to the default
