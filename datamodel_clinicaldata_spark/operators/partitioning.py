@@ -14,6 +14,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated size of ``df`` in bytes — driver-side only,
+    no job. None when the py4j plumbing fails (never raises). This is
+    the same estimate the planner uses for auto-broadcast decisions:
+    scan-anchored (file sizes × column-width ratios), so it is reliable
+    for scan/filter/project/aggregate inputs and USELESS for pinned
+    (localCheckpointed) frames, which keep their origin plan's cascaded
+    join estimates — gate on frames derived from scans, not on pins."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:  # noqa: BLE001 — estimate is best-effort by design
+        return None
+
+
+def _parse_byte_conf(v: str) -> int:
+    """Parse Spark's byte-valued conf strings ('10MB', '10485760b',
+    '-1')."""
+    s = v.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def fits_auto_broadcast(df: DataFrame, margin: float = 1.0) -> bool:
+    """True when the planner's size estimate says ``df`` would be
+    auto-broadcast under the session's autoBroadcastJoinThreshold.
+
+    The scale-adaptivity gate for plan shapes that are only right while
+    one side broadcasts (guide §2.3/§3.1): at bench scale the dimension
+    side broadcasts and the fact side never shuffles, so restructuring
+    (pre-aggregation, vertex routing) would ADD an exchange; past the
+    threshold the planner would pick a shuffle join of the raw fact
+    rows, and the restructured shape wins. Gating on the same estimate
+    the planner itself uses keeps the two decisions consistent. False
+    when broadcasting is disabled (threshold ≤ 0) or the estimate is
+    unavailable — the conservative direction for a 100 TB default.
+    ``margin`` scales the threshold (margin < 1 flips to the
+    big-data shape earlier than the planner would stop broadcasting)."""
+    try:
+        thr = _parse_byte_conf(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:  # noqa: BLE001
+        return False
+    if thr <= 0:
+        return False
+    est = estimated_size_bytes(df)
+    return est is not None and est <= thr * margin
+
+
 def ensure_min_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Repartition ONLY when the input has fewer partitions than the
     session's default parallelism. On a real many-split scan this is a

@@ -51,13 +51,13 @@ _COUNT_GATE_BYTES_PER_ROW = 100
 
 
 def _estimated_size_bytes(df: DataFrame) -> int | None:
-    """Optimizer-estimated size of ``df`` in bytes (driver-side only, no
-    job). None when the py4j plumbing fails (never raises)."""
-    try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(str(stats.sizeInBytes()))
-    except Exception:  # noqa: BLE001 — estimate is best-effort by design
-        return None
+    """Optimizer-estimated size of ``df`` (shared helper; see
+    operators.partitioning.estimated_size_bytes)."""
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        estimated_size_bytes,
+    )
+
+    return estimated_size_bytes(df)
 
 
 def _should_exact_count(df: DataFrame, count_small: int) -> bool:

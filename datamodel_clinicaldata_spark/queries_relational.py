@@ -502,21 +502,47 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join rollup: fact-fact join shuffles on orderkey; dims broadcast."""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    """Multi-join rollup: fact-fact join shuffles on orderkey; dims broadcast.
+
+    r14 (guide §2.3 "aggregate before you shuffle", verdict r13 #2):
+    when ORDERS is too big to broadcast — the planner's own estimate,
+    via ``fits_auto_broadcast`` — lineitem is pre-aggregated by
+    l_orderkey BELOW the join, cutting the orderkey shuffle 4.07:1 in
+    rows (measured across all three SFs) and shrinking everything the
+    customer join and final rollup carry. While orders broadcasts (all
+    bench/oracle SFs), the flat shape is kept bit-for-bit: lineitem
+    never shuffles there, so a pre-aggregate would ADD the plan's only
+    fact-sized exchange — and the float sum keeps its exact r13
+    accumulation order (hash stability). The pre-agg branch's
+    regrouped float sum agrees with the flat branch to well below the
+    4-dp rounding at every test SF (pinned in
+    tests/test_adaptive_shapes.py)."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem")
     n = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        fits_auto_broadcast,
+    )
+
+    if fits_auto_broadcast(o):
+        fact = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        rev_sum, n_items = F.sum(rev), F.count(F.lit(1))
+    else:
+        per_order = li.groupBy("l_orderkey").agg(
+            F.sum(rev).alias("__rev"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        fact = per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        rev_sum, n_items = F.sum("__rev"), F.sum("__n").cast("long")
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        fact.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(rev_sum, 4).alias("revenue"),
+            n_items.alias("n_items"),
         )
     )
 
@@ -6607,6 +6633,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "Reliable-checkpoint doctrine"); the u-partitioning survives the
     # swap too.
     from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        fits_auto_broadcast,
+    )
+
+    p = read_table(spark, sf_dir, "part")
+    labels = p.select(
+        F.col("p_partkey").alias("pk"),
+        "p_type",
+        (F.col("p_size") <= 10).alias("seeded"),
+        F.when(F.col("p_size") <= 10, F.col("p_type")).alias("lbl"),
+    )
+    # r14 (verdict r13 #4): decide the round shape ONCE, from the
+    # planner's estimate of the FULL vertex-label projection (an upper
+    # bound on any round's labeled set — per-round frames are pinned and
+    # carry useless cascaded origin estimates). While it fits a
+    # broadcast, rounds are the r13 zero-shuffle shape; past that, the
+    # GraphX-style vertex-routing shape below.
+    routed = not fits_auto_broadcast(labels.select("pk", "lbl"))
 
     # r13: repartition("u") FIRST, then aggregate — HashPartitioning(u)
     # satisfies the (u, v) ClusteredDistribution (a subset of the keys),
@@ -6616,35 +6660,34 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of two on the edge build (plan diff in
     # plans/r13/graph_label_propagation_{before,after}.txt); measured
     # A/B alternated at sf0.1: 2.92 s → 2.67 s min, 3.1 → 2.7 median.
-    e = truncate_lineage(
-        pairs.repartition("u")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    # r14 routed mode: the pin is instead keyed on v — the join side the
+    # rounds probe — so the edge frame shuffles ONCE at build and never
+    # again (GraphX's routing-table role); per-round traffic is then
+    # bounded by vertex/message sizes, not edges.
+    agg_edges = pairs.repartition("u").groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
     )
-    p = read_table(spark, sf_dir, "part")
-    labels = p.select(
-        F.col("p_partkey").alias("pk"),
-        "p_type",
-        (F.col("p_size") <= 10).alias("seeded"),
-        F.when(F.col("p_size") <= 10, F.col("p_type")).alias("lbl"),
+    e = truncate_lineage(
+        agg_edges.repartition("v") if routed else agg_edges
     )
 
     def one_round(lab: DataFrame) -> DataFrame:
-        # Broadcast the labeled frame: |seed-reachable parts| here, and
-        # the key to the zero-shuffle round (see the e pin above). At a
-        # node scale where the label frame stops fitting a broadcast,
-        # drop this hint and the round degrades gracefully to ONE
-        # e-sized vote exchange (the shuffle-join form) — still correct,
-        # and the GraphX-style vertex-routing refinement is the next
-        # step past that, not a DataFrame one-liner.
-        nb = e.join(
-            F.broadcast(
-                lab.filter(F.col("lbl").isNotNull()).select(
-                    F.col("pk").alias("v"), F.col("lbl").alias("nb_lbl")
-                )
-            ),
-            "v",
+        labeled = lab.filter(F.col("lbl").isNotNull()).select(
+            F.col("pk").alias("v"), F.col("lbl").alias("nb_lbl")
         )
+        if routed:
+            # Vertex routing: e is pinned hash(v); only the (vertex-
+            # sized) label frame shuffles to meet it, the join emits
+            # votes already co-located by v, and the vote aggregate's
+            # partial (map-side) phase shrinks the only remaining
+            # exchange to distinct (u, lbl) pairs. Edges cross the wire
+            # zero times per round.
+            nb = e.join(labeled.repartition("v"), "v")
+        else:
+            # Broadcast the labeled frame: |seed-reachable parts| here,
+            # and the key to the zero-shuffle round (the e pin is
+            # hash(u), which the vote aggregate and rank window reuse).
+            nb = e.join(F.broadcast(labeled), "v")
         votes = nb.groupBy(F.col("u").alias("pk"), F.col("nb_lbl")).agg(
             F.sum("w").cast("long").alias("votes")
         )
