@@ -873,7 +873,18 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bare-scan spread (partitioning doctrine): each iteration's per-row
     # work is a 64-term dot + 64-way posexplode — single-task on a
     # one-split bench file without this; no-op on a many-split scan.
-    emb = ensure_min_parallelism(read_table(spark, sf_dir, "embeddings"))
+    # r14 (verdict r13 #9, §5 pin doctrine): the matrix feeds THREE
+    # consumers (two bounded 64-row collects + the final in-plan
+    # iteration) — pin it once so each iteration reads the materialized
+    # blocks instead of re-running scan + spread (plan: 3 parquet scans
+    # → 1; same localCheckpoint-inside-one-execution device as
+    # semdedup/lsh_prod, upgraded to durable checkpoint fleet-wide by
+    # SPARK_GRAFT_CHECKPOINT=reliable).
+    from datamodel_clinicaldata_spark.operators.graph import truncate_lineage
+
+    emb = truncate_lineage(
+        ensure_min_parallelism(read_table(spark, sf_dir, "embeddings"))
+    )
     dims = 64
 
     def w_frame(v: list[int]) -> DataFrame:
