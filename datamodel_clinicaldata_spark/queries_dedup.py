@@ -337,11 +337,22 @@ def dedup_incremental_against_corpus(
         .agg(F.min("cor_id").cast("long").alias("ex_match"))
     )
 
+    # r14 (§2.3): the crossing predicate is pushed INTO the postings
+    # self-join — corpus×corpus pairs (the ~64% majority at a 20% drop
+    # share) die before the pair-count shuffle instead of after the full
+    # Jaccard computation. Strict-subset semantics: per-pair counts and
+    # sizes are untouched, only never-used pairs disappear (the oracle's
+    # `near` CTE applies the identical predicate one step later).
     pairs = ngram_jaccard_pairs(
-        d, "text", "doc_id", k=3, threshold=0.2, max_postings=10_000
+        d,
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.2,
+        max_postings=10_000,
+        pair_predicate=lambda ia, ib: (ia % 5 == 4) != (ib % 5 == 4),
     )
-    # ngram_jaccard_pairs emits id_a < id_b over the whole frame; keep only
-    # pairs crossing the corpus/incoming split, oriented incoming→corpus
+    # id_a < id_b over crossing pairs only; orient incoming→corpus
     crossing = pairs.select(
         F.when(F.col("id_a") % 5 == 4, F.col("id_a"))
         .otherwise(F.col("id_b"))
@@ -349,8 +360,7 @@ def dedup_incremental_against_corpus(
         F.when(F.col("id_a") % 5 == 4, F.col("id_b"))
         .otherwise(F.col("id_a"))
         .alias("cor_id"),
-        ((F.col("id_a") % 5 == 4) != (F.col("id_b") % 5 == 4)).alias("__x"),
-    ).filter(F.col("__x"))
+    )
     near = (
         crossing.groupBy(F.col("inc_id").alias("doc_id"))
         .agg(F.min("cor_id").cast("long").alias("near_match"))
