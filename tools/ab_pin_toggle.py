@@ -32,7 +32,14 @@ def main() -> None:
         run(n)  # warm (pinned form; plan shape differences warm both paths' scans)
         a_times, b_times = [], []
         for r in range(rounds):
-            for variant, sink in (("A", a_times), ("B", b_times)):
+            # Alternate the starting arm per round: in a monotonically
+            # decaying steal storm the second arm of every pair is
+            # systematically favored, so a fixed A-first order biases
+            # against A (observed r14).
+            order = (("A", a_times), ("B", b_times))
+            if r % 2:
+                order = order[::-1]
+            for variant, sink in order:
                 graph.truncate_lineage = (
                     real_pin if variant == "A" else (lambda df, *a, **k: df)
                 )

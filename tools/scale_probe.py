@@ -1031,7 +1031,9 @@ def run_probes(spark, rows: int = 50_000_000, partitions: int = 64) -> dict:
     return out
 
 
-def probe_dedup_engine_ops(spark, n_docs: int, partitions: int) -> dict:
+def probe_dedup_engine_ops(
+    spark, n_docs: int, partitions: int, sections: set[str] | None = None
+) -> dict:
     """The r13 done-criterion probe (verdict r12 #3): the 4M-doc corpus
     that GC-killed the r12 run, pushed through the ENGINE operators —
     ``operators.dedup.winnowing_pairs`` / ``minhash_lsh_pairs`` /
@@ -1042,7 +1044,12 @@ def probe_dedup_engine_ops(spark, n_docs: int, partitions: int) -> dict:
     and closed-form gates as probe_dedup: docs in odd gid quads are
     verbatim clones → every C(4,2) pair must surface (planted recall
     strictly 1.0). Winnowing runs with n_rows_est=None to exercise the
-    auto-count path; the others get the explicit estimate."""
+    auto-count path; the others get the explicit estimate.
+
+    ``sections`` (r14): restrict to a subset of
+    {'winnowing','minhash','ngram'} — the alternating carried-size A/B
+    (verdict r13 #3) re-runs only the ngram section, instead of paying
+    the ~20 min winnowing section per arm."""
     import time
 
     from pyspark import StorageLevel
@@ -1094,61 +1101,64 @@ def probe_dedup_engine_ops(spark, n_docs: int, partitions: int) -> dict:
 
         # ENGINE winnowing operator, auto-count width path. Clones share
         # their entire fingerprint set (~dozens >= min_shared=3).
-        t0 = time.time()
-        wp = winnowing_pairs(
-            docs, "text", "doc_id", k=8, w=4, max_postings=5000, min_shared=3
-        )
-        n_wp = wp.persist(StorageLevel.MEMORY_AND_DISK).count()
-        wmiss = planted.join(wp, ["id_a", "id_b"], "left_anti").count()
-        dt = time.time() - t0
-        out["winnowing_engine"] = {
-            "sec": round(dt, 2),
-            "docs_per_sec": int(n_docs / dt),
-            "pairs": int(n_wp),
-            "planted_recall_1": bool(wmiss == 0),
-        }
-        wp.unpersist()
+        if sections is None or "winnowing" in sections:
+            t0 = time.time()
+            wp = winnowing_pairs(
+                docs, "text", "doc_id", k=8, w=4, max_postings=5000, min_shared=3
+            )
+            n_wp = wp.persist(StorageLevel.MEMORY_AND_DISK).count()
+            wmiss = planted.join(wp, ["id_a", "id_b"], "left_anti").count()
+            dt = time.time() - t0
+            out["winnowing_engine"] = {
+                "sec": round(dt, 2),
+                "docs_per_sec": int(n_docs / dt),
+                "pairs": int(n_wp),
+                "planted_recall_1": bool(wmiss == 0),
+            }
+            wp.unpersist()
 
         # ENGINE MinHash+LSH operator END-TO-END (banding + exact-Jaccard
         # verification): clones agree on every band and verify at J=1.0.
-        t0 = time.time()
-        mh = minhash_lsh_pairs(
-            docs,
-            "text",
-            "doc_id",
-            k=3,
-            num_hashes=32,
-            bands=8,
-            threshold=0.5,
-            n_rows_est=n_docs,
-        )
-        n_mh = mh.persist(StorageLevel.MEMORY_AND_DISK).count()
-        mmiss = planted.join(mh, ["id_a", "id_b"], "left_anti").count()
-        dt = time.time() - t0
-        out["minhash_lsh_engine"] = {
-            "sec": round(dt, 2),
-            "docs_per_sec": int(n_docs / dt),
-            "verified_pairs": int(n_mh),
-            "planted_recall_1": bool(mmiss == 0),
-        }
-        mh.unpersist()
+        if sections is None or "minhash" in sections:
+            t0 = time.time()
+            mh = minhash_lsh_pairs(
+                docs,
+                "text",
+                "doc_id",
+                k=3,
+                num_hashes=32,
+                bands=8,
+                threshold=0.5,
+                n_rows_est=n_docs,
+            )
+            n_mh = mh.persist(StorageLevel.MEMORY_AND_DISK).count()
+            mmiss = planted.join(mh, ["id_a", "id_b"], "left_anti").count()
+            dt = time.time() - t0
+            out["minhash_lsh_engine"] = {
+                "sec": round(dt, 2),
+                "docs_per_sec": int(n_docs / dt),
+                "verified_pairs": int(n_mh),
+                "planted_recall_1": bool(mmiss == 0),
+            }
+            mh.unpersist()
 
         # ENGINE inverted-index exact Jaccard (the _shingle_postings
         # sites): clones share all shingles → J=1.0 ≥ 0.9.
-        t0 = time.time()
-        nj = ngram_jaccard_pairs(
-            docs, "text", "doc_id", k=3, threshold=0.9, n_rows_est=n_docs
-        )
-        n_nj = nj.persist(StorageLevel.MEMORY_AND_DISK).count()
-        nmiss = planted.join(nj, ["id_a", "id_b"], "left_anti").count()
-        dt = time.time() - t0
-        out["ngram_jaccard_engine"] = {
-            "sec": round(dt, 2),
-            "docs_per_sec": int(n_docs / dt),
-            "pairs": int(n_nj),
-            "planted_recall_1": bool(nmiss == 0),
-        }
-        nj.unpersist()
+        if sections is None or "ngram" in sections:
+            t0 = time.time()
+            nj = ngram_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=0.9, n_rows_est=n_docs
+            )
+            n_nj = nj.persist(StorageLevel.MEMORY_AND_DISK).count()
+            nmiss = planted.join(nj, ["id_a", "id_b"], "left_anti").count()
+            dt = time.time() - t0
+            out["ngram_jaccard_engine"] = {
+                "sec": round(dt, 2),
+                "docs_per_sec": int(n_docs / dt),
+                "pairs": int(n_nj),
+                "planted_recall_1": bool(nmiss == 0),
+            }
+            nj.unpersist()
         planted.unpersist()
     finally:
         docs.unpersist()
@@ -1239,8 +1249,13 @@ def main() -> None:
         return
     if "--engine-docs" in sys.argv:
         n_docs = int(sys.argv[sys.argv.index("--engine-docs") + 1])
+        sections = None
+        if "--engine-sections" in sys.argv:
+            sections = set(
+                sys.argv[sys.argv.index("--engine-sections") + 1].split(",")
+            )
         spark = get_spark("scale-probe-engine-ops")
-        res = probe_dedup_engine_ops(spark, n_docs, partitions=256)
+        res = probe_dedup_engine_ops(spark, n_docs, partitions=256, sections=sections)
         print(f"PROBE dedup_engine_ops: {json.dumps(res)}", file=sys.stderr, flush=True)
         spark.stop()
         print(json.dumps(res, indent=1))
