@@ -62,9 +62,25 @@ def _coverage_order(names: list[str]) -> list[str]:
     never = [n for n in names if n not in greens]
     modified = [n for n in names if n in greens and n in stale]
     fresh = [n for n in names if n in greens and n not in stale]
+    # Verdict r13 #6: the three r13-rewritten paths the rotation never
+    # re-sampled go FIRST within the stale tier, so their driver-verified
+    # green lands this round even if later edits grow the tier past the
+    # sample size.
+    priority = [
+        n
+        for n in (
+            "feature_quantile_normalization",
+            "eval_knn_label_accuracy",
+            "similarity_kmeans_lloyd_step",
+        )
+        if n in modified
+    ]
+    modified = priority + [
+        n for n in interleaved_by_family(modified) if n not in priority
+    ]
     return (
         interleaved_by_family(never)
-        + interleaved_by_family(modified)
+        + modified
         + interleaved_by_family(fresh)
     )
 

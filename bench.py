@@ -238,6 +238,10 @@ HEADLINE = [
 # expensive cells of the promoted r11 baseline, and one representative per
 # query family. A budget-truncated (or killed) run therefore still records
 # the rows the 2×-of-BASELINE bar and the cross-round comparison need.
+# The two cells the BASELINE.md 2× bar is read from (flagship_median in
+# the printed line) — they get a deepened repeat pool, see the loop.
+FLAGSHIP_CELLS = ("clinical_cohort_week", "clinical_cohort_month")
+
 TIER1 = [
     "clinical_cohort_week",
     "clinical_cohort_month",
@@ -957,8 +961,18 @@ def main() -> None:
             cold_cells.append(name)
             _flush(out_path, _snapshot(partial=True))
             continue
+        # Flagship cells get a deeper repeat pool (9 at the default cap
+        # of 5): the BASELINE 2× bar is evaluated on flagship_median, and
+        # a median-of-9 tolerates 4 storm-hit runs where median-of-5
+        # tolerates 2 (verdict r13 #8 — the r13 driver median 1.945 s was
+        # ~1 storm from the bar while quiet floors sat at 1.38–1.59 s).
+        # Methodology is unchanged — same noop-sink timed runs, canary
+        # gating and tripwire; only N grows, and repeats_used records it.
+        # ~6 s extra for two short cells; _choose_repeats' fair share
+        # still degrades them first under a tight budget.
+        cap = 2 * repeats_cap - 1 if name in FLAGSHIP_CELLS else repeats_cap
         repeats = _choose_repeats(
-            budget.remaining() - RESERVE, len(names) - i, dt_warm, repeats_cap
+            budget.remaining() - RESERVE, len(names) - i, dt_warm, cap
         )
         # Noise retries (up to 3× the repeat count) only while the budget
         # is comfortable — on a tight clock a burst-bracketed run is kept

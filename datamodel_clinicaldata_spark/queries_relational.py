@@ -994,15 +994,30 @@ def topk_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
+    # r14 (guide §2.3, verdict r13 #2): while orders broadcasts (every
+    # bench/oracle SF) lineitem never shuffles — keep the flat r13 shape
+    # bit-for-bit (same float accumulation order ⇒ same hash). Past
+    # broadcast scale the flat plan shuffles raw returned lines by
+    # orderkey; the pre-aggregated branch sums revenue per l_orderkey
+    # below the join (~4:1 row cut through the orderkey exchange, the
+    # agg_revenue_by_nation treatment). The regrouped float sum agrees
+    # with the flat branch to well below the 4-dp rounding on testdata
+    # (pinned in tests/test_adaptive_shapes.py).
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        fits_auto_broadcast,
+    )
+
+    returned = li.filter(F.col("l_returnflag") == "R")
+    line_rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    if fits_auto_broadcast(o.select("o_orderkey", "o_custkey")):
+        fact, rev_sum = returned, F.sum(line_rev)
+    else:
+        fact = returned.groupBy("l_orderkey").agg(F.sum(line_rev).alias("__rev"))
+        rev_sum = F.sum("__rev")
     rev = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        fact.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(F.round(rev_sum, 4).alias("revenue"))
     )
     return (
         rev.join(c.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))

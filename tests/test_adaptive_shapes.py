@@ -82,6 +82,53 @@ def test_revenue_by_nation_preagg_branch_matches_flat(spark, sf_dir):
     assert preagg == flat
 
 
+def test_custdist_preagg_branch_matches_flat(spark, sf_dir):
+    """q13: coalesce(pre-count, 0) over the pre-aggregated branch must
+    reproduce the flat left-join count exactly (integer counts — no
+    rounding slack to hide behind)."""
+    from datamodel_clinicaldata_spark.queries_tpch import agg_custdist
+
+    flat = _rows(agg_custdist(spark, sf_dir))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = agg_custdist(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the count aggregate sits BELOW the join, keyed on o_custkey
+        assert "Keys [1]: [o_custkey" in plan
+        preagg = _rows(df)
+    finally:
+        spark.conf.set(key, old)
+    assert preagg == flat
+
+
+def test_returned_customers_preagg_branch_matches_flat(spark, sf_dir):
+    """q10: the per-orderkey pre-aggregated revenue regrouped by custkey
+    may not move any customer's 4th decimal (driver hashes the rounded
+    value)."""
+    from datamodel_clinicaldata_spark.queries_relational import (
+        topk_returned_customers,
+    )
+
+    flat = _rows(topk_returned_customers(spark, sf_dir))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = topk_returned_customers(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Keys [1]: [l_orderkey" in plan
+        preagg = _rows(df)
+    finally:
+        spark.conf.set(key, old)
+    assert preagg == flat
+
+
 def test_label_propagation_routed_matches_broadcast(spark, sf_dir):
     """The vertex-routed rounds (labels too big to broadcast) must land
     on the identical confusion rollup as the broadcast rounds."""
