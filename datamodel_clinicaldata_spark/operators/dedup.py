@@ -43,9 +43,16 @@ def _carry_sizes() -> bool:
     pair builders (verdict r13 #3): posting rows carry their doc's
     shingle-set size so the pair stage needs no second corpus shingling
     pass + sizes join, at +8 B/posting through the widened exchange.
-    Off by default — the r13 sf0.1 alternating A/B lost; this round
-    re-measures at the 4M-doc rung where the saved corpus re-scan is
-    minutes (decision + record in OPTIMIZATION_r14.md)."""
+
+    DECIDED OFF (r14): the 4M-doc order-balanced alternating A/B — the
+    rung verdict r13 #3 asked for — REPRODUCED the sf0.1 loss: old shape
+    min 129.3 s vs carried 165.0 s (1.28×), old wins 3/3 adjacent pairs
+    under rolling steal (136.9 vs 231.0, 129.3 vs 165.0, 280.0 vs
+    312.4; planted recall 1.0 both arms). The extra 8 B and the
+    min-aggregates ride the exploded co-occurrence stream — the widest
+    frame in the plan — while the two corpus passes they save are
+    narrow scans (~10 s at 4M). The flag stays for corpora whose
+    docs/posting-width ratio differs; record in OPTIMIZATION_r14.md §3."""
     import os
 
     return os.environ.get("SPARK_GRAFT_CARRIED_SIZES", "0") == "1"
